@@ -1,0 +1,20 @@
+"""Importing this package registers every declared query (SURVEY.md §2B).
+
+Each module covers one operator family; registration happens at import
+time via ``spark_sklearn_spark.registry.query``.
+"""
+
+from . import (  # noqa: F401
+    scans,
+    filters,
+    joins,
+    aggregates,
+    windows,
+    sorts,
+    setops,
+    scalar_fns,
+    streaming_batch,
+    udfs,
+    ml,
+    pipeline,
+)

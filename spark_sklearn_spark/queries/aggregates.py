@@ -1,0 +1,214 @@
+"""Aggregation queries (SURVEY.md §2B 'Aggregations').
+
+Hash aggregation with map-side partial aggregation is automatic in
+Spark (partial_sum → exchange on group keys → final_sum); these
+queries only have to keep the aggregate expressions codegen-friendly.
+Float policy per _helpers (exact decimal sums, rounded stat fns).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.io import load, register_views
+from ._helpers import davg, dsum, sql_davg, sql_dsum
+
+
+@query(
+    "q_agg_hash",
+    oracle=f"""
+        SELECT l_returnflag, l_linestatus,
+               {sql_dsum("l_quantity", "sum_qty")},
+               {sql_dsum("l_extendedprice", "sum_base_price")},
+               {sql_dsum("l_extendedprice * (1 - l_discount)", "sum_disc_price")},
+               {sql_davg("l_quantity", "avg_qty")},
+               {sql_davg("l_extendedprice", "avg_price")},
+               {sql_davg("l_discount", "avg_disc")},
+               CAST(count(*) AS BIGINT) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_agg_hash(spark, d):
+    """Flagship: TPC-H Q1 shape — scan → pushdown filter → hash agg
+    (8 aggregates) over two low-cardinality keys."""
+    li = load(spark, d, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "sum_disc_price"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q_agg_distinct",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+               CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
+def q_agg_distinct(spark, d):
+    """Multiple COUNT(DISTINCT) — Spark rewrites to expand + two-phase
+    aggregation; stays fully distributed."""
+    return (
+        load(spark, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@query("q_agg_approx_distinct")  # rows-only: HLL sketches are engine-specific
+def q_agg_approx_distinct(spark, d):
+    """approx_count_distinct (HyperLogLog++). Declared rows-only — the
+    sketch is engine-specific so values can't hash-match DuckDB
+    (SURVEY.md §2B)."""
+    return (
+        load(spark, d, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.02).alias("approx_users"))
+    )
+
+
+@query(
+    "q_agg_rollup",
+    oracle=f"""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               {sql_dsum("o_totalprice", "total")},
+               CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_agg_rollup(spark, d):
+    """ROLLUP with grouping_id to disambiguate subtotal rows."""
+    return (
+        load(spark, d, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("o_totalprice", "total"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+    )
+
+
+@query(
+    "q_agg_cube",
+    oracle=f"""
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(count(*) AS BIGINT) AS n,
+               {sql_dsum("value", "total")},
+               CAST(GROUPING(event_type, date_trunc('day', ts)) AS BIGINT) AS gid
+        FROM events
+        GROUP BY CUBE (event_type, date_trunc('day', ts))
+    """,
+)
+def q_agg_cube(spark, d):
+    """CUBE over (event_type, day)."""
+    ev = load(spark, d, "events").withColumn("day", F.date_trunc("day", "ts"))
+    return (
+        ev.cube("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("value", "total"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+    )
+
+
+@query(
+    "q_agg_grouping_sets",
+    oracle=f"""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               {sql_dsum("o_totalprice", "total")}
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def q_agg_grouping_sets(spark, d):
+    """Explicit GROUPING SETS via SQL (same Catalyst Expand plan as
+    rollup/cube)."""
+    register_views(spark, d)
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n,
+               {sql_dsum("o_totalprice", "total")}
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query(
+    "q_agg_collect",
+    oracle="""
+        SELECT l_orderkey,
+               list(l_linenumber ORDER BY l_linenumber) AS line_numbers,
+               list(DISTINCT l_returnflag ORDER BY l_returnflag) AS flags
+        FROM lineitem
+        WHERE l_orderkey % 100 = 0
+        GROUP BY l_orderkey
+    """,
+)
+def q_agg_collect(spark, d):
+    """collect_list / collect_set with explicit sort for determinism
+    (Spark's collect order is partition-dependent, so both sides sort
+    inside the aggregate)."""
+    return (
+        load(spark, d, "lineitem")
+        .filter(F.col("l_orderkey") % 100 == 0)
+        .groupBy("l_orderkey")
+        .agg(
+            F.sort_array(F.collect_list("l_linenumber")).alias("line_numbers"),
+            F.sort_array(F.collect_set("l_returnflag")).alias("flags"),
+        )
+    )
+
+
+@query(
+    "q_agg_stats",
+    oracle="""
+        SELECT event_type,
+               ROUND(stddev_samp(value), 6) AS sd,
+               ROUND(var_samp(value), 6) AS var,
+               ROUND(corr(value, CAST(user_id AS DOUBLE)), 6) AS c,
+               ROUND(quantile_cont(value, 0.5), 6) AS p50,
+               ROUND(quantile_cont(value, 0.95), 6) AS p95
+        FROM events
+        GROUP BY event_type
+    """,
+)
+def q_agg_stats(spark, d):
+    """Statistical aggregates. stddev/var/corr use numerically-stable
+    single-pass merges in both engines — rounded to 6 to absorb
+    merge-order noise. percentile() is exact linear interpolation in
+    both (NIST type-7)."""
+    ev = load(spark, d, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.stddev_samp("value"), 6).alias("sd"),
+        F.round(F.var_samp("value"), 6).alias("var"),
+        F.round(F.corr("value", F.col("user_id").cast("double")), 6).alias("c"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+    )

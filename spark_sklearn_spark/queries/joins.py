@@ -1,0 +1,308 @@
+"""Join queries (SURVEY.md §2B 'Joins').
+
+Physical-strategy notes (checked in tests/test_plans.py):
+- q_join_broadcast must plan a BroadcastHashJoin (dim side hinted).
+- q_join_shuffle is a SortMergeJoin on the shuffled key.
+- q_join_theta is a BroadcastNestedLoopJoin on deliberately-bounded
+  inputs (selective filters first — a theta join's cost is |L|·|R|).
+- q_join_range_ts avoids BNLJ entirely via the bucketed interval join
+  (operators/range_join.py) — the 100 TB-safe plan.
+- q_join_asof uses the single-shuffle union+window operator
+  (operators/asof.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.asof import asof_join
+from ..operators.range_join import interval_join
+from ..registry import query
+from ..sources.io import load
+from ._helpers import dsum, sql_dsum
+
+
+@query(
+    "q_join_broadcast",
+    oracle=f"""
+        SELECT p.p_type,
+               CAST(count(*) AS BIGINT) AS n,
+               {sql_dsum("l.l_extendedprice * (1 - l.l_discount)", "revenue")}
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_type
+    """,
+)
+def q_join_broadcast(spark, d):
+    """Fact ⋈ broadcast(dim): part is tiny relative to lineitem at any
+    scale factor — broadcast skips the fact-side shuffle entirely."""
+    li = load(spark, d, "lineitem")
+    p = load(spark, d, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+        )
+    )
+
+
+@query(
+    "q_join_shuffle",
+    oracle=f"""
+        SELECT o.o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_items,
+               {sql_dsum("l.l_extendedprice", "total_price")}
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY o.o_orderpriority
+    """,
+)
+def q_join_shuffle(spark, d):
+    """Large ⋈ large on the natural key → sort-merge join; both sides
+    shuffle once on o_orderkey/l_orderkey and AQE coalesces output
+    partitions."""
+    o = load(spark, d, "orders")
+    li = load(spark, d, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum("l_extendedprice", "total_price"),
+        )
+    )
+
+
+@query(
+    "q_join_multiway",
+    oracle=f"""
+        SELECT r.r_name, n.n_name,
+               {sql_dsum("l.l_extendedprice * (1 - l.l_discount)", "revenue")},
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM customer c
+        JOIN orders o   ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN nation n   ON n.n_nationkey = c.c_nationkey
+        JOIN region r   ON r.r_regionkey = n.n_regionkey
+        GROUP BY r.r_name, n.n_name
+    """,
+)
+def q_join_multiway(spark, d):
+    """5-way star join: fact chain shuffles, dims broadcast. Catalyst
+    + AQE order the joins; the dim joins never shuffle the fact."""
+    c = load(spark, d, "customer")
+    o = load(spark, d, "orders")
+    li = load(spark, d, "lineitem")
+    n = load(spark, d, "nation")
+    r = load(spark, d, "region")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q_join_outer",
+    oracle="""
+        SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS n_big
+        FROM customer c
+        LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) o
+          ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey
+    """,
+)
+def q_join_outer(spark, d):
+    """Left outer join preserving customers with zero matches
+    (TPC-H Q13 shape)."""
+    c = load(spark, d, "customer")
+    o = load(spark, d, "orders").filter(F.col("o_totalprice") > 400000)
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_big"))
+    )
+
+
+@query(
+    "q_join_outer_full",
+    oracle="""
+        WITH om AS (
+            SELECT date_trunc('month', o_orderdate) AS month,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders GROUP BY 1
+        ), em AS (
+            SELECT date_trunc('month', ts) AS month,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1
+        )
+        SELECT COALESCE(om.month, em.month) AS month,
+               om.n_orders, em.n_events
+        FROM om FULL OUTER JOIN em ON om.month = em.month
+    """,
+)
+def q_join_outer_full(spark, d):
+    """Full outer join of two monthly aggregates (disjoint date ranges
+    exercise null-fill on both sides)."""
+    om = (
+        load(spark, d, "orders")
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    em = (
+        load(spark, d, "events")
+        .groupBy(F.date_trunc("month", "ts").alias("month"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return om.join(em, "month", "full").select(
+        "month", "n_orders", "n_events"
+    )
+
+
+@query(
+    "q_join_semi",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 450000)
+    """,
+)
+def q_join_semi(spark, d):
+    """Existence semi-join — no row multiplication from the right."""
+    c = load(spark, d, "customer")
+    o = load(spark, d, "orders").filter(F.col("o_totalprice") > 450000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "q_join_anti",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice > 400000)
+    """,
+)
+def q_join_anti(spark, d):
+    """Anti-join: customers with no qualifying order."""
+    c = load(spark, d, "customer")
+    o = load(spark, d, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "q_join_theta",
+    oracle="""
+        SELECT a.event_id AS a_id, b.event_id AS b_id
+        FROM (SELECT * FROM events
+              WHERE event_type = 'signup' AND value > 325) a
+        JOIN (SELECT * FROM events
+              WHERE event_type = 'purchase' AND value > 325) b
+          ON a.value < b.value AND a.user_id <> b.user_id
+    """,
+)
+def q_join_theta(spark, d):
+    """Pure non-equi (theta) join. Inputs are bounded by selective
+    filters BEFORE the join — a BNLJ is O(|L|·|R|) and both sides must
+    be small enough to broadcast; at scale the fix is always input
+    reduction or banding, never a bigger cluster."""
+    ev = load(spark, d, "events")
+    a = ev.filter((F.col("event_type") == "signup") & (F.col("value") > 325)).alias("a")
+    b = ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 325)).alias("b")
+    return a.join(
+        b,
+        (F.col("a.value") < F.col("b.value"))
+        & (F.col("a.user_id") != F.col("b.user_id")),
+    ).select(F.col("a.event_id").alias("a_id"), F.col("b.event_id").alias("b_id"))
+
+
+@query(
+    "q_join_range_ts",
+    oracle="""
+        SELECT p.event_id AS p_id, CAST(count(*) AS BIGINT) AS n_clicks
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+        GROUP BY p.event_id
+    """,
+)
+def q_join_range_ts(spark, d):
+    """Interval join: clicks in the hour before each purchase —
+    executed with the bucketed equi-join plan (no BNLJ)."""
+    ev = load(spark, d, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "ts")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_id"),
+            (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("lo"),
+            F.col("ts").alias("hi"),
+        )
+    )
+    j = interval_join(clicks, "ts", purchases, "lo", "hi", bucket_seconds=3600)
+    return j.groupBy("p_id").agg(F.count(F.lit(1)).alias("n_clicks"))
+
+
+@query(
+    "q_join_asof",
+    oracle="""
+        WITH p AS (SELECT event_id AS p_id, user_id, ts FROM events
+                   WHERE event_type = 'purchase'),
+             c AS (SELECT event_id AS c_id, user_id, ts FROM events
+                   WHERE event_type = 'click'),
+             j AS (
+               SELECT p.p_id, c.c_id,
+                      row_number() OVER (PARTITION BY p.p_id
+                                         ORDER BY c.ts DESC, c.c_id DESC) AS rn
+               FROM p LEFT JOIN c
+                 ON p.user_id = c.user_id AND c.ts <= p.ts
+             )
+        SELECT p_id, c_id FROM j WHERE rn = 1
+    """,
+)
+def q_join_asof(spark, d):
+    """As-of join: latest click at/before each purchase, per user.
+    Spark side runs the single-shuffle union+window operator; the
+    oracle checks identical semantics via the quadratic row_number
+    emulation."""
+    ev = load(spark, d, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(
+        purchases, clicks, on="user_id", ts="ts",
+        value_cols=["event_id"], tiebreak="event_id",
+    )
+    return out.select("p_id", F.col("asof_event_id").alias("c_id"))
+
+
+@query(
+    "q_join_cross",
+    oracle="""
+        SELECT r.r_name, n.n_name, r.r_name || '/' || n.n_name AS pair
+        FROM region r CROSS JOIN nation n
+    """,
+)
+def q_join_cross(spark, d):
+    """Cartesian product of two tiny dims."""
+    r = load(spark, d, "region")
+    n = load(spark, d, "nation")
+    return r.crossJoin(n).select(
+        "r_name",
+        "n_name",
+        F.concat_ws("/", "r_name", "n_name").alias("pair"),
+    )

@@ -1,0 +1,141 @@
+"""Window-function queries (SURVEY.md §2B 'Window functions').
+
+Every ORDER BY inside a window carries a unique tie-break key so
+rank/row_number/ntile are deterministic in both engines. Windowed
+sums go through the decimal path (_helpers): Spark evaluates running
+frames incrementally while DuckDB uses segment trees — different
+addition orders, identical decimal results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W, functions as F
+
+from ..registry import query
+from ..sources.io import load
+from ._helpers import DEC, epoch_seconds
+
+
+@query(
+    "q_win_rank",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               CAST(rank() OVER w AS BIGINT) AS rnk,
+               CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+               CAST(row_number() OVER w AS BIGINT) AS rn
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def q_win_rank(spark, d):
+    """rank / dense_rank / row_number per customer by price."""
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return load(spark, d, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.row_number().over(w).cast("long").alias("rn"),
+    )
+
+
+@query(
+    "q_win_analytic",
+    oracle="""
+        SELECT event_id,
+               lag(value) OVER w AS prev_value,
+               lead(value) OVER w AS next_value,
+               first_value(value) OVER w AS first_value
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_win_analytic(spark, d):
+    """lag / lead / first_value per user ordered by time. Raw doubles
+    pass through untouched — bit-exact in both engines."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return load(spark, d, "events").select(
+        "event_id",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.first("value").over(w).alias("first_value"),
+    )
+
+
+@query(
+    "q_win_frame_rows",
+    oracle="""
+        SELECT event_id,
+               CAST(SUM(CAST(value AS DECIMAL(30,10)))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) AS running_total
+        FROM events
+    """,
+)
+def q_win_frame_rows(spark, d):
+    """Running total with an explicit ROWS frame (decimal-exact)."""
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return load(spark, d, "events").select(
+        "event_id",
+        F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias("running_total"),
+    )
+
+
+@query(
+    "q_win_frame_range",
+    oracle="""
+        SELECT event_id,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(30,10))) OVER w AS DOUBLE)
+                     / COUNT(*) OVER w, 6) AS avg_7d
+        FROM (SELECT event_id, user_id, value,
+                     CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS secs
+              FROM events)
+        WINDOW w AS (PARTITION BY user_id ORDER BY secs
+                     RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_win_frame_range(spark, d):
+    """7-day moving average per user with a RANGE frame over epoch
+    seconds (ts → date_trunc('second') → epoch on BOTH sides, per
+    FIXTURES.md ns/µs note)."""
+    ev = load(spark, d, "events").withColumn("secs", epoch_seconds("ts"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("secs")
+        .rangeBetween(-7 * 86400, W.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        F.round(
+            F.sum(F.col("value").cast(DEC)).over(w).cast("double")
+            / F.count(F.lit(1)).over(w),
+            6,
+        ).alias("avg_7d"),
+    )
+
+
+@query(
+    "q_win_ntile",
+    oracle="""
+        SELECT c_custkey,
+               CAST(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS BIGINT)
+                   AS quartile
+        FROM customer
+    """,
+)
+def q_win_ntile(spark, d):
+    """ntile(4) quartiles of account balance (global window — fine for
+    a dim table; a fact-scale ntile would need range partitioning)."""
+    w = W.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    return load(spark, d, "customer").select(
+        "c_custkey",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )

@@ -1,0 +1,44 @@
+"""Session helpers.
+
+Parity: ``python/spark_sklearn/util.py#createLocalSparkSession``
+(SURVEY.md §2A row A11) — the reference ships a convenience builder
+for a local SparkSession; ours additionally pins the configs required
+for oracle parity (UTC session timezone, Arrow on) and for local-mode
+efficiency (AQE, shuffle partitions ≈ cores).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def createLocalSparkSession(
+    appName: str = "spark_sklearn_spark",
+    cpus: int | None = None,
+) -> SparkSession:
+    """Create (or reuse) a local SparkSession tuned for this engine.
+
+    ``cpus`` defaults to ``$SPARK_GRAFT_CPUS`` or ``*`` (all cores).
+    Settings chosen for a single-JVM local run but written so the same
+    plans scale on a real cluster: AQE handles runtime coalescing and
+    skew joins; shuffle partitions are a starting hint only.
+    """
+    n = cpus or os.environ.get("SPARK_GRAFT_CPUS") or "*"
+    builder = (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName(appName)
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
