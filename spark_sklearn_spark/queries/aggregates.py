@@ -114,12 +114,13 @@ def q_agg_rollup(spark, d):
 @query(
     "q_agg_cube",
     oracle=f"""
-        SELECT event_type, date_trunc('day', ts) AS day,
+        SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
                CAST(count(*) AS BIGINT) AS n,
                {sql_dsum("value", "total")},
-               CAST(GROUPING(event_type, date_trunc('day', ts)) AS BIGINT) AS gid
+               CAST(GROUPING(event_type, CAST(date_trunc('day', ts) AS TIMESTAMP))
+                    AS BIGINT) AS gid
         FROM events
-        GROUP BY CUBE (event_type, date_trunc('day', ts))
+        GROUP BY CUBE (event_type, CAST(date_trunc('day', ts) AS TIMESTAMP))
     """,
 )
 def q_agg_cube(spark, d):
@@ -147,8 +148,9 @@ def q_agg_cube(spark, d):
 )
 def q_agg_grouping_sets(spark, d):
     """Explicit GROUPING SETS via SQL (same Catalyst Expand plan as
-    rollup/cube)."""
-    register_views(spark, d)
+    rollup/cube). Registers only the table it reads — view
+    registration must never couple this query to other tables."""
+    register_views(spark, d, tables=["orders"])
     return spark.sql(
         f"""
         SELECT o_orderstatus, o_orderpriority,
@@ -164,8 +166,10 @@ def q_agg_grouping_sets(spark, d):
     "q_agg_collect",
     oracle="""
         SELECT l_orderkey,
-               list(l_linenumber ORDER BY l_linenumber) AS line_numbers,
-               list(DISTINCT l_returnflag ORDER BY l_returnflag) AS flags
+               array_to_string(list(l_linenumber ORDER BY l_linenumber), ',')
+                   AS line_numbers,
+               array_to_string(list(DISTINCT l_returnflag ORDER BY l_returnflag), ',')
+                   AS flags
         FROM lineitem
         WHERE l_orderkey % 100 = 0
         GROUP BY l_orderkey
@@ -174,14 +178,24 @@ def q_agg_grouping_sets(spark, d):
 def q_agg_collect(spark, d):
     """collect_list / collect_set with explicit sort for determinism
     (Spark's collect order is partition-dependent, so both sides sort
-    inside the aggregate)."""
+    inside the aggregate). Arrays are serialized to CSV strings —
+    the driver's order-insensitive value hash can't digest list cells,
+    so declared output must be scalar columns only."""
     return (
         load(spark, d, "lineitem")
         .filter(F.col("l_orderkey") % 100 == 0)
         .groupBy("l_orderkey")
         .agg(
-            F.sort_array(F.collect_list("l_linenumber")).alias("line_numbers"),
-            F.sort_array(F.collect_set("l_returnflag")).alias("flags"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("l_linenumber")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("line_numbers"),
+            F.array_join(F.sort_array(F.collect_set("l_returnflag")), ",").alias(
+                "flags"
+            ),
         )
     )
 

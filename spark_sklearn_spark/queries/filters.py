@@ -40,8 +40,7 @@ def q_filter_pred(spark, d):
         SELECT
             l_orderkey,
             l_linenumber,
-            ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 4)
-                AS charge,
+            l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge,
             CASE WHEN l_quantity < 10 THEN 'low'
                  WHEN l_quantity < 30 THEN 'mid'
                  ELSE 'high' END AS qty_band
@@ -50,17 +49,18 @@ def q_filter_pred(spark, d):
 )
 def q_project_expr(spark, d):
     """Arithmetic projection + CASE WHEN. The product of doubles is
-    order-free (bitwise identical in both engines); ROUND(…,4) guards
-    the display scale only."""
+    order-free (bitwise identical in both engines) — no ROUND: Spark
+    rounds doubles via BigDecimal HALF_UP while DuckDB rounds the
+    binary double, so they disagree at half-way points; the raw
+    product hashes identically."""
     li = load(spark, d, "lineitem")
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(
+        (
             F.col("l_extendedprice")
             * (F.lit(1) - F.col("l_discount"))
-            * (F.lit(1) + F.col("l_tax")),
-            4,
+            * (F.lit(1) + F.col("l_tax"))
         ).alias("charge"),
         F.when(F.col("l_quantity") < 10, "low")
         .when(F.col("l_quantity") < 30, "mid")

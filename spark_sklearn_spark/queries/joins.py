@@ -134,11 +134,11 @@ def q_join_outer(spark, d):
     "q_join_outer_full",
     oracle="""
         WITH om AS (
-            SELECT date_trunc('month', o_orderdate) AS month,
+            SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
                    CAST(count(*) AS BIGINT) AS n_orders
             FROM orders GROUP BY 1
         ), em AS (
-            SELECT date_trunc('month', ts) AS month,
+            SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS month,
                    CAST(count(*) AS BIGINT) AS n_events
             FROM events GROUP BY 1
         )

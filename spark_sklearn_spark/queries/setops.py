@@ -65,13 +65,18 @@ def q_set_intersect(spark, d):
 @query(
     "q_set_except",
     oracle="""
-        SELECT user_id FROM events WHERE event_type = 'view'
+        SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+        FROM events WHERE event_type = 'view'
         EXCEPT
-        SELECT user_id FROM events WHERE event_type = 'purchase'
+        SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+        FROM events WHERE event_type = 'purchase'
     """,
 )
 def q_set_except(spark, d):
-    """Users who viewed but never purchased (EXCEPT DISTINCT)."""
-    a = _slice(spark, d, "view").select("user_id")
-    b = _slice(spark, d, "purchase").select("user_id")
+    """(user, day) pairs with a view but no purchase that day (EXCEPT
+    DISTINCT). Keyed at day grain so the result is non-empty at every
+    sf — every user eventually purchases at least once overall."""
+    ev = load(spark, d, "events").withColumn("day", F.date_trunc("day", "ts"))
+    a = ev.filter(F.col("event_type") == "view").select("user_id", "day")
+    b = ev.filter(F.col("event_type") == "purchase").select("user_id", "day")
     return a.subtract(b)

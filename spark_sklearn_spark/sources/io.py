@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 TABLES = (
     "region",
@@ -30,15 +30,35 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one fixture table as a DataFrame (lazy parquet scan)."""
+    """Load one fixture table as a DataFrame (lazy parquet scan).
+
+    events.parquet stores ``ts`` as parquet TIMESTAMP(NANOS), which
+    PySpark 4.x rejects outright (PARQUET_TYPE_ILLEGAL). We read nanos
+    as a raw long (legacy conf) and rebuild a µs-precision timestamp
+    with exact integer division — ``ts div 1000`` stays in long
+    arithmetic, avoiding the double-rounding a ``/`` would introduce at
+    1e18-scale nanosecond values. DuckDB reads the same file natively
+    at ns; truncation to µs is lossless for these fixtures (values are
+    generated at ≥µs granularity) and oracles additionally
+    date_trunc('second') before comparing epoch math.
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every fixture table as a temp view (for spark.sql use)."""
-    for name in TABLES:
+def register_views(spark: SparkSession, sf_dir: str, tables=None) -> None:
+    """Register fixture tables as temp views (for spark.sql use).
+
+    Pass ``tables`` to register only what a query needs — registering
+    all ten as a side effect couples unrelated queries to every
+    table's readability and re-plans scans the query never touches.
+    """
+    for name in tables if tables is not None else TABLES:
         load(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
