@@ -1,0 +1,151 @@
+"""Distributed vector-similarity operators (SURVEY.md §2B, LLM-pipeline).
+
+Two physical strategies, chosen by threshold regime:
+
+- ``cosine_pairs`` — EXACT all-pairs ≥ τ via *block-matrix* self-join:
+  vectors are bucketed, every bucket-pair (i ≤ j) becomes one task, and
+  each task computes its cosine sub-matrix with a single float64 BLAS
+  matmul inside ``applyInPandas``. Work is inherently O(n²) for an
+  exact low-τ search, but it is evenly distributed (B·(B+1)/2 tasks),
+  memory-bounded (each task holds 2·n/B vectors), Arrow-batched, and
+  ~100× faster per pair than per-row JVM expression folds. Replication
+  factor is B+1 per vector — pick B ≈ sqrt(#cores·k) so tasks fit.
+- For production near-duplicate thresholds (τ ≥ 0.9) the LSH band
+  join in ``operators/minhash.py`` (set similarity) or a
+  sign-random-projection variant of the same banding is the sublinear
+  scale path; exact block-matmul remains the verifier for candidates.
+
+``cosine_topk`` — brute-force top-k against one query vector: a
+broadcast of the single query row + one JVM-side fold per vector, then
+``TakeOrderedAndProject``. No shuffle except the final top-k.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+PAIR_SCHEMA = StructType(
+    [
+        StructField("id_a", LongType()),
+        StructField("id_b", LongType()),
+        StructField("cos", DoubleType()),
+    ]
+)
+
+
+def _unit(col):
+    """JVM-side L2 normalization of an array<float> column → array<double>."""
+    v = F.transform(col, lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    return F.transform(v, lambda x: x / norm)
+
+
+def cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    buckets: int = 8,
+) -> DataFrame:
+    """Exact pairs (id_a < id_b, cos ≥ threshold) via block-matmul.
+
+    Each unordered vector pair {x, y} with buckets (bx, by) is covered
+    by exactly one task — (min(bx,by), max(bx,by)) — so no distinct()
+    pass is needed afterwards. Diagonal tasks emit only id_a < id_b.
+    """
+    B = buckets
+    base = df.select(
+        F.col(id_col).cast("long").alias("vid"),
+        _unit(F.col(vec_col)).alias("unit"),
+        F.pmod(F.col(id_col), F.lit(B)).cast("int").alias("bk"),
+    )
+    # Left copy joins every task (bk, j) for j >= bk; right copy every
+    # task (i, bk) for i <= bk. task_id = i*B + j with i <= j.
+    left = base.select(
+        "vid",
+        "unit",
+        F.lit("L").alias("side"),
+        F.explode(F.sequence(F.col("bk") * B + F.col("bk"), F.col("bk") * B + (B - 1))).alias(
+            "task_id"
+        ),
+    )
+    right = base.select(
+        "vid",
+        "unit",
+        F.lit("R").alias("side"),
+        F.explode(
+            F.sequence(F.col("bk"), F.col("bk") * B + F.col("bk"), F.lit(B))
+        ).alias("task_id"),
+    )
+
+    tau = float(threshold)
+
+    def one_task(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        task_id = key[0]
+        diagonal = (task_id // B) == (task_id % B)
+        lhs = pdf[pdf.side == "L"]
+        rhs = pdf[pdf.side == "R"]
+        if lhs.empty or rhs.empty:
+            return pd.DataFrame(columns=["id_a", "id_b", "cos"])
+        lm = np.vstack(lhs.unit.to_numpy())
+        rm = np.vstack(rhs.unit.to_numpy())
+        sims = lm @ rm.T  # float64 BLAS — the whole task in one matmul
+        li = lhs.vid.to_numpy()
+        ri = rhs.vid.to_numpy()
+        ai, bi = np.nonzero(sims >= tau)
+        ia, ib = li[ai], ri[bi]
+        if diagonal:
+            # every unordered pair appears twice (and ia==ib once)
+            keep = ia < ib
+            ia, ib, cs = ia[keep], ib[keep], sims[ai, bi][keep]
+        else:
+            # cross-bucket: each unordered pair appears exactly once —
+            # reorient so id_a < id_b, never drop
+            cs = sims[ai, bi]
+            ia, ib = np.minimum(ia, ib), np.maximum(ia, ib)
+        return pd.DataFrame({"id_a": ia, "id_b": ib, "cos": cs})
+
+    return (
+        left.unionByName(right)
+        .groupBy("task_id")
+        .applyInPandas(one_task, PAIR_SCHEMA)
+    )
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    round_to: int = 6,
+) -> DataFrame:
+    """Brute-force cosine top-k against a single-row query DataFrame.
+
+    The query row is broadcast; the fold over the 64-dim arrays runs
+    JVM-side inside codegen. Output is rounded *before* ordering so
+    last-ulp float noise cannot flip the tie-break between engines.
+    """
+    q = F.broadcast(query_df.select(_unit(F.col(vec_col)).alias("qunit")))
+    scored = df.crossJoin(q).select(
+        F.col(id_col),
+        F.round(
+            F.aggregate(
+                F.zip_with(_unit(F.col(vec_col)), F.col("qunit"), lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            round_to,
+        ).alias("cos"),
+    )
+    return scored.orderBy(F.desc("cos"), F.col(id_col)).limit(k)

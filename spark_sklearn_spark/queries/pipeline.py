@@ -1,1 +1,341 @@
-"""Placeholder — populated in a later milestone."""
+"""LLM-data-pipeline operators (SURVEY.md §2B 'LLM-data-pipeline
+extensions'): dedup (exact, MinHash-LSH, fingerprint), similarity
+search (brute top-k, thresholded all-pairs), text analytics (stats,
+TF-IDF, quality), multimodal joins.
+
+Scale posture (the reason these shapes were chosen):
+- exact dedup: one hash-groupBy, partial-agg friendly, no window.
+- minhash dedup: LSH band join (operators/minhash.py) — candidate
+  generation is ~linear; the O(n²) exact verifier only sees
+  candidates. Never an all-pairs product.
+- knn: broadcast the single query row, fold JVM-side, top-k via
+  TakeOrderedAndProject — no shuffle except the final k.
+- pairs ≥ τ: block-matmul self-join (operators/similarity.py) —
+  exact, evenly distributed, memory-bounded tasks.
+- text analytics: split/explode + hash aggs; everything partial-agg
+  first, single shuffle per logical step.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from ..operators.minhash import near_dup_pairs
+from ..operators.similarity import cosine_pairs, cosine_topk
+from ..registry import query
+from ..sources.io import load
+
+
+# --------------------------------------------------------------------------
+# Deduplication
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_dedup_exact",
+    oracle="""
+        SELECT sha256(lower(trim(text))) AS text_hash,
+               min(doc_id) AS keeper_id,
+               CAST(count(*) AS BIGINT) AS n_copies
+        FROM documents
+        GROUP BY 1
+    """,
+)
+def q_dedup_exact(spark, d):
+    """Exact dedup by normalized-text hash: one hash aggregation, the
+    canonical keeper is min(doc_id). Aggregation-shaped (partial agg +
+    one shuffle on the 256-bit key) rather than window-shaped — at
+    100 TB a row_number() window over the hash would sort inside every
+    hash partition for no benefit."""
+    docs = load(spark, d, "documents")
+    return (
+        docs.groupBy(F.sha2(F.lower(F.trim(F.col("text"))), 256).alias("text_hash"))
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+@query(
+    "q_dedup_minhash",
+    oracle="""
+        WITH sh AS (
+          SELECT doc_id,
+                 list_distinct(flatten([[w[i] || '_' || w[i+1] || '_' || w[i+2]]
+                                        for i in range(1, len(w)-1)])) AS shingles
+          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+          WHERE len(w) >= 3
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               ROUND(len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+                     len(list_distinct(list_concat(a.shingles, b.shingles))), 6)
+                   AS jaccard
+        FROM sh a, sh b
+        WHERE a.doc_id < b.doc_id
+          AND len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+              len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8
+    """,
+)
+def q_dedup_minhash(spark, d):
+    """Near-dup pairs via MinHash-LSH band join + exact-Jaccard verify
+    (3-word shingles, J ≥ 0.8). Declared: the oracle brute-forces exact
+    Jaccard, and the LSH miss probability at J ≥ 0.8 with 32×4 banding
+    is (1-0.8⁴)^32 ≈ 3e-9 — the fixture's planted dups sit at J ≥ 0.9
+    with a clean gap to the ~0.2 noise floor."""
+    docs = load(spark, d, "documents")
+    pairs = near_dup_pairs(docs, "doc_id", "text", jaccard_threshold=0.8)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@query(
+    "q_dedup_fingerprint",
+    oracle="""
+        WITH fp AS (
+          SELECT doc_id,
+                 md5(array_to_string(list_sort(list_distinct(
+                     string_split(lower(trim(text)), ' '))), ' ')) AS fingerprint
+          FROM documents
+        )
+        SELECT fingerprint, min(doc_id) AS keeper_id,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM fp GROUP BY 1 HAVING count(*) > 1
+    """,
+)
+def q_dedup_fingerprint(spark, d):
+    """Bag-of-words fingerprint dedup: docs collapsing to the same
+    sorted-distinct-word-set hash are duplicates regardless of word
+    order/repetition. Same single-shuffle aggregation shape as exact
+    dedup; HAVING>1 keeps only real duplicate groups."""
+    docs = load(spark, d, "documents")
+    fp = F.md5(
+        F.array_join(
+            F.array_sort(F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), " "))),
+            " ",
+        )
+    )
+    return (
+        docs.groupBy(fp.alias("fingerprint"))
+        .agg(F.min("doc_id").alias("keeper_id"), F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_sim_knn_brute",
+    oracle="""
+        SELECT e.vec_id,
+               ROUND(list_cosine_similarity(
+                   list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                   q.qv), 6) AS cos
+        FROM embeddings e,
+             (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+              FROM embeddings WHERE vec_id = 0) q
+        ORDER BY cos DESC, e.vec_id
+        LIMIT 10
+    """,
+)
+def q_sim_knn_brute(spark, d):
+    """Brute-force cosine top-10 of the vec_id=0 query vector. Cosine
+    is rounded to 6 *before* ordering on both sides so last-ulp float
+    noise cannot flip the (cos, vec_id) tie-break."""
+    emb = load(spark, d, "embeddings")
+    return cosine_topk(
+        emb,
+        emb.filter(F.col("vec_id") == 0),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=10,
+    )
+
+
+@query(
+    "q_sim_pairs_threshold",
+    oracle="""
+        WITH e AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos
+        FROM e a, e b
+        WHERE a.vec_id < b.vec_id
+          AND list_cosine_similarity(a.v, b.v) >= 0.4
+    """,
+)
+def q_sim_pairs_threshold(spark, d):
+    """All embedding pairs with cosine ≥ 0.4, exact, via the
+    block-matmul self-join (operators/similarity.py) — bucketed tasks
+    each solving one BLAS sub-matrix, never a row-at-a-time cartesian.
+    τ=0.4 because the fixture embeddings are isotropic (max pairwise
+    cos ≈ 0.46); at production near-dup thresholds the LSH banding
+    path replaces the exact search."""
+    emb = load(spark, d, "embeddings")
+    pairs = cosine_pairs(emb, "vec_id", "embedding", threshold=0.4, buckets=8)
+    return pairs.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+
+
+# --------------------------------------------------------------------------
+# Text analytics
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_text_stats",
+    oracle="""
+        SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+               CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER)
+                   AS n_uniq,
+               ROUND(length(replace(text, ' ', ''))::DOUBLE
+                     / len(string_split(text, ' ')), 6) AS avg_word_len
+        FROM documents
+    """,
+)
+def q_text_stats(spark, d):
+    """Per-document token statistics: token count, distinct-token
+    count, average word length — all codegen'd string/array
+    expressions, zero Python, zero shuffles (pure projection)."""
+    docs = load(spark, d, "documents")
+    toks = F.split(F.col("text"), " ")
+    non_space = F.length(F.regexp_replace(F.col("text"), " ", ""))
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+        F.round(non_space.cast("double") / F.size(toks), 6).alias("avg_word_len"),
+    )
+
+
+@query(
+    "q_text_tfidf",
+    oracle="""
+        WITH words AS (
+          SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+          FROM documents
+        ), tf AS (
+          SELECT lang, word, CAST(count(*) AS BIGINT) AS cnt
+          FROM words GROUP BY lang, word
+        ), df AS (
+          SELECT word, CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+          FROM words GROUP BY word
+        ), n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+          SELECT tf.lang, tf.word, tf.cnt, df.doc_freq,
+                 ROUND(tf.cnt * ln(n.n_docs::DOUBLE / df.doc_freq), 6) AS tfidf,
+                 row_number() OVER (PARTITION BY tf.lang
+                                    ORDER BY tf.cnt DESC, tf.word) AS rk
+          FROM tf JOIN df USING (word) CROSS JOIN n
+        )
+        SELECT lang, word, cnt, doc_freq, tfidf, CAST(rk AS INTEGER) AS rk
+        FROM scored WHERE rk <= 5
+    """,
+)
+def q_text_tfidf(spark, d):
+    """Top-5 terms per language by term frequency, with TF-IDF score.
+    Pure relational: explode → two hash aggs (tf per (lang,word), df
+    per word) → broadcast-join the small df/count sides → per-lang
+    top-k window. Ranking key is (cnt DESC, word) — integer-based, so
+    the float tfidf value never decides ordering."""
+    docs = load(spark, d, "documents")
+    words = docs.select(
+        "doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("word")
+    )
+    tf = words.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("cnt"))
+    df_ = words.groupBy("word").agg(F.countDistinct("doc_id").alias("doc_freq"))
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("word"))
+    return (
+        tf.join(F.broadcast(df_), "word")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("cnt") * F.log(F.col("n_docs") / F.col("doc_freq")), 6),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("lang", "word", "cnt", "doc_freq", "tfidf", "rk")
+    )
+
+
+@query(
+    "q_text_quality",
+    oracle="""
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+               ROUND(len(list_filter(string_split(text, ' '),
+                                     w -> w IN ('a', 'the')))::DOUBLE
+                     / len(string_split(text, ' ')), 6) AS stopword_ratio,
+               ROUND(len(list_distinct(string_split(text, ' ')))::DOUBLE
+                     / len(string_split(text, ' ')), 6) AS uniq_ratio,
+               CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 200
+                         AND len(list_distinct(string_split(text, ' ')))::DOUBLE
+                             / len(string_split(text, ' ')) > 0.2
+                    THEN 'keep' ELSE 'drop' END AS verdict
+        FROM documents
+    """,
+)
+def q_text_quality(spark, d):
+    """Heuristic quality scoring for pretraining filtering: length
+    band, stopword ratio, vocabulary diversity → keep/drop verdict.
+    Pure projection (no shuffle); the thresholds mirror common
+    pretraining-corpus filters (length + repetition)."""
+    docs = load(spark, d, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    uniq_ratio = F.size(F.array_distinct(toks)).cast("double") / n
+    stop_ratio = (
+        F.size(F.filter(toks, lambda w: w.isin("a", "the"))).cast("double") / n
+    )
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(uniq_ratio, 6).alias("uniq_ratio"),
+        F.when(n.between(20, 200) & (uniq_ratio > 0.2), "keep")
+        .otherwise("drop")
+        .alias("verdict"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Multimodal
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_multimodal_cols",
+    oracle="""
+        SELECT d.doc_id, d.lang, d.n_chars, e.label,
+               CAST(len(e.embedding) AS INTEGER) AS dim,
+               ROUND(CAST(e.embedding[1] AS DOUBLE), 6) AS e0
+        FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        WHERE e.label < 5 AND d.lang IN ('en', 'de')
+    """,
+)
+def q_multimodal_cols(spark, d):
+    """Mixed-modality row: text metadata ⋈ vector columns on
+    doc_id = vec_id, filtered on both modalities. The embeddings side
+    is the smaller table → broadcast, so the documents scan never
+    shuffles."""
+    docs = load(spark, d, "documents")
+    emb = load(spark, d, "embeddings")
+    return (
+        docs.join(F.broadcast(emb), docs.doc_id == emb.vec_id)
+        .filter((F.col("label") < 5) & F.col("lang").isin("en", "de"))
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            "label",
+            F.size("embedding").alias("dim"),
+            F.round(F.element_at("embedding", 1).cast("double"), 6).alias("e0"),
+        )
+    )
