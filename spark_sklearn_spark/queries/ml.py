@@ -1,1 +1,218 @@
-"""Placeholder — populated in a later milestone."""
+"""Reference ML surface, re-expressed MLlib-native (SURVEY.md §2A
+A1–A3, A5–A6; §2B 'ML / reference-surface operators').
+
+The reference's purpose was distributing sklearn model selection over
+Spark: ``python/spark_sklearn/grid_search.py#GridSearchCV`` (≈L1-330)
+and ``random_search.py#RandomizedSearchCV`` broadcast X/y and fan
+candidate×fold fits out as one task each
+(``base_search.py#_fit`` ≈L60-180). On modern Spark that machinery IS
+``pyspark.ml.tuning.CrossValidator(parallelism=N)`` — candidate×fold
+fits run concurrently against distributed data, no broadcast of a
+materialized matrix, no driver-side collect of fitted models.
+sklearn itself is absent on this machine (SURVEY §0), so estimators
+are MLlib (LogisticRegression on the embeddings table).
+
+Keyed per-group models (``keyed_models.py#KeyedEstimator/KeyedModel``
+≈L30-320) map to the models-as-DataFrame pattern: fit one model per
+key inside applyInPandas → (key, params...) rows; transform is a
+broadcast join + column arithmetic. With a closed-form estimator
+(OLS) the whole surface is SQL-expressible, so both fit and transform
+are *declared* queries checked against DuckDB's regr_slope /
+regr_intercept — the reference's own randomized-oracle test pattern.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.io import load
+
+GRID_REG = [0.01, 0.1]
+GRID_EN = [0.0, 0.5]
+
+
+def _features_df(spark, d):
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load(spark, d, "embeddings")
+    return emb.select(
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+        F.col("label").cast("double").alias("label"),
+    )
+
+
+def _cv_results(spark, train, lr, grid):
+    """Run CrossValidator over ``grid`` and return (params, metric)
+    rows — the reference's cv_results_ shape (grid_search.py#fit).
+    ``lr`` must be the same estimator instance the grid was built
+    from: param maps are keyed by param *identity* (parent + name)."""
+    from pyspark.ml.evaluation import MulticlassClassificationEvaluator
+    from pyspark.ml.tuning import CrossValidator
+
+    cv = CrossValidator(
+        estimator=lr,
+        estimatorParamMaps=grid,
+        evaluator=MulticlassClassificationEvaluator(metricName="accuracy"),
+        numFolds=3,
+        parallelism=8,  # the reference's one-task-per-candidate×fold fan-out
+        seed=42,
+    )
+    model = cv.fit(train)
+    rows = [
+        (
+            float(pm[lr.regParam]),
+            float(pm[lr.elasticNetParam]),
+            round(float(m), 6),
+        )
+        for pm, m in zip(grid, model.avgMetrics)
+    ]
+    return spark.createDataFrame(
+        rows, "reg_param double, elastic_net double, avg_accuracy double"
+    ).orderBy("reg_param", "elastic_net")
+
+
+@query("q_ml_grid_search")  # rows-only: CV metrics are not SQL-expressible
+def q_ml_grid_search(spark, d):
+    """A1 port: exhaustive grid search (2×2 grid, 3-fold CV,
+    parallelism=8) of MLlib LogisticRegression on the embeddings
+    table. Output: one row per candidate with its mean CV accuracy —
+    |rows| == |grid|, the reference's cv_results_ contract."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.tuning import ParamGridBuilder
+
+    lr = LogisticRegression(maxIter=20)
+    grid = (
+        ParamGridBuilder()
+        .addGrid(lr.regParam, GRID_REG)
+        .addGrid(lr.elasticNetParam, GRID_EN)
+        .build()
+    )
+    return _cv_results(spark, _features_df(spark, d), lr, grid)
+
+
+@query("q_ml_random_search")  # rows-only
+def q_ml_random_search(spark, d):
+    """A2 port: randomized search = fixed-seed sample of a larger
+    grid, same CrossValidator machinery (random_search.py semantics:
+    n_iter candidates drawn from param distributions)."""
+    import random
+
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.tuning import ParamGridBuilder
+
+    rng = random.Random(42)
+    candidates = [
+        (round(10 ** rng.uniform(-3, 0), 6), round(rng.uniform(0, 1), 6))
+        for _ in range(3)
+    ]
+    lr = LogisticRegression(maxIter=20)
+    grid = []
+    for reg, en in candidates:
+        pm = (
+            ParamGridBuilder()
+            .addGrid(lr.regParam, [reg])
+            .addGrid(lr.elasticNetParam, [en])
+            .build()
+        )
+        grid.extend(pm)
+    return _cv_results(spark, _features_df(spark, d), lr, grid)
+
+
+_FIT_SCHEMA = "lang string, slope double, intercept double, n bigint"
+
+
+def _keyed_models(spark, d):
+    """Per-lang OLS (n_tokens → n_chars) via applyInPandas: the A5
+    KeyedEstimator.fit pattern — one closed-form fit per key, models
+    come back as a small DataFrame of coefficients."""
+    docs = load(spark, d, "documents").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size(F.split("text", " ")).cast("double").alias("x"),
+    )
+
+    def fit_one(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["x"].to_numpy()
+        y = pdf["n_chars"].to_numpy(dtype="float64")
+        xm, ym = x.mean(), y.mean()
+        sxx = ((x - xm) ** 2).sum()
+        slope = float(((x - xm) * (y - ym)).sum() / sxx)
+        return pd.DataFrame(
+            {
+                "lang": [key[0]],
+                "slope": [slope],
+                "intercept": [float(ym - slope * xm)],
+                "n": [len(pdf)],
+            }
+        )
+
+    return docs, docs.groupBy("lang").applyInPandas(fit_one, _FIT_SCHEMA)
+
+
+@query(
+    "q_ml_keyed_fit",
+    oracle="""
+        SELECT lang,
+               ROUND(regr_slope(n_chars, x), 6) AS slope,
+               ROUND(regr_intercept(n_chars, x), 6) AS intercept,
+               CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT lang, n_chars,
+                     CAST(len(string_split(text, ' ')) AS DOUBLE) AS x
+              FROM documents)
+        GROUP BY lang
+    """,
+)
+def q_ml_keyed_fit(spark, d):
+    """A5 port, declared: per-lang OLS coefficients from applyInPandas
+    hash-match DuckDB's closed-form regr_slope/regr_intercept — the
+    Arrow crossing and the per-group fit are both verified."""
+    _, models = _keyed_models(spark, d)
+    return models.select(
+        "lang",
+        F.round("slope", 6).alias("slope"),
+        F.round("intercept", 6).alias("intercept"),
+        "n",
+    )
+
+
+@query(
+    "q_ml_keyed_transform",
+    oracle="""
+        WITH m AS (
+          SELECT lang,
+                 regr_slope(n_chars, x) AS slope,
+                 regr_intercept(n_chars, x) AS intercept
+          FROM (SELECT lang, n_chars,
+                       CAST(len(string_split(text, ' ')) AS DOUBLE) AS x
+                FROM documents)
+          GROUP BY lang
+        )
+        SELECT d.doc_id, d.lang,
+               ROUND(m.intercept + m.slope *
+                     len(string_split(d.text, ' ')), 6) AS pred_chars,
+               ROUND(d.n_chars - (m.intercept + m.slope *
+                     len(string_split(d.text, ' '))), 6) AS residual
+        FROM documents d JOIN m USING (lang)
+    """,
+)
+def q_ml_keyed_transform(spark, d):
+    """A6 port, declared: models DataFrame broadcast-joined back on
+    the key, prediction is plain column arithmetic (KeyedModel.
+    transform ≈L200-320 semantics: join + per-row predict), residual
+    included. The models side is tiny → broadcast, so the documents
+    scan never shuffles."""
+    docs, models = _keyed_models(spark, d)
+    pred = F.col("intercept") + F.col("slope") * F.col("x")
+    return (
+        docs.join(F.broadcast(models), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            F.round(pred, 6).alias("pred_chars"),
+            F.round(F.col("n_chars") - pred, 6).alias("residual"),
+        )
+    )

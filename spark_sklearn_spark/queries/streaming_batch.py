@@ -1,1 +1,154 @@
-"""Placeholder — populated in a later milestone."""
+"""Streaming semantics, batch-checked (SURVEY.md §2B 'Streaming-only').
+
+``window()`` / ``session_window()`` produce identical results under
+batch and streaming execution — Structured Streaming's core design —
+so the windowed aggregations are *declared* here against DuckDB
+oracles (epoch-aligned time_bucket / gap-cumsum session emulation),
+while the engine-only behaviors (watermarks, stateful dedup, arbitrary
+state) run as true ``readStream`` executions in ``streaming/jobs.py``
+and register rows-only.
+
+Scale notes: tumbling/sliding aggs are plain hash aggregations after
+the window projection (partial agg + one shuffle). Session windows
+shuffle by user then merge-sort per key — the same plan streaming
+uses, minus the state store.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.io import load
+from ..streaming.jobs import (
+    dedup_within_watermark,
+    running_user_state,
+    windowed_counts_with_watermark,
+)
+from ._helpers import sql_dsum, dsum
+
+
+@query(
+    "q_stream_tumbling",
+    oracle=f"""
+        SELECT CAST(time_bucket(INTERVAL '10 minutes', ts) AS TIMESTAMP)
+                   AS window_start,
+               event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               {sql_dsum("value", "total")}
+        FROM events
+        GROUP BY 1, 2
+    """,
+)
+def q_stream_tumbling(spark, d):
+    """Tumbling 10-minute windows per event_type. Spark's window()
+    starts are epoch-aligned, exactly DuckDB's time_bucket — both
+    engines bucket identically in UTC."""
+    ev = load(spark, d, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "total"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+
+
+@query(
+    "q_stream_sliding",
+    oracle=f"""
+        WITH slid AS (
+            SELECT CAST(time_bucket(INTERVAL '10 minutes', ts) AS TIMESTAMP)
+                       AS window_start, event_type, value
+            FROM events
+            UNION ALL
+            SELECT CAST(time_bucket(INTERVAL '10 minutes',
+                                    ts - INTERVAL '5 minutes')
+                        + INTERVAL '5 minutes' AS TIMESTAMP)
+                       AS window_start, event_type, value
+            FROM events
+        )
+        SELECT window_start, event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               {sql_dsum("value", "total")}
+        FROM slid GROUP BY 1, 2
+    """,
+)
+def q_stream_sliding(spark, d):
+    """Sliding windows (10 min, slide 5): every event lands in exactly
+    two windows. The oracle expands the two slide phases as shifted
+    tumbling buckets — the same window-assignment rule Spark's
+    Expand-based window() implements."""
+    ev = load(spark, d, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "total"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+
+
+@query(
+    "q_stream_session",
+    oracle="""
+        WITH marked AS (
+          SELECT user_id, ts,
+                 CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                           > INTERVAL '30 minutes'
+                      OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                      THEN 1 ELSE 0 END AS is_start
+          FROM events
+        ), sessions AS (
+          SELECT user_id, ts,
+                 sum(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS sess_id
+          FROM marked
+        )
+        SELECT user_id, min(ts) AS session_start, max(ts) AS last_event,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM sessions GROUP BY user_id, sess_id
+    """,
+)
+def q_stream_session(spark, d):
+    """Session windows (30-minute gap) per user — declared via the
+    lag/cumsum gap-start emulation in SQL. Spark's session_window
+    start is the first event's ts; last_event is aggregated explicitly
+    (rather than comparing Spark's end = last+gap convention)."""
+    ev = load(spark, d, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("last_event"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "session_start", "last_event", "n_events")
+    )
+
+
+@query("q_stream_watermark")  # rows-only: true streaming execution
+def q_stream_watermark(spark, d):
+    """Real readStream: tumbling agg behind a 10-minute watermark,
+    append mode (windows emit only when final). See streaming/jobs.py."""
+    return windowed_counts_with_watermark(spark, d)
+
+
+@query("q_stream_dedup")  # rows-only: true streaming execution
+def q_stream_dedup(spark, d):
+    """Real readStream: dropDuplicatesWithinWatermark on event_id —
+    bounded-state streaming dedup."""
+    return dedup_within_watermark(spark, d)
+
+
+@query("q_stream_stateful")  # rows-only: true streaming execution
+def q_stream_stateful(spark, d):
+    """Real readStream: arbitrary per-user running state via
+    applyInPandasWithState."""
+    return running_user_state(spark, d)

@@ -1,1 +1,167 @@
-"""Placeholder — populated in a later milestone."""
+"""UDF / UDAF / UDTF surface (SURVEY.md §2B) — the Arrow crossing.
+
+Parity: this family exercises the one genuinely novel execution path
+the reference lived on — Python code over grouped Spark data
+(``python/spark_sklearn/group_apply.py#gapply``, SURVEY §2A A4). All
+Python here is vectorized (Arrow-batched pandas UDFs / applyInPandas);
+never row-at-a-time ``F.udf``, which would be 10-100× slower on the
+same plan.
+
+Each query's semantics are deliberately SQL-expressible so the DuckDB
+oracle hash-checks the Python path end-to-end: if the Arrow crossing
+corrupted dtypes, dropped rows, or reordered groups, the hash catches
+it.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..operators.gapply import gapply
+from ..registry import query
+from ..sources.io import load
+
+
+@query(
+    "q_udf_scalar",
+    oracle="""
+        SELECT doc_id,
+               trim(regexp_replace(lower(text), ' +', ' ', 'g')) AS norm_text,
+               CAST(length(trim(regexp_replace(lower(text), ' +', ' ', 'g')))
+                    AS BIGINT) AS norm_len
+        FROM documents
+    """,
+)
+def q_udf_scalar(spark, d):
+    """Scalar pandas UDF: text normalization (lowercase, collapse
+    whitespace, trim) as one Arrow-batched vectorized call over the
+    string column. The pandas `.str` pipeline operates on the whole
+    batch — no per-row Python dispatch."""
+
+    @pandas_udf("string")
+    def norm(s: pd.Series) -> pd.Series:
+        return s.str.lower().str.replace(r" +", " ", regex=True).str.strip()
+
+    docs = load(spark, d, "documents")
+    return docs.select(
+        "doc_id",
+        norm("text").alias("norm_text"),
+        F.length(norm("text")).cast("long").alias("norm_len"),
+    )
+
+
+@query(
+    "q_udaf_grouped",
+    oracle="""
+        WITH ranked AS (
+          SELECT user_id, value,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY value, event_id) AS rk,
+                 count(*) OVER (PARTITION BY user_id) AS n
+          FROM events
+        )
+        SELECT user_id,
+               ROUND(CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE), 2)
+                   AS trimmed_sum,
+               CAST(count(*) AS BIGINT) AS n_kept
+        FROM ranked
+        WHERE rk > CAST(floor(n * 0.1) AS BIGINT)
+          AND rk <= n - CAST(floor(n * 0.1) AS BIGINT)
+        GROUP BY user_id
+    """,
+)
+def q_udaf_grouped(spark, d):
+    """Grouped-aggregate pandas UDF: 10%-trimmed sum + kept-count of
+    value per user (one Arrow batch per group, numpy sort inside).
+    Sum rather than mean: the fixture values are exact multiples of
+    0.01, so the rounded-to-2 trimmed sum is boundary-safe, while a
+    mean lands exactly on 5e-7 half-way points and the engines'
+    rounding modes disagree there. The oracle reproduces the trim
+    relationally (row_number cut at floor(n*0.1) per side — boundary
+    ties are value-equal, so either engine's choice of tied row
+    yields the same sum)."""
+
+    @pandas_udf("double")
+    def trimmed_sum(v: pd.Series) -> float:
+        s = v.sort_values().to_numpy()
+        k = int(len(s) * 0.1)
+        return float(round(s[k : len(s) - k].sum(), 2))
+
+    @pandas_udf("long")
+    def trimmed_n(v: pd.Series) -> int:
+        return int(len(v) - 2 * int(len(v) * 0.1))
+
+    ev = load(spark, d, "events")
+    return ev.groupBy("user_id").agg(
+        trimmed_sum("value").alias("trimmed_sum"),
+        trimmed_n("value").alias("n_kept"),
+    )
+
+
+@query(
+    "q_udtf_split",
+    oracle="""
+        SELECT doc_id,
+               CAST(pos - 1 AS INTEGER) AS pos,
+               word
+        FROM (
+            SELECT doc_id,
+                   generate_subscripts(string_split(text, ' '), 1) AS pos,
+                   unnest(string_split(text, ' ')) AS word
+            FROM documents
+        )
+        WHERE doc_id % 50 = 0
+    """,
+)
+def q_udtf_split(spark, d):
+    """Table function: explode documents into (position, word) rows.
+    Uses the built-in posexplode(split(...)) — a Generate node that
+    stays JVM-side — rather than a Python UDTF: same semantics, no
+    interpreter crossing (SURVEY §2B prefers the builtin for oracle
+    parity and throughput)."""
+    docs = load(spark, d, "documents").filter(F.col("doc_id") % 50 == 0)
+    return docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "word"),
+    )
+
+
+@query(
+    "q_gapply_norm",
+    oracle="""
+        SELECT user_id, event_id,
+               ROUND((value - avg(value) OVER (PARTITION BY user_id))
+                     / stddev_samp(value) OVER (PARTITION BY user_id), 6)
+                   AS zscore
+        FROM events
+    """,
+)
+def q_gapply_norm(spark, d):
+    """A4 port: z-score normalize value per user via gapply
+    (applyInPandas). The reference's flagship grouped-apply pattern —
+    func(key, pdf) -> pdf with caller-supplied schema — checked
+    against the window-function formulation in SQL (pandas ddof=1
+    std == stddev_samp)."""
+
+    def zscore(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"]
+        return pd.DataFrame(
+            {
+                "user_id": key[0],
+                "event_id": pdf["event_id"],
+                "zscore": ((v - v.mean()) / v.std(ddof=1)).round(6),
+            }
+        )
+
+    ev = load(spark, d, "events")
+    return gapply(
+        ev,
+        "user_id",
+        zscore,
+        "user_id bigint, event_id bigint, zscore double",
+        "event_id",
+        "value",
+    )
