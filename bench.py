@@ -1,0 +1,77 @@
+"""Benchmark harness — times every registered query at one scale
+factor and prints ONE JSON line (driver contract; BASELINE.md).
+
+Usage:
+    python bench.py [sf_dir] [query ...]
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default all cores).
+
+Each query is forced through a full materialization with a noop sink
+(df.write.format("noop")) so column pruning can't skip work a real
+consumer would do, and no result bytes transfer to the driver. The
+handful of queries that execute eagerly by design (streaming jobs run
+to a memory sink; CV search fits models) are simply timed around
+their build+noop cycle — their internal jobs dominate, which is the
+honest number.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = (
+        sys.argv[1]
+        if len(sys.argv) > 1
+        else os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    )
+    only = set(sys.argv[2:])
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __spark_entry__ as entry
+    from spark_sklearn_spark.session import createLocalSparkSession
+
+    spark = createLocalSparkSession("bench")
+    # Warm the JVM/codegen paths so query 1 doesn't pay session startup.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name, fn in entry.queries().items():
+        if only and name not in only:
+            continue
+        t0 = time.perf_counter()
+        try:
+            df = fn(spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as ex:  # a failing query must show up, not vanish
+            timings[name] = -1.0
+            print(f"# BENCH ERROR {name}: {ex}", file=sys.stderr)
+
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": os.environ.get("SPARK_GRAFT_CPUS", "all"),
+                "n_queries": len(timings),
+                "n_errors": sum(1 for t in timings.values() if t < 0),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -38,6 +38,15 @@ def asof_join(
         raise NotImplementedError("only backward as-of is implemented")
 
     r_types = dict(right.dtypes)
+    tb_type = r_types.get(tiebreak)
+    if tb_type not in ("tinyint", "smallint", "int", "bigint"):
+        # A silent cast("long") would turn e.g. a string tiebreak into
+        # NULLs and make right-side ts-tie resolution nondeterministic.
+        raise TypeError(
+            f"asof_join tiebreak column {tiebreak!r} must be an integer "
+            f"type (got {tb_type!r}); cast it explicitly or pick an "
+            "orderable integer key"
+        )
     l_struct = F.struct(*[F.col(c) for c in left.columns]).alias("__lrow")
 
     l_proj = left.select(

@@ -1,16 +1,15 @@
 """MinHash-LSH near-duplicate detection (SURVEY.md §2B q_dedup_minhash).
 
-Hand-rolled, fully JVM-side (no Python in the hot path, no ml.feature
-dependency), deterministic:
+Hand-rolled (no ml.feature dependency), deterministic:
 
 1. shingle: word-level n-grams, distinct per doc — higher-order array
    expressions, no explode.
-2. minhash signature: k hash functions simulated as
-   ``min(xxhash64(shingle, perm_index))`` — computed as one nested
-   transform/aggregate expression, again no explode, so a document row
-   never leaves its partition for signature computation.
-3. banding: k = bands·rows_per_band; each band hashed to one long.
-   Only the (doc_id, band_idx, band_hash) triples are exploded —
+2. minhash signature + banding: each shingle hashed ONCE on the JVM
+   (xxhash64), then the k-permutation family and band compression run
+   vectorized in numpy over Arrow batches (mapInPandas) — higher-order
+   functions are interpreted with no CSE, so an all-JVM k-pass
+   signature costs k array traversals per doc (~8× slower measured).
+   Only the (doc_id, band_idx, band_hash) triples leave the map —
    bands·N rows, the only shuffle of the candidate phase.
 4. candidate pairs: self-equi-join on (band_idx, band_hash) — a plain
    shuffled hash join on a compound key; never an all-pairs product.
@@ -33,16 +32,19 @@ from pyspark.sql import DataFrame, functions as F
 
 def shingle_words(text_col, n: int = 3):
     """Distinct word-level n-gram shingles of a whitespace-tokenized
-    text column (array<string>). Empty when the doc has < n words."""
+    text column (array<string>). Empty when the doc has < n words —
+    guarded explicitly, because sequence(1, 0) would generate a
+    DESCENDING [1, 0] (not an empty array) and index out of bounds."""
     w = F.split(text_col, " ")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(0)))
+    idx = F.sequence(F.lit(1), F.size(w) - (n - 1))
     grams = F.transform(
         idx,
         lambda i: F.concat_ws(
             "_", *[F.element_at(w, i + off) for off in range(n)]
         ),
     )
-    return F.array_distinct(grams)
+    empty = F.array().cast("array<string>")
+    return F.when(F.size(w) >= n, F.array_distinct(grams)).otherwise(empty)
 
 
 def minhash_signature(shingles_col, num_hashes: int = 128):
@@ -99,19 +101,87 @@ def minhash_candidate_pairs(
     rows_per_band: int = 4,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) from the LSH band join,
-    carrying both shingle sets for exact verification downstream."""
-    sh = df.select(
-        F.col(id_col).cast("long").alias("doc"),
-        shingle_words(F.col(text_col), shingle_n).alias("sh"),
-    ).filter(F.size("sh") > 0)
+    carrying both shingle-hash sets for exact verification downstream.
+
+    The (doc, shingle-hashes) relation is computed ONCE and persisted:
+    it feeds the banding pass and both sides of the verify join, and
+    re-deriving it costs a full interpreted shingling pass each time
+    (measured: 3 recomputes ≈ 19 s vs ~7 s persisted at sf0.1). At
+    cluster scale the same staging would be a checkpoint/exchange
+    reuse; the persisted relation is just (long, array<long>) — far
+    smaller than the texts."""
+    import numpy as np
+    import pandas as pd
+
+    # Shingling + shingle hashing runs inside ONE Arrow batch pass:
+    # Spark's higher-order array functions are interpreted (no
+    # codegen, no CSE), so a JVM-expression shingle pipeline costs
+    # more than the Python split + blake2b path over the same Arrow
+    # batches (measured 13.5 s vs ~4 s at sf0.1). blake2b(8 bytes) is
+    # a keyless, platform-stable hash — deterministic across runs,
+    # workers, and partitionings.
+    n = shingle_n
+
+    def shingle_hash(batches):
+        from hashlib import blake2b
+
+        for pdf in batches:
+            docs_out, hs_out = [], []
+            for doc, text in zip(pdf["doc"], pdf["text"]):
+                w = text.split(" ")
+                if len(w) < n:
+                    continue
+                sh = {"_".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+                hs = np.fromiter(
+                    (
+                        int.from_bytes(
+                            blake2b(s.encode(), digest_size=8).digest(), "big"
+                        )
+                        for s in sh
+                    ),
+                    dtype=np.uint64,
+                    count=len(sh),
+                )
+                docs_out.append(doc)
+                hs_out.append(hs.view(np.int64))
+            yield pd.DataFrame({"doc": docs_out, "hs": hs_out})
+
+    # k minhash permutations as (a_i·h + b_i) mod 2^64 multiply-shift
+    # with odd a_i, then per-band FNV compression — all one broadcasted
+    # numpy expression per doc. Deterministic: fixed RandomState seed,
+    # uint64 wraparound is well-defined.
+    k = bands * rows_per_band
+    rng = np.random.RandomState(42)
+    A = (rng.randint(1, 2**62, size=k, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
+    Bc = rng.randint(0, 2**63, size=k, dtype=np.uint64)
+    FNV = np.uint64(1099511628211)
+
+    def to_bands(batches):
+        for pdf in batches:
+            docs_out, band_idx_out, band_hash_out = [], [], []
+            for doc, hs in zip(pdf["doc"], pdf["hs"]):
+                h = np.asarray(hs, dtype=np.int64).view(np.uint64)
+                sig = (A[:, None] * h[None, :] + Bc[:, None]).min(axis=1)
+                bh = np.full(bands, np.uint64(14695981039346656037), dtype=np.uint64)
+                for r in range(rows_per_band):
+                    bh = (bh * FNV) ^ sig[r::rows_per_band][:bands]
+                docs_out.extend([doc] * bands)
+                band_idx_out.extend(range(bands))
+                band_hash_out.extend(bh.view(np.int64))
+            yield pd.DataFrame(
+                {"doc": docs_out, "band_idx": band_idx_out, "band_hash": band_hash_out}
+            )
+
+    hashed = (
+        df.select(F.col(id_col).cast("long").alias("doc"), F.col(text_col).alias("text"))
+        .mapInPandas(shingle_hash, "doc long, hs array<long>")
+        .persist()
+    )
     # Only (doc, band_idx, band_hash) triples shuffle through the band
-    # join — the heavy shingle arrays stay out of the candidate phase
-    # and are re-joined once per *surviving* pair side below.
-    banded = sh.select(
-        "doc",
-        F.posexplode(band_hashes(F.col("sh"), bands, rows_per_band)).alias(
-            "band_idx", "band_hash"
-        ),
+    # join — the heavy hash arrays stay out of the candidate phase and
+    # are re-joined once per *surviving* pair side below.
+    banded = hashed.mapInPandas(
+        to_bands, "doc long, band_idx int, band_hash long"
     )
     a = banded.select(F.col("doc").alias("id_a"), "band_idx", "band_hash")
     b = banded.select(F.col("doc").alias("id_b"), "band_idx", "band_hash")
@@ -121,10 +191,10 @@ def minhash_candidate_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    sh_a = sh.select(F.col("doc").alias("id_a"), F.col("sh").alias("sh_a"))
-    sh_b = sh.select(F.col("doc").alias("id_b"), F.col("sh").alias("sh_b"))
-    return pairs.join(sh_a, "id_a").join(sh_b, "id_b").select(
-        "id_a", "id_b", "sh_a", "sh_b"
+    hs_a = hashed.select(F.col("doc").alias("id_a"), F.col("hs").alias("hs_a"))
+    hs_b = hashed.select(F.col("doc").alias("id_b"), F.col("hs").alias("hs_b"))
+    return pairs.join(hs_a, "id_a").join(hs_b, "id_b").select(
+        "id_a", "id_b", "hs_a", "hs_b"
     )
 
 
@@ -140,12 +210,15 @@ def near_dup_pairs(
     """Verified near-duplicate pairs: LSH candidates → exact Jaccard.
 
     Output: (id_a, id_b, jaccard) with id_a < id_b, J ≥ threshold.
-    Jaccard is an exact rational (|A∩B| / |A∪B| on distinct shingle
-    sets) so it hash-matches an exact SQL oracle.
+    Jaccard is computed on the distinct shingle-HASH sets — an exact
+    rational, identical to shingle-set Jaccard unless xxhash64
+    collides within one pair's union (~n²/2⁶⁴ ≈ 1e-15 for 100-shingle
+    docs) — so it hash-matches an exact SQL oracle over the shingle
+    sets themselves.
     """
     cand = minhash_candidate_pairs(df, id_col, text_col, shingle_n, bands, rows_per_band)
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    union = F.size(F.array_union("hs_a", "hs_b"))
     return (
         cand.select(
             "id_a",

@@ -1,0 +1,108 @@
+"""Distributed global ranking without a single-partition window
+(SURVEY.md §2B q_win_ntile; VERDICT r1 'scale-killer' item).
+
+``Window.orderBy(...)`` with no partition key funnels the entire table
+through ONE task — the textbook non-scalable plan. This module
+computes exact global row numbers with bounded parallelism instead:
+
+1. value-histogram pass: fixed-width buckets over [min, max] — two
+   tiny aggregations whose results (3 scalars + ≤``buckets`` counts)
+   are the only driver-side data ever collected.
+2. prefix-sum the bucket counts on the driver → per-bucket rank
+   offset, shipped back as a literal map (small, broadcast with the
+   plan).
+3. in-bucket ``row_number()`` window partitioned BY BUCKET — each
+   window partition holds ~n/buckets rows, so the sort is local and
+   parallel — plus the bucket's offset = exact global rank.
+
+Equal values always share a bucket (bucket is a pure function of the
+value), so cross-bucket ordering is total; in-bucket ties resolve by
+the caller's tiebreak columns. Deterministic: no sampling (unlike
+repartitionByRange, whose sketch boundaries need not be stable across
+jobs within one query).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def with_global_row_number(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_cols: list[str],
+    buckets: int = 256,
+    out_col: str = "__rn",
+):
+    """Exact global row_number ordered by (value_col, *tiebreak_cols).
+
+    Returns (df_with_rn, total_count). Two tiny jobs run eagerly (the
+    min/max/count scan and the histogram); the returned DataFrame
+    stays lazy.
+    """
+    stats = df.agg(
+        F.min(value_col).alias("lo"),
+        F.max(value_col).alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    lo, hi, n = stats["lo"], stats["hi"], stats["n"]
+    if n == 0:
+        return df.withColumn(out_col, F.lit(0).cast("long")), 0
+    width = (hi - lo) / buckets if hi > lo else 1.0
+
+    bucket_expr = F.least(
+        F.lit(buckets - 1), F.floor((F.col(value_col) - lo) / width)
+    ).cast("int")
+    hist = (
+        df.groupBy(bucket_expr.alias("__bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    counts = {r["__bucket"]: r["cnt"] for r in hist}
+    offsets, acc = {}, 0
+    for b in range(buckets):
+        offsets[b] = acc
+        acc += counts.get(b, 0)
+
+    offset_map = F.create_map(
+        *[F.lit(x) for b in sorted(counts) for x in (b, offsets[b])]
+    )
+    w = Window.partitionBy("__bucket").orderBy(
+        F.col(value_col).asc(), *[F.col(c).asc() for c in tiebreak_cols]
+    )
+    out = (
+        df.withColumn("__bucket", bucket_expr)
+        .withColumn(
+            out_col,
+            (offset_map[F.col("__bucket")] + F.row_number().over(w)).cast("long"),
+        )
+        .drop("__bucket")
+    )
+    return out, n
+
+
+def distributed_ntile(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_cols: list[str],
+    n_tiles: int,
+    buckets: int = 256,
+    out_col: str = "ntile",
+) -> DataFrame:
+    """Exact NTILE(n) semantics (first n%k tiles get the extra row)
+    from the distributed global row number."""
+    ranked, n = with_global_row_number(df, value_col, tiebreak_cols, buckets)
+    if n == 0:
+        return ranked.withColumn(out_col, F.lit(None).cast("long")).drop("__rn")
+    base, rem = divmod(n, n_tiles)
+    rn = F.col("__rn")
+    if base == 0:
+        tile = rn  # fewer rows than tiles: row i → tile i
+    else:
+        big = rem * (base + 1)  # rows covered by the (base+1)-sized tiles
+        tile = (
+            F.when(rn <= big, F.floor((rn - 1) / (base + 1)))
+            .otherwise(rem + F.floor((rn - big - 1) / base))
+            + 1
+        )
+    return ranked.withColumn(out_col, tile.cast("long")).drop("__rn")

@@ -132,10 +132,18 @@ def q_win_frame_range(spark, d):
     """,
 )
 def q_win_ntile(spark, d):
-    """ntile(4) quartiles of account balance (global window — fine for
-    a dim table; a fact-scale ntile would need range partitioning)."""
-    w = W.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
-    return load(spark, d, "customer").select(
-        "c_custkey",
-        F.ntile(4).over(w).cast("long").alias("quartile"),
-    )
+    """ntile(4) quartiles of account balance, computed scale-safe: a
+    histogram-bucketed two-pass global ranking (operators/ranking.py)
+    instead of a single-partition Window.orderBy — every sort stays
+    local to a ~n/256 bucket, matching native NTILE semantics exactly
+    (verified against DuckDB's NTILE)."""
+    from ..operators.ranking import distributed_ntile
+
+    c = load(spark, d, "customer")
+    return distributed_ntile(
+        c.select("c_custkey", "c_acctbal"),
+        "c_acctbal",
+        ["c_custkey"],
+        n_tiles=4,
+        out_col="quartile",
+    ).select("c_custkey", "quartile")

@@ -1,0 +1,142 @@
+"""Operator unit/property tests, mirroring the reference's style
+(SURVEY.md §5.1): randomized inputs compared against a local
+pandas/numpy oracle — gapply vs pandas groupby-apply, asof tie-break
+pinning, band join vs naive join, distributed ntile vs the native
+window function, salting determinism.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import Window, functions as F
+
+from spark_sklearn_spark.operators.asof import asof_join
+from spark_sklearn_spark.operators.band_join import band_join_less_than
+from spark_sklearn_spark.operators.gapply import gapply
+from spark_sklearn_spark.operators.ranking import distributed_ntile
+from spark_sklearn_spark.operators.salting import salted_join, with_salt
+
+
+def test_gapply_matches_pandas_oracle(spark):
+    """Random groups through gapply == the same function applied by
+    pandas groupby — the reference's own differential test pattern."""
+    rng = np.random.RandomState(7)
+    pdf = pd.DataFrame(
+        {
+            "k": rng.randint(0, 5, 200),
+            "v": rng.rand(200) * 100,
+        }
+    )
+    df = spark.createDataFrame(pdf)
+
+    def center(key, g):
+        return pd.DataFrame({"k": key[0], "v_centered": g["v"] - g["v"].mean()})
+
+    got = (
+        gapply(df, "k", center, "k long, v_centered double", "v")
+        .toPandas()
+        .sort_values(["k", "v_centered"])
+        .reset_index(drop=True)
+    )
+    want = (
+        pdf.groupby("k")
+        .apply(lambda g: pd.DataFrame({"k": g.name, "v_centered": g["v"] - g["v"].mean()}))
+        .reset_index(drop=True)
+        .sort_values(["k", "v_centered"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=1e-12)
+
+
+def test_asof_tiebreak_picks_greatest(spark):
+    """Two right rows at the identical timestamp: the greater tiebreak
+    (event_id) must win — pinned semantics, not partition luck."""
+    left = spark.createDataFrame(
+        [(1, 100)], "k bigint, t bigint"
+    ).select("k", F.timestamp_micros(F.col("t") * 1_000_000).alias("ts"))
+    right = spark.createDataFrame(
+        [(1, 100, 10, "first"), (1, 100, 20, "second"), (1, 99, 30, "older")],
+        "k bigint, t bigint, rid bigint, tag string",
+    ).select("k", F.timestamp_micros(F.col("t") * 1_000_000).alias("ts"), "rid", "tag")
+    out = asof_join(
+        left, right, on="k", ts="ts", value_cols=["tag"], tiebreak="rid"
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["asof_tag"] == "second"
+
+
+def test_asof_rejects_non_integer_tiebreak(spark):
+    left = spark.createDataFrame([(1, 1)], "k bigint, ts bigint")
+    right = spark.createDataFrame([(1, 1, "x")], "k bigint, ts bigint, tag string")
+    with pytest.raises(TypeError, match="tiebreak"):
+        asof_join(left, right, on="k", ts="ts", value_cols=["tag"], tiebreak="tag")
+
+
+def test_band_join_matches_naive(spark):
+    """Band join over random values == the naive inequality join,
+    including values outside the declared [lo, hi) domain (clamping)."""
+    rng = np.random.RandomState(11)
+    a = pd.DataFrame({"ida": range(80), "va": rng.rand(80) * 120 - 10})
+    b = pd.DataFrame({"idb": range(80), "vb": rng.rand(80) * 120 - 10})
+    da, db = spark.createDataFrame(a), spark.createDataFrame(b)
+    got = (
+        band_join_less_than(da, db, "va", "vb", lo=0.0, hi=100.0, width=10.0)
+        .select("ida", "idb")
+        .toPandas()
+        .sort_values(["ida", "idb"])
+        .reset_index(drop=True)
+    )
+    want = (
+        a.merge(b, how="cross")
+        .query("va < vb")[["ida", "idb"]]
+        .sort_values(["ida", "idb"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_distributed_ntile_matches_window_ntile(spark):
+    rng = np.random.RandomState(13)
+    pdf = pd.DataFrame({"id": range(503), "v": rng.rand(503) * 50})
+    # inject ties to exercise the tiebreak path
+    pdf.loc[10:30, "v"] = 7.5
+    df = spark.createDataFrame(pdf)
+    got = distributed_ntile(df, "v", ["id"], 4, buckets=16, out_col="q")
+    w = Window.orderBy(F.col("v").asc(), F.col("id").asc())
+    want = df.select("id", F.ntile(4).over(w).cast("long").alias("q"))
+    diff = got.select("id", "q").exceptAll(want).count()
+    assert diff == 0
+
+
+def test_salt_is_content_deterministic(spark):
+    df = spark.range(1000).withColumn("k", F.col("id") % 7)
+    s1 = with_salt(df, 8, ["id"]).select("id", "__salt").toPandas()
+    s2 = (
+        with_salt(df.repartition(13), 8, ["id"])
+        .select("id", "__salt")
+        .toPandas()
+    )
+    merged = s1.merge(s2, on="id", suffixes=("_a", "_b"))
+    assert (merged["__salt_a"] == merged["__salt_b"]).all()
+
+
+def test_salted_join_matches_plain_join(spark):
+    big = spark.range(2000).select(
+        (F.col("id") % 3).alias("k"), F.col("id").alias("payload")
+    )
+    small = spark.createDataFrame(
+        [(0, "a"), (1, "b"), (2, "c"), (3, "unmatched")], "k bigint, tag string"
+    )
+    got = salted_join(big, small, "k", buckets=4, salt_from=["payload"]).count()
+    want = big.join(small, "k").count()
+    assert got == want
+
+
+def test_salted_join_rejects_outer(spark):
+    big = spark.range(10).select(F.col("id").alias("k"))
+    small = spark.range(3).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="inner"):
+        salted_join(big, small, "k", buckets=2, salt_from=["k"], how="full")

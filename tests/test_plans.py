@@ -1,0 +1,86 @@
+"""Plan-property tests: assert the PHYSICAL shape that makes each
+operator scale, not just its output (VERDICT r1 item 7).
+
+A query can be value-correct with a plan that dies at 100× data —
+these tests pin the plan: pushdown reaches the parquet scan, column
+pruning reaches ReadSchema, small dims broadcast, the theta join
+never degenerates to a nested loop, and the ntile ranking never
+funnels through a single partition.
+"""
+
+from __future__ import annotations
+
+import __spark_entry__ as entry
+
+
+def _plan(spark, sf_dir, name):
+    df = entry.queries()[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_scan_pushdown_reaches_parquet(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_scan_pushdown")
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(l_shipdate)" in plan or "GreaterThanOrEqual" in plan
+
+
+def test_scan_projection_prunes_columns(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_scan_projection")
+    # ReadSchema must carry only the two projected columns
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema
+
+
+def test_broadcast_join_is_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_join_broadcast")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_theta_join_is_not_nested_loop(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_join_theta")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "__band" in plan  # the banded equi-join key is in play
+
+
+def test_ntile_has_no_single_partition_window(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_win_ntile")
+    # the ranking window must partition by the histogram bucket, and
+    # nothing in the plan may funnel everything to one partition
+    assert "hashpartitioning(__bucket" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_topk_limit")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_multimodal_join_broadcasts_embeddings(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_multimodal_cols")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_agg_hash_is_partial_final(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_agg_hash")
+    # partial (map-side) aggregation must appear before the exchange
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_no_unexpected_cartesian_anywhere(spark, sf_dir):
+    # every declared relational query except the intentional cross join
+    # and the single-row broadcast crossJoins must avoid cartesians
+    allowed = {"q_join_cross", "q_sim_knn_brute", "q_text_tfidf"}
+    for name in [
+        "q_join_shuffle",
+        "q_join_multiway",
+        "q_join_outer",
+        "q_join_range_ts",
+        "q_join_asof",
+        "q_dedup_minhash",
+        "q_sim_pairs_threshold",
+    ]:
+        assert name not in allowed
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
