@@ -1,0 +1,8 @@
+"""Multimodal (binary) column plumbing."""
+
+from .columns import (  # noqa: F401
+    MEDIA_SCHEMA,
+    as_media,
+    decode_image,
+    extract_features,
+)

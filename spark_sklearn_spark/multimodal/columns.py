@@ -1,0 +1,106 @@
+"""Multimodal columns: opaque binary payloads + typed metadata, with
+Arrow-batched decode/feature stages (task spec: 'treat image/audio/
+video as opaque binary columns with typed metadata; STUB the decode
+step … make the Spark-side plumbing — schema, partitioning, UDF
+signature, batch shape — real and tested').
+
+Design for 100 TB of media:
+- payloads stay an opaque BinaryType column; Spark never interprets
+  them, so Parquet scans prune them unless the stage projects the
+  bytes (column pruning is the whole ballgame when rows are MBs).
+- metadata (media_type, width, height, …) is a plain struct column —
+  filterable/pushdown-able without touching payload bytes.
+- decode / feature-extract run in ``mapInPandas``: one Arrow batch of
+  payloads in, one batch of features out, so the Python crossing is
+  amortized per-batch. Real decoders (PIL/ffmpeg) are NOT in this
+  container — ``decode_image`` is a clearly marked deterministic stub
+  behind the same signature a real decoder would have, so swapping in
+  PIL later changes one function body and zero plan shape.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+MEDIA_SCHEMA = (
+    "doc_id bigint, payload binary, "
+    "meta struct<media_type: string, n_bytes: int, width: int, height: int>"
+)
+
+FEATURE_SCHEMA = (
+    "doc_id bigint, media_type string, n_bytes int, "
+    "mean_byte double, byte_entropy double, thumb_hash bigint"
+)
+
+
+def as_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Fixture adapter: wrap a text column as a fake media payload
+    (UTF-8 bytes) + typed metadata struct, producing the exact schema
+    a binary-ingest source would give. No image fixtures exist in the
+    container, so the payload is a deterministic fake; everything
+    downstream treats it as opaque bytes."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        payload.alias("payload"),
+        F.struct(
+            F.lit("image/fake").alias("media_type"),
+            F.length(payload).cast("int").alias("n_bytes"),
+            F.lit(64).alias("width"),
+            F.lit(64).alias("height"),
+        ).alias("meta"),
+    )
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """STUB decoder — deterministic fake in place of PIL/libjpeg,
+    which are not installed in this container. Interprets the payload
+    bytes as a grayscale raster (truncated/tiled to 64×64). A real
+    deployment replaces this body with ``PIL.Image.open`` and nothing
+    else changes: same signature, same batch shape, same plan.
+    """
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    if arr.size == 0:
+        raise NotImplementedError(
+            "empty payload: real decoder would raise a codec error here"
+        )
+    tiled = np.resize(arr, 64 * 64)
+    return tiled.reshape(64, 64)
+
+
+def extract_features(media_df: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads: decode →
+    per-image stats (mean intensity, byte entropy, 8×8 average-hash).
+    The batch shape — iterator of pandas DataFrames, one output row
+    per payload — is exactly what a real image featurizer uses."""
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            img_means, entropies, hashes = [], [], []
+            for payload in pdf["payload"]:
+                img = decode_image(bytes(payload))
+                img_means.append(float(img.mean()))
+                counts = np.bincount(img.ravel(), minlength=256)
+                p = counts[counts > 0] / img.size
+                entropies.append(float(-(p * np.log2(p)).sum()))
+                # 8x8 average-hash: downsample, threshold at mean
+                small = img.reshape(8, 8, 8, 8).mean(axis=(1, 3))
+                bits = (small > small.mean()).ravel()
+                hashes.append(int(np.packbits(bits).view(">u8")[0] >> np.uint64(1)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": [m["media_type"] for m in pdf["meta"]],
+                    "n_bytes": [m["n_bytes"] for m in pdf["meta"]],
+                    "mean_byte": img_means,
+                    "byte_entropy": entropies,
+                    "thumb_hash": hashes,
+                }
+            )
+
+    return media_df.mapInPandas(featurize, FEATURE_SCHEMA)

@@ -1,0 +1,65 @@
+"""Physical-plan inspection: the engine's 'did Catalyst do what we
+meant' toolkit (SURVEY.md §4.2 — our job is to not defeat the
+optimizer, and these helpers make that checkable).
+
+Used by tests/test_plans.py and available to users debugging a slow
+query: ``assert_scalable(df)`` fails fast on the classic 100 TB
+plan-killers (cartesian products, single-partition exchanges/windows)
+instead of letting them ship and melt a cluster.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def executed_plan(df: DataFrame) -> str:
+    """The final (post-AQE-planning) physical plan as text."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def has_node(df: DataFrame, node: str) -> bool:
+    return node in executed_plan(df)
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """Filters that reached the Parquet scan (empty list = nothing
+    pushed — for a filtered scan that usually means a cast or UDF is
+    blocking pushdown)."""
+    out: list[str] = []
+    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", executed_plan(df)):
+        body = m.group(1).strip()
+        if body:
+            out.extend(s.strip() for s in body.split(","))
+    return out
+
+
+def read_schema(df: DataFrame) -> list[str]:
+    """Column names the Parquet scan actually reads (column pruning
+    check: a 2-column projection reading 16 columns is a bug)."""
+    cols: list[str] = []
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", executed_plan(df)):
+        cols.extend(
+            part.split(":")[0].strip() for part in m.group(1).split(",") if part.strip()
+        )
+    return cols
+
+
+def assert_scalable(df: DataFrame, allow_cartesian: bool = False) -> None:
+    """Raise AssertionError on plan shapes that cannot survive a
+    scale-up: cartesian products / broadcast nested loops (quadratic)
+    and single-partition exchanges (serialization points)."""
+    plan = executed_plan(df)
+    problems = []
+    if not allow_cartesian:
+        for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+            if bad in plan:
+                problems.append(bad)
+    if "SinglePartition" in plan:
+        problems.append("Exchange SinglePartition")
+    if problems:
+        raise AssertionError(
+            f"plan contains scale-killers: {problems}\n{plan[:4000]}"
+        )

@@ -131,6 +131,25 @@ def q_join_outer(spark, d):
 
 
 @query(
+    "q_join_outer_right",
+    oracle="""
+        SELECT c.c_custkey, o.o_orderkey
+        FROM (SELECT * FROM orders WHERE o_totalprice > 450000) o
+        RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def q_join_outer_right(spark, d):
+    """Right outer join: every customer survives, orders side nulls
+    out where no qualifying order exists (the right-variant SURVEY
+    q_join_outer row; left and full live alongside)."""
+    c = load(spark, d, "customer")
+    o = load(spark, d, "orders").filter(F.col("o_totalprice") > 450000)
+    return o.join(c, o.o_custkey == c.c_custkey, "right").select(
+        "c_custkey", "o_orderkey"
+    )
+
+
+@query(
     "q_join_outer_full",
     oracle="""
         WITH om AS (

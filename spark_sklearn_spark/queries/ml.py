@@ -121,6 +121,41 @@ def q_ml_random_search(spark, d):
     return _cv_results(spark, _features_df(spark, d), lr, grid)
 
 
+@query(
+    "q_ml_vector_roundtrip",
+    oracle="""
+        SELECT vec_id,
+               CAST(len(embedding) AS INTEGER) AS dim,
+               ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+               ROUND(list_sum(list_transform(embedding,
+                                             x -> CAST(x AS DOUBLE))), 6)
+                   AS checksum
+        FROM embeddings
+    """,
+)
+def q_ml_vector_roundtrip(spark, d):
+    """A9/A10 converter boundary, declared: array<float> →
+    MLlib VectorUDT → array<double> round-trip
+    (``converter.py#Converter.toPandas`` ≈L160-200 semantics via
+    ``pyspark.ml.functions``). The oracle computes the same outputs
+    from the raw arrays — values must survive the UDT crossing
+    bit-for-bit."""
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    emb = load(spark, d, "embeddings")
+    arr = vector_to_array(
+        array_to_vector(F.col("embedding").cast("array<double>")), "float64"
+    )
+    return emb.select(
+        "vec_id",
+        F.size(arr).alias("dim"),
+        F.round(F.element_at(arr, 1), 6).alias("first_val"),
+        F.round(
+            F.aggregate(arr, F.lit(0.0), lambda a, x: a + x), 6
+        ).alias("checksum"),
+    )
+
+
 _FIT_SCHEMA = "lang string, slope double, intercept double, n bigint"
 
 

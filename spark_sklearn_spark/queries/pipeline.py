@@ -339,3 +339,234 @@ def q_multimodal_cols(spark, d):
             F.round(F.element_at("embedding", 1).cast("double"), 6).alias("e0"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Additional dedup / ANN / text operators (task-spec extensions)
+# --------------------------------------------------------------------------
+
+
+@query("q_dedup_simhash")  # rows-only: engine-side hash family
+def q_dedup_simhash(spark, d):
+    """SimHash near-dup pairs: 64-bit signatures from word-level
+    hashes (numpy over Arrow batches), byte-banded candidate join —
+    pigeonhole guarantees recall for Hamming ≤ 6 (6 flipped bits
+    corrupt ≤ 6 of 8 bytes, so ≥ 2 band matches) — then exact
+    bit_count(xor) verification JVM-side. Same
+    candidates-never-all-pairs posture as MinHash; rows-only because
+    the signature family is engine-specific."""
+    import numpy as np
+    import pandas as pd
+
+    docs = load(spark, d, "documents")
+
+    def simhash(batches):
+        from hashlib import blake2b
+
+        shifts = np.arange(64, dtype=np.uint64)
+        for pdf in batches:
+            ids, sigs = [], []
+            for doc, text in zip(pdf["doc_id"], pdf["text"]):
+                w = text.split(" ")
+                # 3-gram shingles, not words: the fixture's documents
+                # share one small vocabulary, so word-set signatures
+                # collapse; shingle sets are discriminative (same
+                # grain as the MinHash oracle).
+                grams = {"_".join(w[i : i + 3]) for i in range(len(w) - 2)}
+                if not grams:
+                    continue
+                hs = np.fromiter(
+                    (
+                        int.from_bytes(blake2b(g.encode(), digest_size=8).digest(), "big")
+                        for g in grams
+                    ),
+                    dtype=np.uint64,
+                    count=len(grams),
+                )
+                bits = ((hs[:, None] >> shifts) & np.uint64(1)).sum(axis=0)
+                sig = np.uint64(0)
+                for j in np.nonzero(bits * 2 > len(hs))[0]:
+                    sig |= np.uint64(1) << np.uint64(j)
+                ids.append(doc)
+                sigs.append(np.int64(sig))
+            yield pd.DataFrame({"doc_id": ids, "simhash": sigs})
+
+    sigs = docs.select("doc_id", "text").mapInPandas(
+        simhash, "doc_id long, simhash long"
+    ).persist()
+    bands = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("byte_idx"),
+                        F.shiftrightunsigned(F.col("simhash"), i * 8)
+                        .bitwiseAND(F.lit(255))
+                        .alias("byte_val"),
+                    )
+                    for i in range(8)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "simhash", "band.byte_idx", "band.byte_val")
+    a = bands.select(
+        F.col("doc_id").alias("id_a"), F.col("simhash").alias("sig_a"),
+        "byte_idx", "byte_val",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("id_b"), F.col("simhash").alias("sig_b"),
+        "byte_idx", "byte_val",
+    )
+    return (
+        a.join(b, ["byte_idx", "byte_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))),
+        )
+        .filter(F.col("hamming") <= 6)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+@query("q_sim_ann_ivf")  # rows-only: kmeans coarse quantizer is engine-side
+def q_sim_ann_ivf(spark, d):
+    """IVF-style approximate nearest neighbors: KMeans coarse
+    quantizer (k=16, fixed seed) partitions the vectors; the query
+    probes its 4 nearest centroids and brute-forces cosine only inside
+    those inverted lists (~4/16 of the data). The scale path for ANN
+    when LSH recall at low thresholds is poor; exact top-k
+    (q_sim_knn_brute) is the recall oracle."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    from ..functions.vectors import cosine, unit
+
+    emb = load(spark, d, "embeddings").select(
+        "vec_id", unit(F.col("embedding")).alias("u")
+    )
+    feat = emb.select("vec_id", array_to_vector("u").alias("features"))
+    model = KMeans(k=16, seed=42, maxIter=10).fit(feat)
+    assigned = model.transform(feat).select(
+        "vec_id", F.col("prediction").alias("cluster")
+    )
+
+    import numpy as np
+
+    centers = np.vstack([c for c in model.clusterCenters()])
+    centers = centers / np.linalg.norm(centers, axis=1, keepdims=True)
+    qrow = emb.filter(F.col("vec_id") == 0).select("u").first()
+    q = np.asarray(qrow["u"], dtype="float64")
+    q = q / np.linalg.norm(q)
+    probe = [int(i) for i in np.argsort(-(centers @ q))[:4]]
+
+    qdf = F.broadcast(
+        emb.filter(F.col("vec_id") == 0).select(F.col("u").alias("qu"))
+    )
+    return (
+        emb.join(assigned, "vec_id")
+        .filter(F.col("cluster").isin(probe))
+        .crossJoin(qdf)
+        .select(
+            "vec_id",
+            F.round(cosine("u", "qu"), 6).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+@query(
+    "q_text_langid",
+    oracle="""
+        WITH s AS (
+          SELECT doc_id, lang,
+                 CAST(len(list_filter(string_split(text,' '),
+                      w -> w IN ('the','and','of','a'))) AS INTEGER) AS s_en,
+                 CAST(len(list_filter(string_split(text,' '),
+                      w -> w IN ('der','die','und','das'))) AS INTEGER) AS s_de,
+                 CAST(len(list_filter(string_split(text,' '),
+                      w -> w IN ('el','la','los','que'))) AS INTEGER) AS s_es,
+                 CAST(len(list_filter(string_split(text,' '),
+                      w -> w IN ('le','la','les','et'))) AS INTEGER) AS s_fr,
+                 CAST(len(list_filter(string_split(text,' '),
+                      w -> w IN ('的','了','是','在'))) AS INTEGER) AS s_zh
+          FROM documents
+        )
+        SELECT doc_id, lang, s_en, s_de, s_es, s_fr, s_zh,
+               CASE WHEN s_en >= greatest(s_de, s_es, s_fr, s_zh) THEN 'en'
+                    WHEN s_de >= greatest(s_es, s_fr, s_zh) THEN 'de'
+                    WHEN s_es >= greatest(s_fr, s_zh) THEN 'es'
+                    WHEN s_fr >= s_zh THEN 'fr'
+                    ELSE 'zh' END AS predicted
+        FROM s
+    """,
+)
+def q_text_langid(spark, d):
+    """Heuristic language-ID: function-word marker counts per language
+    + priority-ordered argmax (functions/text.py profiles). The
+    fixture vocabulary is synthetic so predictions degenerate to the
+    tie-priority — the declared check still pins the full scoring +
+    argmax machinery against SQL."""
+    from ..functions.text import lang_scores
+
+    docs = load(spark, d, "documents")
+    scores = lang_scores(F.col("text"))
+    s = docs.select(
+        "doc_id",
+        "lang",
+        *[v.alias(f"s_{k}") for k, v in scores.items()],
+    )
+    pred = (
+        F.when(
+            F.col("s_en") >= F.greatest("s_de", "s_es", "s_fr", "s_zh"), "en"
+        )
+        .when(F.col("s_de") >= F.greatest("s_es", "s_fr", "s_zh"), "de")
+        .when(F.col("s_es") >= F.greatest("s_fr", "s_zh"), "es")
+        .when(F.col("s_fr") >= F.col("s_zh"), "fr")
+        .otherwise("zh")
+    )
+    return s.withColumn("predicted", pred)
+
+
+@query(
+    "q_text_tokens",
+    oracle="""
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+               CAST(len(regexp_extract_all(text,
+                    '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS bpe_tokens
+        FROM documents
+    """,
+)
+def q_text_tokens(spark, d):
+    """Token counting two ways: whitespace words and a BPE-ish
+    pre-tokenization regex (word runs | single symbols) — the count a
+    GPT-style tokenizer's split stage would produce, before merges
+    (functions/text.py TOKEN_RE)."""
+    from ..functions.text import token_count
+
+    docs = load(spark, d, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("ws_tokens"),
+        token_count(F.col("text"), bpe=True).alias("bpe_tokens"),
+    )
+
+
+@query("q_multimodal_decode")  # rows-only: stubbed decoder (no PIL in env)
+def q_multimodal_decode(spark, d):
+    """Binary-column multimodal pipeline: documents wrapped as opaque
+    payload + typed metadata (multimodal/columns.py), then
+    Arrow-batched decode → per-image features (mean intensity, byte
+    entropy, 8×8 average-hash) via mapInPandas. The decoder is a
+    clearly-marked deterministic stub (no image codecs in this
+    container); schema, batch shape, and plan are the real thing."""
+    from ..multimodal import as_media, extract_features
+
+    docs = load(spark, d, "documents")
+    return extract_features(as_media(docs, "doc_id", "text"))

@@ -140,3 +140,18 @@ def test_salted_join_rejects_outer(spark):
     small = spark.range(3).select(F.col("id").alias("k"))
     with pytest.raises(ValueError, match="inner"):
         salted_join(big, small, "k", buckets=2, salt_from=["k"], how="full")
+
+
+def test_parquet_sink_roundtrip(spark, sf_dir, tmp_path):
+    """SURVEY §2B 'sink: parquet write' — write partitioned, read back,
+    verify row count and partition pruning survive the round trip."""
+    from spark_sklearn_spark.sources.io import load, write_parquet
+
+    out = str(tmp_path / "orders_out")
+    src = load(spark, sf_dir, "orders")
+    write_parquet(src, out, partition_by=["o_orderstatus"])
+    back = spark.read.parquet(out)
+    assert back.count() == src.count()
+    pruned = back.filter(F.col("o_orderstatus") == "F")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "o_orderstatus" not in plan.split("ReadSchema:")[1].splitlines()[0]

@@ -84,3 +84,23 @@ def test_no_unexpected_cartesian_anywhere(spark, sf_dir):
         assert name not in allowed
         plan = _plan(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, name
+
+
+def test_plans_inspect_utilities(spark, sf_dir):
+    """Dogfood spark_sklearn_spark.plans: pushdown/pruning extraction
+    and the scale-killer assertion."""
+    from spark_sklearn_spark.plans import (
+        assert_scalable,
+        pushed_filters,
+        read_schema,
+    )
+    import pytest as _pytest
+
+    qs = entry.queries()
+    scan = qs["q_scan_pushdown"](spark, sf_dir)
+    assert pushed_filters(scan), "expected filters pushed to parquet"
+    proj = qs["q_scan_projection"](spark, sf_dir)
+    assert set(read_schema(proj)) == {"l_orderkey", "l_quantity"}
+    assert_scalable(qs["q_join_theta"](spark, sf_dir))
+    with _pytest.raises(AssertionError, match="scale-killers"):
+        assert_scalable(qs["q_join_cross"](spark, sf_dir))
