@@ -570,3 +570,33 @@ def q_multimodal_decode(spark, d):
 
     docs = load(spark, d, "documents")
     return extract_features(as_media(docs, "doc_id", "text"))
+
+
+@query(
+    "q_dedup_embedding",
+    oracle="""
+        WITH e AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ), dropped AS (
+          SELECT DISTINCT b.vec_id
+          FROM e a, e b
+          WHERE a.vec_id < b.vec_id
+            AND list_cosine_similarity(a.v, b.v) >= 0.4
+        )
+        SELECT e.vec_id FROM e
+        LEFT JOIN dropped d ON e.vec_id = d.vec_id
+        WHERE d.vec_id IS NULL
+    """,
+)
+def q_dedup_embedding(spark, d):
+    """Embedding-cosine near-dup dedup: drop every vector that has a
+    lower-id neighbor with cosine ≥ τ; keep the rest. Pair discovery
+    reuses the block-matmul operator; the keep-set is an anti-join on
+    the dropped ids. (τ=0.4 stands in for the production 0.95+ — the
+    fixture embeddings are isotropic.)"""
+    emb = load(spark, d, "embeddings")
+    pairs = cosine_pairs(emb, "vec_id", "embedding", threshold=0.4, buckets=8)
+    dropped = pairs.select(F.col("id_b").alias("vec_id")).distinct()
+    return emb.select("vec_id").join(dropped, "vec_id", "left_anti")
