@@ -16,3 +16,13 @@ zero RDD code outside MLlib internals.
 __version__ = "0.1.0"
 
 from .session import createLocalSparkSession  # noqa: F401
+
+# The reference's public class surface (SURVEY.md §2A), MLlib-native.
+from .ml_api import (  # noqa: F401
+    Converter,
+    GridSearchCV,
+    KeyedEstimator,
+    KeyedModel,
+    RandomizedSearchCV,
+)
+from .operators.gapply import gapply  # noqa: F401

@@ -1,0 +1,306 @@
+"""User-facing API parity with the reference's public surface
+(SURVEY.md §2A): ``GridSearchCV``, ``RandomizedSearchCV``,
+``KeyedEstimator``/``KeyedModel``, ``Converter`` — the names a
+`spark_sklearn` user calls today, rebuilt MLlib-native.
+
+Deliberate deltas from the reference (documented, not hidden):
+- Estimators are ``pyspark.ml`` estimators, not sklearn (sklearn is
+  not installed here; SURVEY §0). Param grids use sklearn-style
+  ``{param_name: [values]}`` dicts and are resolved against the
+  estimator's Params by name.
+- ``fit`` takes a DataFrame (features vector + label column), not
+  numpy X/y: data stays distributed instead of being broadcast whole
+  (`grid_search.py` ≈L190-260 broadcast X,y to every executor — the
+  pattern that stops working the moment X outgrows one machine).
+- Candidate×fold fan-out (`base_search.py#_fit` ≈L60-180,
+  sc.parallelize one task per tuple) is CrossValidator(parallelism=N).
+
+Per-key models keep the reference's data model exactly
+(`keyed_models.py` ≈L30-320): a models DataFrame of
+``keyCols + model:binary`` (pickled), fitted per group inside
+``applyInPandas``, applied by a broadcast join + batch predict.
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Any, Callable, Optional
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+
+# --------------------------------------------------------------------------
+# Distributed model selection (A1-A3)
+# --------------------------------------------------------------------------
+
+
+class GridSearchCV:
+    """Exhaustive cross-validated parameter search, distributed.
+
+    Parity: ``python/spark_sklearn/grid_search.py#GridSearchCV``
+    (≈L1-330). After ``fit``: ``best_params_``, ``best_score_``,
+    ``best_model_``, ``cv_results_`` (one dict per candidate).
+    """
+
+    def __init__(
+        self,
+        estimator,
+        param_grid: dict[str, list],
+        evaluator=None,
+        cv: int = 3,
+        parallelism: int = 8,
+        seed: int = 42,
+    ):
+        self.estimator = estimator
+        self.param_grid = param_grid
+        self.evaluator = evaluator
+        self.cv = cv
+        self.parallelism = parallelism
+        self.seed = seed
+
+    def _grid(self):
+        from pyspark.ml.tuning import ParamGridBuilder
+
+        b = ParamGridBuilder()
+        for name, values in self.param_grid.items():
+            b = b.addGrid(self.estimator.getParam(name), list(values))
+        return b.build()
+
+    def _evaluator(self):
+        if self.evaluator is not None:
+            return self.evaluator
+        from pyspark.ml.evaluation import MulticlassClassificationEvaluator
+
+        return MulticlassClassificationEvaluator(metricName="accuracy")
+
+    def fit(self, df: DataFrame) -> "GridSearchCV":
+        from pyspark.ml.tuning import CrossValidator
+
+        grid = self._grid()
+        cv = CrossValidator(
+            estimator=self.estimator,
+            estimatorParamMaps=grid,
+            evaluator=self._evaluator(),
+            numFolds=self.cv,
+            parallelism=self.parallelism,
+            seed=self.seed,
+        )
+        model = cv.fit(df)
+        self.cv_results_ = [
+            {
+                "params": {p.name: v for p, v in pm.items()},
+                "mean_test_score": float(m),
+            }
+            for pm, m in zip(grid, model.avgMetrics)
+        ]
+        best = int(np.argmax(model.avgMetrics))
+        self.best_index_ = best
+        self.best_params_ = self.cv_results_[best]["params"]
+        self.best_score_ = self.cv_results_[best]["mean_test_score"]
+        self.best_model_ = model.bestModel
+        return self
+
+
+class RandomizedSearchCV(GridSearchCV):
+    """Sampled parameter search (``random_search.py`` parity):
+    ``param_distributions`` values are lists or scipy-style
+    distributions exposing ``rvs``; ``n_iter`` candidates are drawn
+    with a fixed seed, then evaluated by the same CV machinery."""
+
+    def __init__(
+        self,
+        estimator,
+        param_distributions: dict[str, Any],
+        n_iter: int = 10,
+        **kwargs,
+    ):
+        super().__init__(estimator, {}, **kwargs)
+        self.param_distributions = param_distributions
+        self.n_iter = n_iter
+
+    def _grid(self):
+        import random
+
+        from pyspark.ml.tuning import ParamGridBuilder
+
+        rng = random.Random(self.seed)
+        grid = []
+        for _ in range(self.n_iter):
+            b = ParamGridBuilder()
+            for name, dist in self.param_distributions.items():
+                if hasattr(dist, "rvs"):
+                    v = float(dist.rvs(random_state=rng.randrange(2**31)))
+                else:
+                    v = rng.choice(list(dist))
+                b = b.addGrid(self.estimator.getParam(name), [v])
+            grid.extend(b.build())
+        return grid
+
+
+# --------------------------------------------------------------------------
+# Per-key models (A5-A6)
+# --------------------------------------------------------------------------
+
+
+class _OLS:
+    """Picklable closed-form linear predictor (module-level on purpose:
+    pickled models cross the executor boundary)."""
+
+    def __init__(self, beta):
+        self.beta = beta
+
+    def predict(self, X):
+        return np.hstack([X, np.ones((len(X), 1))]) @ self.beta
+
+
+def _ols_fit(X: np.ndarray, y: np.ndarray):
+    """Default per-key estimator: closed-form least squares with
+    intercept. Returns a picklable predictor."""
+    Xb = np.hstack([X, np.ones((len(X), 1))])
+    beta, *_ = np.linalg.lstsq(Xb, y, rcond=None)
+    return _OLS(beta)
+
+
+class KeyedModel:
+    """Models-as-DataFrame (``keyed_models.py#KeyedModel`` ≈L200-320):
+    ``model_df`` holds keyCols + a pickled model per key; transform
+    broadcast-joins it and predicts per Arrow batch."""
+
+    def __init__(self, model_df: DataFrame, key_cols, x_cols, output_col):
+        self.model_df = model_df
+        self.key_cols = list(key_cols)
+        self.x_cols = list(x_cols)
+        self.output_col = output_col
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        x_cols, out = self.x_cols, self.output_col
+
+        @F.pandas_udf("double")
+        def predict(model_bin: pd.Series, *xs: pd.Series) -> pd.Series:
+            # One model per joined group would be ideal; within a batch
+            # models can differ per row, so group rows by model bytes
+            # and predict per group (still vectorized per model).
+            X = np.column_stack([x.to_numpy(dtype="float64") for x in xs])
+            result = np.empty(len(X))
+            codes, uniques = pd.factorize(model_bin)
+            for code, blob in enumerate(uniques):
+                m = pickle.loads(blob)
+                mask = codes == code
+                result[mask] = m.predict(X[mask])
+            return pd.Series(result)
+
+        joined = df.join(F.broadcast(self.model_df), self.key_cols)
+        return joined.withColumn(out, predict("__model", *x_cols)).drop("__model")
+
+
+class KeyedEstimator:
+    """Per-key model training (``keyed_models.py#KeyedEstimator``
+    ≈L30-200): one estimator fitted per distinct key inside
+    applyInPandas; sklearn estimators are replaced by any picklable
+    ``fit_fn(X, y) -> model`` (default: closed-form OLS)."""
+
+    def __init__(
+        self,
+        key_cols: list[str],
+        x_cols: list[str],
+        y_col: Optional[str] = None,
+        output_col: str = "output",
+        fit_fn: Callable[[np.ndarray, np.ndarray], Any] = _ols_fit,
+    ):
+        self.key_cols = list(key_cols)
+        self.x_cols = list(x_cols)
+        self.y_col = y_col
+        self.output_col = output_col
+        self.fit_fn = fit_fn
+
+    def fit(self, df: DataFrame) -> KeyedModel:
+        key_cols, x_cols, y_col, fit_fn = (
+            self.key_cols,
+            self.x_cols,
+            self.y_col,
+            self.fit_fn,
+        )
+        key_schema = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in df.select(*key_cols).schema.fields
+        )
+        schema = f"{key_schema}, __model binary"
+
+        def fit_one(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            X = pdf[x_cols].to_numpy(dtype="float64")
+            y = pdf[y_col].to_numpy(dtype="float64") if y_col else None
+            model = fit_fn(X, y)
+            row = {c: [k] for c, k in zip(key_cols, key)}
+            row["__model"] = [pickle.dumps(model)]
+            return pd.DataFrame(row)
+
+        models = df.groupBy(*key_cols).applyInPandas(fit_one, schema)
+        return KeyedModel(models, key_cols, x_cols, self.output_col)
+
+
+# --------------------------------------------------------------------------
+# Converter (A7-A9)
+# --------------------------------------------------------------------------
+
+
+class Converter:
+    """Model/DataFrame conversion surface (``converter.py#Converter``).
+
+    - ``toPandas(df)``: DataFrame → pandas with MLlib Vector columns
+      expanded to numpy arrays (A9) — via vector_to_array + Arrow.
+    - ``toSpark(model)``: any object with ``coef_``/``intercept_``
+      (the sklearn linear-model protocol, A7) → a LinearPredictor
+      that scores DataFrames JVM-side (dot product as columnar
+      arithmetic; no Python in the scoring path).
+    - ``toSKLearn``: not supported here — sklearn is not installed
+      (SURVEY §0); raises with that explanation.
+    """
+
+    def toPandas(self, df: DataFrame) -> pd.DataFrame:
+        from pyspark.ml.functions import vector_to_array
+        from pyspark.ml.linalg import VectorUDT
+
+        cols = [
+            vector_to_array(F.col(f.name)).alias(f.name)
+            if isinstance(f.dataType, VectorUDT)
+            else F.col(f.name)
+            for f in df.schema.fields
+        ]
+        pdf = df.select(*cols).toPandas()
+        return pdf
+
+    def toSpark(self, model) -> "LinearPredictor":
+        coef = np.asarray(getattr(model, "coef_")).ravel()
+        intercept = float(np.ravel(getattr(model, "intercept_"))[0])
+        return LinearPredictor(coef, intercept)
+
+    def toSKLearn(self, model):
+        raise NotImplementedError(
+            "sklearn is not available in this environment; export "
+            "coefficients via model.coefficients / model.intercept instead"
+        )
+
+
+class LinearPredictor:
+    """JVM-side linear scorer: ŷ = xᵀw + b as a zip_with/aggregate
+    fold over an array column — whole-stage codegen, no UDF."""
+
+    def __init__(self, coef: np.ndarray, intercept: float):
+        self.coef = [float(c) for c in coef]
+        self.intercept = float(intercept)
+
+    def transform(
+        self, df: DataFrame, features_col: str, output_col: str = "prediction"
+    ) -> DataFrame:
+        w = F.array(*[F.lit(c) for c in self.coef])
+        dot = F.aggregate(
+            F.zip_with(
+                F.col(features_col), w, lambda x, c: x.cast("double") * c
+            ),
+            F.lit(self.intercept),
+            lambda acc, x: acc + x,
+        )
+        return df.withColumn(output_col, dot)
