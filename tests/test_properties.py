@@ -1,0 +1,82 @@
+"""Hypothesis property tests (SURVEY.md §5.1: the reference tested
+gapply with randomized schemas/groups against a pandas oracle — the
+same style, applied to the operators whose correctness depends on
+non-obvious invariants).
+
+Spark jobs per example are expensive, so examples are capped low and
+deadlines disabled; the value is the generator exploring degenerate
+shapes (empty sides, one-element domains, all-ties) a hand-written
+test wouldn't."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import Window, functions as F
+
+from spark_sklearn_spark.operators.band_join import band_join_less_than
+from spark_sklearn_spark.operators.ranking import distributed_ntile
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    na=st.integers(0, 30),
+    nb=st.integers(0, 30),
+    width=st.floats(0.5, 40.0),
+)
+@settings(**_SETTINGS)
+def test_band_join_equals_naive_inequality(spark, seed, na, nb, width):
+    """For any inputs and any band width, the band join returns
+    exactly the pairs of the naive va < vb join — including empty
+    sides and out-of-domain values."""
+    rng = np.random.RandomState(seed)
+    a = pd.DataFrame({"ida": range(na), "va": rng.rand(na) * 150 - 25})
+    b = pd.DataFrame({"idb": range(nb), "vb": rng.rand(nb) * 150 - 25})
+    schema_a, schema_b = "ida long, va double", "idb long, vb double"
+    da = spark.createDataFrame(a, schema_a)
+    db = spark.createDataFrame(b, schema_b)
+    got = sorted(
+        map(
+            tuple,
+            band_join_less_than(da, db, "va", "vb", lo=0.0, hi=100.0, width=width)
+            .select("ida", "idb")
+            .collect(),
+        )
+    )
+    want = sorted(
+        (int(ra.ida), int(rb.idb))
+        for _, ra in a.iterrows()
+        for _, rb in b.iterrows()
+        if ra.va < rb.vb
+    )
+    assert got == want
+
+
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    n=st.integers(1, 120),
+    tiles=st.integers(1, 7),
+    n_ties=st.integers(0, 40),
+)
+@settings(**_SETTINGS)
+def test_distributed_ntile_equals_native(spark, seed, n, tiles, n_ties):
+    """Distributed ntile == Spark's native NTILE for any row count,
+    tile count, and tie mass (including n < tiles and all-equal)."""
+    rng = np.random.RandomState(seed)
+    v = rng.rand(n) * 10
+    v[: min(n_ties, n)] = 5.0  # inject a tie block
+    pdf = pd.DataFrame({"id": range(n), "v": v})
+    df = spark.createDataFrame(pdf, "id long, v double")
+    got = distributed_ntile(df, "v", ["id"], tiles, buckets=8, out_col="q")
+    w = Window.orderBy(F.col("v").asc(), F.col("id").asc())
+    want = df.select("id", F.ntile(tiles).over(w).cast("long").alias("q"))
+    assert got.select("id", "q").exceptAll(want).count() == 0
