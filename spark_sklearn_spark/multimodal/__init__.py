@@ -5,4 +5,6 @@ from .columns import (  # noqa: F401
     as_media,
     decode_image,
     extract_features,
+    resize_images,
+    sample_frames,
 )

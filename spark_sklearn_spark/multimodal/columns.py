@@ -104,3 +104,66 @@ def extract_features(media_df: DataFrame) -> DataFrame:
             )
 
     return media_df.mapInPandas(featurize, FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = "doc_id bigint, width int, height int, pixels binary"
+
+
+def resize_images(media_df: DataFrame, width: int = 8, height: int = 8) -> DataFrame:
+    """Arrow-batched resize stage: decode → area-average downsample →
+    re-encode raster bytes. Downsampling math is real numpy; only the
+    initial byte→raster decode is the stub. Output stays binary so
+    downstream stages keep the opaque-payload contract."""
+
+    def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for payload in pdf["payload"]:
+                img = decode_image(bytes(payload)).astype("float64")
+                h, w = img.shape
+                if height > h or width > w:
+                    # upsampling would silently average over an empty
+                    # slice (NaN raster) — fail loudly instead
+                    raise ValueError(
+                        f"resize target {width}x{height} exceeds source "
+                        f"{w}x{h}; only downsampling is supported"
+                    )
+                small = img[: h - h % height, : w - w % width]
+                small = small.reshape(
+                    height, h // height, width, w // width
+                ).mean(axis=(1, 3))
+                out.append(small.astype("uint8").tobytes())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": width,
+                    "height": height,
+                    "pixels": out,
+                }
+            )
+
+    return media_df.mapInPandas(do_resize, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame binary"
+
+
+def sample_frames(media_df: DataFrame, every_n_bytes: int = 4096, max_frames: int = 8) -> DataFrame:
+    """Frame-sampling stage for video-like payloads: emit up to
+    ``max_frames`` fixed-stride byte windows per payload as one row
+    each (the real ffmpeg keyframe extraction is stubbed as byte
+    slicing; the one-payload→many-frames Generate shape is the real
+    contract)."""
+
+    def do_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                for i in range(min(max_frames, max(1, len(raw) // every_n_bytes))):
+                    ids.append(doc)
+                    idxs.append(i)
+                    frames.append(raw[i * every_n_bytes : (i + 1) * every_n_bytes])
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return media_df.mapInPandas(do_sample, FRAME_SCHEMA)

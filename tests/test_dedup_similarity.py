@@ -105,3 +105,28 @@ def test_cosine_topk_matches_numpy(spark):
     sims = np.round(m @ m[0], 6)
     want = sorted(range(50), key=lambda i: (-sims[i], i))[:5]
     assert got == want
+
+
+def test_multimodal_resize_and_frames(spark):
+    """Resize + frame-sample stages keep the binary contract: fixed
+    raster size out of resize, bounded frame fan-out from sampling."""
+    import pandas as pd
+
+    from spark_sklearn_spark.multimodal import (
+        as_media,
+        resize_images,
+        sample_frames,
+    )
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1], "text": ["x" * 9000, "word soup here"]})
+    )
+    media = as_media(df, "doc_id", "text")
+    small = resize_images(media, 8, 8).collect()
+    assert all(len(bytes(r["pixels"])) == 64 for r in small)
+    frames = sample_frames(media, every_n_bytes=4096, max_frames=4).collect()
+    per_doc = {}
+    for r in frames:
+        per_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
+    assert sorted(per_doc[0]) == [0, 1]   # 9000 bytes -> 2 frames
+    assert sorted(per_doc[1]) == [0]      # short payload -> 1 frame
