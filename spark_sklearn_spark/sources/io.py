@@ -62,6 +62,36 @@ def register_views(spark: SparkSession, sf_dir: str, tables=None) -> None:
         load(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    path: str | None = None,
+) -> None:
+    """Bucketed + sorted managed table (SURVEY.md §4: 'bucketing for
+    co-located joins').
+
+    Two tables bucketed on the same key with the same bucket count
+    join WITHOUT a shuffle on either side — at 100 TB this turns the
+    recurring fact⋈fact join from the dominant exchange into a local
+    zip of pre-sorted buckets. Worth it whenever a join key is reused
+    across many queries (the classic orders⋈lineitem spine); not worth
+    it for one-off joins, since the bucketed write itself pays the
+    shuffle once.
+    """
+    w = df.write.mode("overwrite").bucketBy(num_buckets, *bucket_cols)
+    if sort_cols is not None:
+        w = w.sortBy(*sort_cols)
+    if path is not None:
+        # external table: data at ``path``, catalog entry only in the
+        # session catalog (warehouse.dir is a static conf and may not
+        # be writable)
+        w = w.option("path", path)
+    w.format("parquet").saveAsTable(table)
+
+
 def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
     """Parquet sink (SURVEY.md §2B 'sink: parquet write').
 

@@ -155,3 +155,34 @@ def test_parquet_sink_roundtrip(spark, sf_dir, tmp_path):
     pruned = back.filter(F.col("o_orderstatus") == "F")
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "o_orderstatus" not in plan.split("ReadSchema:")[1].splitlines()[0]
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
+    """Two tables bucketed on the join key must sort-merge-join with
+    no Exchange on either input — the co-located-join contract."""
+    from spark_sklearn_spark.sources.io import load, write_bucketed
+
+    write_bucketed(
+        load(spark, sf_dir, "orders"), "b_orders", ["o_orderkey"], 8,
+        sort_cols=["o_orderkey"], path=str(tmp_path / "b_orders"),
+    )
+    write_bucketed(
+        load(spark, sf_dir, "lineitem"), "b_lineitem", ["l_orderkey"], 8,
+        sort_cols=["l_orderkey"], path=str(tmp_path / "b_lineitem"),
+    )
+    o = spark.table("b_orders")
+    li = spark.table("b_lineitem")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = o.join(li, o.o_orderkey == li.l_orderkey).select(
+            "o_orderkey", "l_linenumber"
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
