@@ -13,7 +13,7 @@ pandas UDFs only where built-in operators cannot express semantics;
 zero RDD code outside MLlib internals.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 from .session import createLocalSparkSession  # noqa: F401
 

@@ -1,0 +1,84 @@
+"""Regenerate PLANS.md — formatted physical plans of the headline
+operators with scale commentary.
+
+Usage: python tools/dump_plans.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import sys
+
+NOTES = {
+    "q_agg_hash": (
+        "Flagship TPC-H Q1 shape: pushed filter at the scan, partial "
+        "HashAggregate before the exchange, final after — one shuffle "
+        "on the two group keys."
+    ),
+    "q_join_shuffle": (
+        "Large-large equi-join: a single exchange on the fact key; AQE "
+        "may convert to broadcast at small sf."
+    ),
+    "q_join_broadcast": "Dim join: BroadcastHashJoin — the fact side never shuffles.",
+    "q_join_theta": (
+        "Inequality join as banded equi-join: hash join on __band with "
+        "the true predicate as residual — no BroadcastNestedLoopJoin."
+    ),
+    "q_join_asof": (
+        "As-of: union + ONE exchange on the key + in-partition window; "
+        "no pair materialization."
+    ),
+    "q_join_range_ts": (
+        "Interval join via time-bucket explode + equi-join + residual — "
+        "bounded replication instead of a range nested loop."
+    ),
+    "q_win_ntile": (
+        "Global ntile via histogram buckets: the only window partitions "
+        "by __bucket (local sorts); no SinglePartition funnel."
+    ),
+    "q_scan_pushdown": (
+        "PushedFilters reach the parquet scan; row groups outside the "
+        "predicate range are skipped by min/max stats."
+    ),
+    "q_dedup_minhash": (
+        "LSH band join: explode only (doc, band) pairs, hash join on "
+        "(band_idx, band_hash), exact verify joins only surviving pairs."
+    ),
+    "q_sim_pairs_threshold": (
+        "Block-matmul self-join: bucket-pair tasks via explode, "
+        "applyInPandas BLAS per task; no cartesian."
+    ),
+}
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as e
+    from spark_sklearn_spark.session import createLocalSparkSession
+
+    spark = createLocalSparkSession("plans", 8)
+    qs = e.queries()
+    out = [
+        "# PLANS — physical plans of the headline operators",
+        "",
+        f"Generated from `df.explain('formatted')` at {sf_dir} (plans are",
+        "shape-identical at larger sf; AQE may re-plan exchanges at",
+        "runtime). Regenerate with `python tools/dump_plans.py`.",
+        "",
+    ]
+    for name, note in NOTES.items():
+        df = qs[name](spark, sf_dir)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        tree = buf.getvalue().split("\n\n")[0]
+        out += [f"## {name}", "", note, "", "```", tree.rstrip(), "```", ""]
+    with open("/root/repo/PLANS.md", "w") as f:
+        f.write("\n".join(out))
+    print(f"PLANS.md written ({len(NOTES)} plans)")
+
+
+if __name__ == "__main__":
+    main()
