@@ -96,7 +96,13 @@ class GridSearchCV:
             }
             for pm, m in zip(grid, model.avgMetrics)
         ]
-        best = int(np.argmax(model.avgMetrics))
+        # Respect the metric direction: argmax only for larger-is-better
+        # evaluators (an rmse evaluator must pick argmin or best_params_
+        # would disagree with CrossValidator's own bestModel).
+        if self._evaluator().isLargerBetter():
+            best = int(np.argmax(model.avgMetrics))
+        else:
+            best = int(np.argmin(model.avgMetrics))
         self.best_index_ = best
         self.best_params_ = self.cv_results_[best]["params"]
         self.best_score_ = self.cv_results_[best]["mean_test_score"]
@@ -273,7 +279,15 @@ class Converter:
         return pdf
 
     def toSpark(self, model) -> "LinearPredictor":
-        coef = np.asarray(getattr(model, "coef_")).ravel()
+        coef = np.asarray(getattr(model, "coef_"))
+        if coef.ndim > 1 and coef.shape[0] > 1:
+            # a multiclass coef matrix raveled into one weight vector
+            # would silently score garbage (wrong length → null fill)
+            raise NotImplementedError(
+                f"toSpark supports binary/regression models only; got a "
+                f"coef_ matrix of shape {coef.shape} (multiclass)"
+            )
+        coef = coef.ravel()
         intercept = float(np.ravel(getattr(model, "intercept_"))[0])
         return LinearPredictor(coef, intercept)
 

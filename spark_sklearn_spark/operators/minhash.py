@@ -2,18 +2,18 @@
 
 Hand-rolled (no ml.feature dependency), deterministic:
 
-1. shingle: word-level n-grams, distinct per doc — higher-order array
-   expressions, no explode.
-2. minhash signature + banding: each shingle hashed ONCE on the JVM
-   (xxhash64), then the k-permutation family and band compression run
-   vectorized in numpy over Arrow batches (mapInPandas) — higher-order
-   functions are interpreted with no CSE, so an all-JVM k-pass
-   signature costs k array traversals per doc (~8× slower measured).
-   Only the (doc_id, band_idx, band_hash) triples leave the map —
-   bands·N rows, the only shuffle of the candidate phase.
-4. candidate pairs: self-equi-join on (band_idx, band_hash) — a plain
+1. shingle + hash: word-level n-grams hashed ONCE (blake2b, 8 bytes)
+   inside a single Arrow batch pass — Spark's higher-order array
+   functions run interpreted with no CSE, so an all-JVM expression
+   pipeline here measured ~8× slower than the numpy path.
+2. minhash signature + banding: the k-permutation family
+   ((a·h+b) mod 2⁶⁴ multiply-shift) and per-band FNV compression as
+   one broadcasted numpy expression per doc. Only the
+   (doc_id, band_idx, band_hash) triples leave the map — bands·N
+   rows, the only shuffle of the candidate phase.
+3. candidate pairs: self-equi-join on (band_idx, band_hash) — a plain
    shuffled hash join on a compound key; never an all-pairs product.
-5. verify: candidates re-join the shingle sets and exact Jaccard
+4. verify: candidates re-join the shingle-hash sets and exact Jaccard
    filters false positives.
 
 Recall: a true pair with Jaccard J matches one band with probability
@@ -45,51 +45,6 @@ def shingle_words(text_col, n: int = 3):
     )
     empty = F.array().cast("array<string>")
     return F.when(F.size(w) >= n, F.array_distinct(grams)).otherwise(empty)
-
-
-def minhash_signature(shingles_col, num_hashes: int = 128):
-    """k-minhash signature (array<long>) of a shingle-set column.
-
-    Hash function family: xxhash64(shingle, i) for i in [0, k) — the
-    permutation index rides along as a second hashed column, which is
-    equivalent to k independent seeds and stays deterministic across
-    runs and partitionings.
-    """
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(shingles_col, lambda s: F.xxhash64(s, i))
-        ),
-    )
-
-
-def band_hashes(shingles_col, bands: int, rows_per_band: int):
-    """``bands`` LSH band hashes, each over its own ``rows_per_band``
-    minhashes, computed directly from the shingle set.
-
-    Deliberately fused: building this as band_hashes(signature(...))
-    would embed a copy of the FULL k-hash signature expression inside
-    every band's slice — higher-order functions run interpreted with
-    no common-subexpression elimination, so that shape does bands×
-    redundant work (measured 32× ≈ 230 s vs ~8 s at sf0.1). Here band
-    b evaluates exactly its own rows_per_band array-mins.
-    """
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.xxhash64(
-            F.concat_ws(
-                ":",
-                F.transform(
-                    F.sequence(
-                        b * rows_per_band, b * rows_per_band + (rows_per_band - 1)
-                    ),
-                    lambda i: F.array_min(
-                        F.transform(shingles_col, lambda s: F.xxhash64(s, i))
-                    ).cast("string"),
-                ),
-            )
-        ),
-    )
 
 
 def minhash_candidate_pairs(
@@ -211,7 +166,7 @@ def near_dup_pairs(
 
     Output: (id_a, id_b, jaccard) with id_a < id_b, J ≥ threshold.
     Jaccard is computed on the distinct shingle-HASH sets — an exact
-    rational, identical to shingle-set Jaccard unless xxhash64
+    rational, identical to shingle-set Jaccard unless blake2b-64
     collides within one pair's union (~n²/2⁶⁴ ≈ 1e-15 for 100-shingle
     docs) — so it hash-matches an exact SQL oracle over the shingle
     sets themselves.

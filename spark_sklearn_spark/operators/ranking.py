@@ -46,13 +46,18 @@ def with_global_row_number(
         F.count(F.lit(1)).alias("n"),
     ).first()
     lo, hi, n = stats["lo"], stats["hi"], stats["n"]
-    if n == 0:
-        return df.withColumn(out_col, F.lit(0).cast("long")), 0
+    if n == 0 or lo is None:
+        # empty input, or every value NULL: rank purely by tiebreaks
+        lo, hi = 0.0, 0.0
     width = (hi - lo) / buckets if hi > lo else 1.0
 
-    bucket_expr = F.least(
-        F.lit(buckets - 1), F.floor((F.col(value_col) - lo) / width)
-    ).cast("int")
+    # NULLs rank first (Spark's ASC NULLS FIRST default): dedicated
+    # bucket -1 ahead of every value bucket, ordered by tiebreaks.
+    bucket_expr = F.when(F.col(value_col).isNull(), F.lit(-1)).otherwise(
+        F.least(
+            F.lit(buckets - 1), F.floor((F.col(value_col) - lo) / width)
+        ).cast("int")
+    )
     hist = (
         df.groupBy(bucket_expr.alias("__bucket"))
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -60,7 +65,7 @@ def with_global_row_number(
     )
     counts = {r["__bucket"]: r["cnt"] for r in hist}
     offsets, acc = {}, 0
-    for b in range(buckets):
+    for b in range(-1, buckets):
         offsets[b] = acc
         acc += counts.get(b, 0)
 

@@ -41,11 +41,9 @@ PAIR_SCHEMA = StructType(
 )
 
 
-def _unit(col):
-    """JVM-side L2 normalization of an array<float> column → array<double>."""
-    v = F.transform(col, lambda x: x.cast("double"))
-    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
-    return F.transform(v, lambda x: x / norm)
+# Single source of truth for the normalization/cosine expression trees
+# (a zero-norm or cast-policy fix must reach every consumer at once).
+from ..functions.vectors import cosine as _cosine, unit as _unit  # noqa: E402
 
 
 def cosine_pairs(
@@ -139,13 +137,8 @@ def cosine_topk(
     q = F.broadcast(query_df.select(_unit(F.col(vec_col)).alias("qunit")))
     scored = df.crossJoin(q).select(
         F.col(id_col),
-        F.round(
-            F.aggregate(
-                F.zip_with(_unit(F.col(vec_col)), F.col("qunit"), lambda a, b: a * b),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-            round_to,
-        ).alias("cos"),
+        F.round(_cosine(_unit(F.col(vec_col)), F.col("qunit")), round_to).alias(
+            "cos"
+        ),
     )
     return scored.orderBy(F.desc("cos"), F.col(id_col)).limit(k)

@@ -196,19 +196,22 @@ def q_fn_map(spark, d):
         SELECT event_id,
                CAST(props->>'$.k' AS BIGINT) AS k_get,
                CAST(props->>'$.k' AS BIGINT) AS k_from,
-               CAST(json_valid(props) AS BOOLEAN) AS is_valid
+               CAST(props->>'$.k' IS NOT NULL AS BOOLEAN) AS has_k
         FROM events
     """,
 )
 def q_fn_json(spark, d):
     """JSON functions: get_json_object (path extraction), from_json
-    (schema-full parse to struct, then field access), and a validity
-    probe. Both engines agree the fixture props are all valid JSON."""
+    (schema-full parse to struct, then field access), and a key-
+    presence predicate. The predicate is has_k, not json-validity:
+    the two engines' validity functions disagree on documents that
+    are valid JSON but lack the key, so the declared column pins the
+    same semantics on both sides."""
     ev = load(spark, d, "events")
     parsed = F.from_json("props", "k BIGINT")
     return ev.select(
         "event_id",
         F.get_json_object("props", "$.k").cast("long").alias("k_get"),
         parsed.getField("k").alias("k_from"),
-        F.get_json_object("props", "$.k").isNotNull().alias("is_valid"),
+        F.get_json_object("props", "$.k").isNotNull().alias("has_k"),
     )

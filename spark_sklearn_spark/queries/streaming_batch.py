@@ -101,7 +101,7 @@ def q_stream_sliding(spark, d):
         WITH marked AS (
           SELECT user_id, ts,
                  CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                           > INTERVAL '30 minutes'
+                           >= INTERVAL '30 minutes'
                       OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                       THEN 1 ELSE 0 END AS is_start
           FROM events

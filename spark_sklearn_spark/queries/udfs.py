@@ -148,11 +148,15 @@ def q_gapply_norm(spark, d):
 
     def zscore(key, pdf: pd.DataFrame) -> pd.DataFrame:
         v = pdf["value"]
+        z = ((v - v.mean()) / v.std(ddof=1)).round(6)
+        # degenerate groups (single row / zero variance) produce NaN in
+        # pandas but NULL in SQL stddev_samp — emit NULL to match the
+        # oracle on any fixture, not just ones without such groups
         return pd.DataFrame(
             {
                 "user_id": key[0],
                 "event_id": pdf["event_id"],
-                "zscore": ((v - v.mean()) / v.std(ddof=1)).round(6),
+                "zscore": z.astype(object).where(z.notna(), None),
             }
         )
 

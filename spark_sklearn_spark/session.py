@@ -38,6 +38,13 @@ def createLocalSparkSession(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # events.parquet stores TIMESTAMP(NANOS), which PySpark 4.x
+        # rejects; read nanos as long session-wide (sources/io.py
+        # rebuilds the µs timestamp). Set here at build time so the
+        # behavior is declared, not a mid-session surprise — io.load()
+        # still sets it defensively for foreign sessions (the driver
+        # builds its own).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -59,7 +59,14 @@ def _run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    finished = q.awaitTermination(300)
+    if not finished:
+        # reading the sink now would return a silently-partial result
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {name} still running after 300s; "
+            "refusing to return a partial memory sink"
+        )
     return stream_df.sparkSession.table(name)
 
 

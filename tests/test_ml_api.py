@@ -104,3 +104,30 @@ def test_converter_to_spark_linear_predictor(spark):
 def test_converter_to_sklearn_raises(spark):
     with pytest.raises(NotImplementedError, match="sklearn"):
         Converter().toSKLearn(object())
+
+
+def test_grid_search_respects_metric_direction(spark):
+    """With a smaller-is-better evaluator (rmse), best_params_ must be
+    the argmin candidate — matching CrossValidator's own bestModel."""
+    from pyspark.ml.evaluation import RegressionEvaluator
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.ml.regression import LinearRegression
+
+    rng = np.random.RandomState(31)
+    X = rng.rand(200, 3)
+    y = X @ np.array([1.0, 2.0, 3.0]) + rng.randn(200) * 0.01
+    pdf = pd.DataFrame({"emb": X.tolist(), "label": y})
+    train = spark.createDataFrame(pdf).select(
+        array_to_vector(F.col("emb").cast("array<double>")).alias("features"),
+        F.col("label"),
+    )
+    gs = GridSearchCV(
+        LinearRegression(maxIter=20),
+        {"regParam": [0.0, 100.0]},
+        evaluator=RegressionEvaluator(metricName="rmse"),
+        cv=2,
+    ).fit(train)
+    # crushing regularization must NOT be reported as best
+    assert gs.best_params_["regParam"] == 0.0
+    scores = [r["mean_test_score"] for r in gs.cv_results_]
+    assert gs.best_score_ == min(scores)

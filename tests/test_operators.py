@@ -186,3 +186,14 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_distributed_ntile_handles_nulls(spark):
+    """NULL ranking values must rank first (Spark ASC NULLS FIRST),
+    not crash the histogram pass."""
+    pdf = pd.DataFrame({"id": range(40), "v": [None] * 5 + list(range(35))})
+    df = spark.createDataFrame(pdf, "id long, v double")
+    got = distributed_ntile(df, "v", ["id"], 4, buckets=4, out_col="q")
+    w = Window.orderBy(F.col("v").asc(), F.col("id").asc())
+    want = df.select("id", F.ntile(4).over(w).cast("long").alias("q"))
+    assert got.select("id", "q").exceptAll(want).count() == 0
