@@ -55,6 +55,10 @@ def main() -> None:
         except Exception as ex:  # a failing query must show up, not vanish
             timings[name] = -1.0
             print(f"# BENCH ERROR {name}: {ex}", file=sys.stderr)
+        # operators that persist intermediates (minhash, simhash) have
+        # no caller-side unpersist hook; clear between queries so cached
+        # relations don't accumulate across the 70+-query session
+        spark.catalog.clearCache()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(

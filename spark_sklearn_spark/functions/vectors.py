@@ -23,6 +23,15 @@ def sq_norm(vec: Column | str) -> Column:
 
 
 def unit(vec: Column | str) -> Column:
+    """L2-normalized copy of the array.
+
+    WARNING — O(d²) in interpreted HOF evaluation: the norm fold is
+    embedded in the per-element lambda and Spark's higher-order
+    functions get no common-subexpression elimination, so every
+    element re-evaluates the full fold. Fine for a handful of rows
+    (e.g. one broadcast query vector); for per-row use on large
+    tables, normalize in numpy inside an Arrow stage or divide one
+    fold by another (see operators/similarity.py cosine_topk)."""
     v = as_double_array(vec)
     n = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
     return F.transform(v, lambda x: x / n)

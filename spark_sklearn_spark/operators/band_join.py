@@ -41,6 +41,10 @@ def band_join_less_than(
     joined DataFrame (all columns of both sides); caller applies extra
     predicates.
     """
+    if width <= 0:
+        raise ValueError(f"band width must be positive, got {width}")
+    if hi <= lo:
+        raise ValueError(f"empty band domain: lo={lo} >= hi={hi}")
     n_bands = int((hi - lo) // width) + 1
     band_of = lambda c: F.greatest(  # noqa: E731
         F.lit(0),

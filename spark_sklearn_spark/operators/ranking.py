@@ -40,9 +40,15 @@ def with_global_row_number(
     min/max/count scan and the histogram); the returned DataFrame
     stays lazy.
     """
+    dtype0 = df.schema[value_col].dataType.simpleString()
+    clean = (
+        F.when(~F.isnan(F.col(value_col)), F.col(value_col))
+        if dtype0 in ("float", "double")
+        else F.col(value_col)
+    )  # max(NaN-poisoned) would be NaN → NaN width → null buckets
     stats = df.agg(
-        F.min(value_col).alias("lo"),
-        F.max(value_col).alias("hi"),
+        F.min(clean).alias("lo"),
+        F.max(clean).alias("hi"),
         F.count(F.lit(1)).alias("n"),
     ).first()
     lo, hi, n = stats["lo"], stats["hi"], stats["n"]
@@ -52,12 +58,18 @@ def with_global_row_number(
     width = (hi - lo) / buckets if hi > lo else 1.0
 
     # NULLs rank first (Spark's ASC NULLS FIRST default): dedicated
-    # bucket -1 ahead of every value bucket, ordered by tiebreaks.
-    bucket_expr = F.when(F.col(value_col).isNull(), F.lit(-1)).otherwise(
-        F.least(
-            F.lit(buckets - 1), F.floor((F.col(value_col) - lo) / width)
-        ).cast("int")
-    )
+    # bucket -1 ahead of every value bucket. NaNs sort GREATER than
+    # every value in Spark/DuckDB ordering, but floor(NaN) would cast
+    # to bucket 0 — route them to a dedicated last bucket instead.
+    dtype = df.schema[value_col].dataType.simpleString()
+    value_bucket = F.least(
+        F.lit(buckets - 1), F.floor((F.col(value_col) - lo) / width)
+    ).cast("int")
+    if dtype in ("float", "double"):
+        value_bucket = F.when(F.isnan(F.col(value_col)), F.lit(buckets)).otherwise(
+            value_bucket
+        )
+    bucket_expr = F.when(F.col(value_col).isNull(), F.lit(-1)).otherwise(value_bucket)
     hist = (
         df.groupBy(bucket_expr.alias("__bucket"))
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -65,7 +77,7 @@ def with_global_row_number(
     )
     counts = {r["__bucket"]: r["cnt"] for r in hist}
     offsets, acc = {}, 0
-    for b in range(-1, buckets):
+    for b in range(-1, buckets + 1):  # -1 = NULLs, buckets = NaNs
         offsets[b] = acc
         acc += counts.get(b, 0)
 

@@ -41,9 +41,13 @@ PAIR_SCHEMA = StructType(
 )
 
 
-# Single source of truth for the normalization/cosine expression trees
-# (a zero-norm or cast-policy fix must reach every consumer at once).
-from ..functions.vectors import cosine as _cosine, unit as _unit  # noqa: E402
+# Single source of truth for the vector expression trees (a zero-norm
+# or cast-policy fix must reach every consumer at once). Note unit()
+# is O(d^2) in interpreted HOF evaluation — fine on a single broadcast
+# query row, never used per-row of a big table here (normalization of
+# the bulk side happens in numpy inside the Arrow tasks, and the top-k
+# path divides one fold by another instead of normalizing per element).
+from ..functions.vectors import as_double_array, cosine as _cosine, sq_norm, unit as _unit  # noqa: E402,E501
 
 
 def cosine_pairs(
@@ -60,16 +64,22 @@ def cosine_pairs(
     pass is needed afterwards. Diagonal tasks emit only id_a < id_b.
     """
     B = buckets
+    # bucket by hashed id: pmod(id, B) would collapse strided/sharded
+    # id spaces (e.g. all ids multiples of B) into one task holding the
+    # entire dataset — hashing is content-robust at the same cost.
+    # Vectors travel as raw double arrays; L2 normalization happens in
+    # numpy inside each task (per-element JVM normalization would pay
+    # an interpreted O(d^2) fold per row).
     base = df.select(
         F.col(id_col).cast("long").alias("vid"),
-        _unit(F.col(vec_col)).alias("unit"),
-        F.pmod(F.col(id_col), F.lit(B)).cast("int").alias("bk"),
+        as_double_array(F.col(vec_col)).alias("vec"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(B)).cast("int").alias("bk"),
     )
     # Left copy joins every task (bk, j) for j >= bk; right copy every
     # task (i, bk) for i <= bk. task_id = i*B + j with i <= j.
     left = base.select(
         "vid",
-        "unit",
+        "vec",
         F.lit("L").alias("side"),
         F.explode(F.sequence(F.col("bk") * B + F.col("bk"), F.col("bk") * B + (B - 1))).alias(
             "task_id"
@@ -77,7 +87,7 @@ def cosine_pairs(
     )
     right = base.select(
         "vid",
-        "unit",
+        "vec",
         F.lit("R").alias("side"),
         F.explode(
             F.sequence(F.col("bk"), F.col("bk") * B + F.col("bk"), F.lit(B))
@@ -95,11 +105,17 @@ def cosine_pairs(
         rhs = pdf[pdf.side == "R"]
         if lhs.empty or rhs.empty:
             return pd.DataFrame(columns=["id_a", "id_b", "cos"])
-        lm = np.vstack(lhs.unit.to_numpy())
-        rm = np.vstack(rhs.unit.to_numpy())
+        lm = np.vstack(lhs.vec.to_numpy())
+        rm = np.vstack(rhs.vec.to_numpy())
+        lm /= np.linalg.norm(lm, axis=1, keepdims=True)
+        rm /= np.linalg.norm(rm, axis=1, keepdims=True)
         sims = lm @ rm.T  # float64 BLAS — the whole task in one matmul
         li = lhs.vid.to_numpy()
         ri = rhs.vid.to_numpy()
+        # threshold on the ROUNDED value: the oracle sums in a different
+        # order, so a pair within last-ulp of tau must not flake the
+        # declared membership (same round-before-compare rule as top-k)
+        sims = np.round(sims, 6)
         ai, bi = np.nonzero(sims >= tau)
         ia, ib = li[ai], ri[bi]
         if diagonal:
@@ -135,10 +151,14 @@ def cosine_topk(
     last-ulp float noise cannot flip the tie-break between engines.
     """
     q = F.broadcast(query_df.select(_unit(F.col(vec_col)).alias("qunit")))
+    v = as_double_array(F.col(vec_col))
+    # two O(d) folds per row (dot with the pre-normalized query, own
+    # norm) instead of per-element normalization (O(d^2) interpreted)
     scored = df.crossJoin(q).select(
         F.col(id_col),
-        F.round(_cosine(_unit(F.col(vec_col)), F.col("qunit")), round_to).alias(
-            "cos"
-        ),
+        F.round(
+            _cosine(v, F.col("qunit")) / F.sqrt(sq_norm(F.col(vec_col))),
+            round_to,
+        ).alias("cos"),
     )
     return scored.orderBy(F.desc("cos"), F.col(id_col)).limit(k)

@@ -44,30 +44,16 @@ def _features_df(spark, d):
     )
 
 
-def _cv_results(spark, train, lr, grid):
-    """Run CrossValidator over ``grid`` and return (params, metric)
-    rows — the reference's cv_results_ shape (grid_search.py#fit).
-    ``lr`` must be the same estimator instance the grid was built
-    from: param maps are keyed by param *identity* (parent + name)."""
-    from pyspark.ml.evaluation import MulticlassClassificationEvaluator
-    from pyspark.ml.tuning import CrossValidator
-
-    cv = CrossValidator(
-        estimator=lr,
-        estimatorParamMaps=grid,
-        evaluator=MulticlassClassificationEvaluator(metricName="accuracy"),
-        numFolds=3,
-        parallelism=8,  # the reference's one-task-per-candidate×fold fan-out
-        seed=42,
-    )
-    model = cv.fit(train)
+def _results_df(spark, search):
+    """cv_results_ → small DataFrame (the reference's cv_results_
+    shape, grid_search.py#fit). One row per candidate."""
     rows = [
         (
-            float(pm[lr.regParam]),
-            float(pm[lr.elasticNetParam]),
-            round(float(m), 6),
+            float(r["params"]["regParam"]),
+            float(r["params"].get("elasticNetParam", 0.0)),
+            round(float(r["mean_test_score"]), 6),
         )
-        for pm, m in zip(grid, model.avgMetrics)
+        for r in search.cv_results_
     ]
     return spark.createDataFrame(
         rows, "reg_param double, elastic_net double, avg_accuracy double"
@@ -78,47 +64,43 @@ def _cv_results(spark, train, lr, grid):
 def q_ml_grid_search(spark, d):
     """A1 port: exhaustive grid search (2×2 grid, 3-fold CV,
     parallelism=8) of MLlib LogisticRegression on the embeddings
-    table. Output: one row per candidate with its mean CV accuracy —
-    |rows| == |grid|, the reference's cv_results_ contract."""
+    table, THROUGH the public GridSearchCV class (ml_api.py) — the
+    query exercises the exact surface a reference user migrates to.
+    Output: one row per candidate — |rows| == |grid|."""
     from pyspark.ml.classification import LogisticRegression
-    from pyspark.ml.tuning import ParamGridBuilder
 
-    lr = LogisticRegression(maxIter=20)
-    grid = (
-        ParamGridBuilder()
-        .addGrid(lr.regParam, GRID_REG)
-        .addGrid(lr.elasticNetParam, GRID_EN)
-        .build()
-    )
-    return _cv_results(spark, _features_df(spark, d), lr, grid)
+    from ..ml_api import GridSearchCV
+
+    gs = GridSearchCV(
+        LogisticRegression(maxIter=20),
+        {"regParam": GRID_REG, "elasticNetParam": GRID_EN},
+        cv=3,
+        parallelism=8,
+        seed=42,
+    ).fit(_features_df(spark, d))
+    return _results_df(spark, gs)
 
 
 @query("q_ml_random_search")  # rows-only
 def q_ml_random_search(spark, d):
-    """A2 port: randomized search = fixed-seed sample of a larger
-    grid, same CrossValidator machinery (random_search.py semantics:
-    n_iter candidates drawn from param distributions)."""
-    import random
-
+    """A2 port: randomized search (n_iter=3 candidates drawn with a
+    fixed seed) through the public RandomizedSearchCV class."""
     from pyspark.ml.classification import LogisticRegression
-    from pyspark.ml.tuning import ParamGridBuilder
 
-    rng = random.Random(42)
-    candidates = [
-        (round(10 ** rng.uniform(-3, 0), 6), round(rng.uniform(0, 1), 6))
-        for _ in range(3)
-    ]
-    lr = LogisticRegression(maxIter=20)
-    grid = []
-    for reg, en in candidates:
-        pm = (
-            ParamGridBuilder()
-            .addGrid(lr.regParam, [reg])
-            .addGrid(lr.elasticNetParam, [en])
-            .build()
-        )
-        grid.extend(pm)
-    return _cv_results(spark, _features_df(spark, d), lr, grid)
+    from ..ml_api import RandomizedSearchCV
+
+    rs = RandomizedSearchCV(
+        LogisticRegression(maxIter=20),
+        {
+            "regParam": [0.001, 0.005, 0.01, 0.05, 0.1, 0.5, 1.0],
+            "elasticNetParam": [0.0, 0.25, 0.5, 0.75, 1.0],
+        },
+        n_iter=3,
+        cv=3,
+        parallelism=8,
+        seed=42,
+    ).fit(_features_df(spark, d))
+    return _results_df(spark, rs)
 
 
 @query(
@@ -175,12 +157,19 @@ def _keyed_models(spark, d):
         y = pdf["n_chars"].to_numpy(dtype="float64")
         xm, ym = x.mean(), y.mean()
         sxx = ((x - xm) ** 2).sum()
-        slope = float(((x - xm) * (y - ym)).sum() / sxx)
+        if sxx == 0.0:
+            # single doc or constant x: DuckDB regr_slope returns NULL
+            # here — emit NULL, not 0/0 NaN, or the declared hash
+            # diverges on any fixture containing a degenerate group
+            slope, intercept = None, None
+        else:
+            slope = float(((x - xm) * (y - ym)).sum() / sxx)
+            intercept = float(ym - slope * xm)
         return pd.DataFrame(
             {
                 "lang": [key[0]],
                 "slope": [slope],
-                "intercept": [float(ym - slope * xm)],
+                "intercept": [intercept],
                 "n": [len(pdf)],
             }
         )

@@ -166,7 +166,7 @@ def q_sim_knn_brute(spark, d):
                ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos
         FROM e a, e b
         WHERE a.vec_id < b.vec_id
-          AND list_cosine_similarity(a.v, b.v) >= 0.4
+          AND ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.4
     """,
 )
 def q_sim_pairs_threshold(spark, d):
@@ -583,7 +583,7 @@ def q_multimodal_decode(spark, d):
           SELECT DISTINCT b.vec_id
           FROM e a, e b
           WHERE a.vec_id < b.vec_id
-            AND list_cosine_similarity(a.v, b.v) >= 0.4
+            AND ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.4
         )
         SELECT e.vec_id FROM e
         LEFT JOIN dropped d ON e.vec_id = d.vec_id

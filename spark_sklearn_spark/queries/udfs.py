@@ -46,10 +46,11 @@ def q_udf_scalar(spark, d):
         return s.str.lower().str.replace(r" +", " ", regex=True).str.strip()
 
     docs = load(spark, d, "documents")
-    return docs.select(
-        "doc_id",
-        norm("text").alias("norm_text"),
-        F.length(norm("text")).cast("long").alias("norm_len"),
+    # invoke the UDF ONCE and derive the length from its output column
+    # — two identical call-sites are two ArrowEvalPython instances,
+    # i.e. the normalization would run twice per batch
+    return docs.select("doc_id", norm("text").alias("norm_text")).withColumn(
+        "norm_len", F.length("norm_text").cast("long")
     )
 
 
