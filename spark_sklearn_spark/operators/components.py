@@ -1,0 +1,76 @@
+"""Connected components via iterative min-label propagation — the
+transitive-closure step a dedup pipeline needs to turn near-dup PAIRS
+into dup CLUSTERS (keep one doc per component, not per pair).
+
+Spark has no native iterate-to-fixpoint operator, so this is a driver
+loop of DataFrame joins: each round every node adopts the smallest
+label among itself and its neighbors; convergence in O(component
+diameter) rounds. Near-dup graphs are almost all tiny cliques, so
+2-3 rounds is typical.
+
+Scale hygiene per round:
+- labels persist + previous round unpersists (bounded cache),
+- lineage is cut with localCheckpoint every few rounds so the plan
+  doesn't grow by two joins per iteration (the classic iterative-
+  Spark plan-explosion trap),
+- convergence check is a count of changed labels — one small action
+  per round, never a collect of the labels themselves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str,
+    src_col: str,
+    dst_col: str,
+    max_iterations: int = 20,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Label every node with the minimum node id of its component.
+
+    nodes: one row per node (singletons allowed); edges: undirected
+    pairs (either orientation). Output: (node_col, cluster_id).
+    """
+    sym = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .unionByName(
+            edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = nodes.select(
+        F.col(node_col).alias("node"), F.col(node_col).alias("lbl")
+    ).persist()
+
+    for it in range(max_iterations):
+        # neighbor labels: for node a, the labels of everything it touches
+        neigh = (
+            sym.join(labels, sym.b == labels.node)
+            .select(F.col("a").alias("node"), F.col("lbl"))
+        )
+        new_labels = (
+            labels.unionByName(neigh)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+        )
+        if (it + 1) % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint(eager=False)
+        new_labels = new_labels.persist()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select(F.col("node").alias(node_col), F.col("lbl").alias("cluster_id"))

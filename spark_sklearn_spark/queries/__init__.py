@@ -14,6 +14,7 @@ from . import (  # noqa: F401
     setops,
     scalar_fns,
     streaming_batch,
+    tpch,
     udfs,
     ml,
     pipeline,

@@ -600,3 +600,56 @@ def q_dedup_embedding(spark, d):
     pairs = cosine_pairs(emb, "vec_id", "embedding", threshold=0.4, buckets=8)
     dropped = pairs.select(F.col("id_b").alias("vec_id")).distinct()
     return emb.select("vec_id").join(dropped, "vec_id", "left_anti")
+
+
+@query(
+    "q_dedup_clusters",
+    oracle="""
+        WITH RECURSIVE sh AS (
+          SELECT doc_id,
+                 list_distinct(flatten([[w[i] || '_' || w[i+1] || '_' || w[i+2]]
+                                        for i in range(1, len(w)-1)])) AS shingles
+          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+          WHERE len(w) >= 3
+        ), pairs AS (
+          SELECT a.doc_id AS src, b.doc_id AS dst
+          FROM sh a, sh b
+          WHERE a.doc_id < b.doc_id
+            AND len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+                len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8
+        ), edges AS (
+          SELECT src, dst FROM pairs
+          UNION SELECT dst, src FROM pairs
+          UNION SELECT doc_id, doc_id FROM documents
+        ), reach(src, dst) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        )
+        SELECT src AS doc_id, min(dst) AS cluster_id,
+               CAST(count(DISTINCT dst) AS BIGINT) AS component_size
+        FROM reach GROUP BY src
+    """,
+)
+def q_dedup_clusters(spark, d):
+    """Transitive near-dup clustering: MinHash-LSH pairs → connected
+    components via iterative min-label propagation
+    (operators/components.py) — the step that turns pairwise matches
+    into keep-one-per-cluster dedup. Declared against DuckDB's
+    recursive-CTE transitive closure; component_size counts the
+    member set so singleton docs (size 1) are distinguishable."""
+    from ..operators.components import connected_components
+
+    docs = load(spark, d, "documents")
+    pairs = near_dup_pairs(docs, "doc_id", "text", jaccard_threshold=0.8).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    comp = connected_components(
+        docs.select("doc_id"), pairs, "doc_id", "src", "dst"
+    )
+    sizes = comp.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("component_size")
+    )
+    return comp.join(F.broadcast(sizes), "cluster_id").select(
+        "doc_id", "cluster_id", "component_size"
+    )

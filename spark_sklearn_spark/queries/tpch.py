@@ -1,0 +1,96 @@
+"""Classic TPC-H composite query shapes (Q3, Q10) adapted to the
+fixture schema — multi-way join + filtered agg + deterministic top-N,
+the bread-and-butter analytics patterns a reference user runs daily.
+These compose the operator families the per-family queries pin down
+individually, so they double as integration checks: a broadcast-hint
+regression or decimal-policy drift shows up here first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.io import load
+from ._helpers import dsum, sql_dsum
+
+
+@query(
+    "q_tpch_q3",
+    oracle=f"""
+        SELECT l.l_orderkey,
+               {sql_dsum("l.l_extendedprice * (1 - l.l_discount)", "revenue")},
+               o.o_orderdate
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND l.l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l.l_orderkey, o.o_orderdate
+        ORDER BY revenue DESC, l.l_orderkey
+        LIMIT 10
+    """,
+)
+def q_tpch_q3(spark, d):
+    """TPC-H Q3 (shipping priority): segment-filtered customers ⋈
+    orders ⋈ lineitem, revenue per order, top 10. The customer side
+    shrinks to one segment → broadcast; the orders⋈lineitem spine is
+    the one shuffle. Tie-break on l_orderkey pins the LIMIT."""
+    c = load(spark, d, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, d, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load(spark, d, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q_tpch_q10",
+    oracle=f"""
+        SELECT c.c_custkey, c.c_name,
+               {sql_dsum("l.l_extendedprice * (1 - l.l_discount)", "revenue")},
+               n.n_name
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND l.l_returnflag = 'R'
+        GROUP BY c.c_custkey, c.c_name, n.n_name
+        ORDER BY revenue DESC, c.c_custkey
+        LIMIT 20
+    """,
+)
+def q_tpch_q10(spark, d):
+    """TPC-H Q10 (returned-item reporting): lost revenue from returns
+    per customer over one year, top 20. Fact spine shuffles once on
+    orderkey; customer and nation dims broadcast."""
+    c = load(spark, d, "customer")
+    n = load(spark, d, "nation")
+    o = load(spark, d, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load(spark, d, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
