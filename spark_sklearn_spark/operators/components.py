@@ -72,5 +72,14 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        sym.unpersist()
+        # one-hop propagation needs O(component diameter) rounds; a
+        # silent non-converged return would mislabel long chains
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "rounds — raise max_iterations (diameter-long chains) or "
+            "switch to pointer-jumping for pathological graphs"
+        )
     sym.unpersist()
     return labels.select(F.col("node").alias(node_col), F.col("lbl").alias("cluster_id"))
