@@ -44,9 +44,16 @@ def connected_components(
         .distinct()
         .persist()
     )
-    labels = nodes.select(
-        F.col(node_col).alias("node"), F.col(node_col).alias("lbl")
-    ).persist()
+    node_set = nodes.select(F.col(node_col).alias("node"))
+    # Seed labels from nodes ∪ edge endpoints: an endpoint absent from
+    # ``nodes`` would otherwise never appear in the changed-count join,
+    # so convergence would be declared before labels propagate THROUGH
+    # it — silently under-merging components that connect via the
+    # phantom node. Propagation runs over the union; the final output
+    # is filtered back to the caller's node set (the documented
+    # contract).
+    all_nodes = node_set.unionByName(sym.select(F.col("a").alias("node"))).distinct()
+    labels = all_nodes.select("node", F.col("node").alias("lbl")).persist()
 
     for it in range(max_iterations):
         # neighbor labels: for node a, the labels of everything it touches
@@ -74,6 +81,7 @@ def connected_components(
             break
     else:
         sym.unpersist()
+        labels.unpersist()
         # one-hop propagation needs O(component diameter) rounds; a
         # silent non-converged return would mislabel long chains
         raise RuntimeError(
@@ -82,4 +90,10 @@ def connected_components(
             "switch to pointer-jumping for pathological graphs"
         )
     sym.unpersist()
-    return labels.select(F.col("node").alias(node_col), F.col("lbl").alias("cluster_id"))
+    # NOTE: the final labels relation stays persisted — the returned
+    # DataFrame is lazy and depends on it. Long-lived sessions running
+    # many invocations should clearCache() between jobs (bench.py does).
+    return (
+        labels.join(node_set, "node")
+        .select(F.col("node").alias(node_col), F.col("lbl").alias("cluster_id"))
+    )

@@ -30,6 +30,22 @@ from ..sources.io import load
 # Deduplication
 # --------------------------------------------------------------------------
 
+# Shared oracle fragments: ONE definition of what a shingle and a
+# near-dup pair are, used by every dedup oracle (q_dedup_minhash and
+# q_dedup_clusters must never disagree about the pair set).
+NEAR_DUP_J = 0.8
+_SQL_SHINGLES_CTE = """sh AS (
+          SELECT doc_id,
+                 list_distinct(flatten([[w[i] || '_' || w[i+1] || '_' || w[i+2]]
+                                        for i in range(1, len(w)-1)])) AS shingles
+          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+          WHERE len(w) >= 3
+        )"""
+_SQL_JACCARD = (
+    "len(list_intersect(a.shingles, b.shingles))::DOUBLE /"
+    " len(list_distinct(list_concat(a.shingles, b.shingles)))"
+)
+
 
 @query(
     "q_dedup_exact",
@@ -59,22 +75,13 @@ def q_dedup_exact(spark, d):
 
 @query(
     "q_dedup_minhash",
-    oracle="""
-        WITH sh AS (
-          SELECT doc_id,
-                 list_distinct(flatten([[w[i] || '_' || w[i+1] || '_' || w[i+2]]
-                                        for i in range(1, len(w)-1)])) AS shingles
-          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
-          WHERE len(w) >= 3
-        )
+    oracle=f"""
+        WITH {_SQL_SHINGLES_CTE}
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               ROUND(len(list_intersect(a.shingles, b.shingles))::DOUBLE /
-                     len(list_distinct(list_concat(a.shingles, b.shingles))), 6)
-                   AS jaccard
+               ROUND({_SQL_JACCARD}, 6) AS jaccard
         FROM sh a, sh b
         WHERE a.doc_id < b.doc_id
-          AND len(list_intersect(a.shingles, b.shingles))::DOUBLE /
-              len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8
+          AND {_SQL_JACCARD} >= {NEAR_DUP_J}
     """,
 )
 def q_dedup_minhash(spark, d):
@@ -84,7 +91,7 @@ def q_dedup_minhash(spark, d):
     is (1-0.8⁴)^32 ≈ 3e-9 — the fixture's planted dups sit at J ≥ 0.9
     with a clean gap to the ~0.2 noise floor."""
     docs = load(spark, d, "documents")
-    pairs = near_dup_pairs(docs, "doc_id", "text", jaccard_threshold=0.8)
+    pairs = near_dup_pairs(docs, "doc_id", "text", jaccard_threshold=NEAR_DUP_J)
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -604,19 +611,12 @@ def q_dedup_embedding(spark, d):
 
 @query(
     "q_dedup_clusters",
-    oracle="""
-        WITH RECURSIVE sh AS (
-          SELECT doc_id,
-                 list_distinct(flatten([[w[i] || '_' || w[i+1] || '_' || w[i+2]]
-                                        for i in range(1, len(w)-1)])) AS shingles
-          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
-          WHERE len(w) >= 3
-        ), pairs AS (
+    oracle=f"""
+        WITH RECURSIVE {_SQL_SHINGLES_CTE}, pairs AS (
           SELECT a.doc_id AS src, b.doc_id AS dst
           FROM sh a, sh b
           WHERE a.doc_id < b.doc_id
-            AND len(list_intersect(a.shingles, b.shingles))::DOUBLE /
-                len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8
+            AND {_SQL_JACCARD} >= {NEAR_DUP_J}
         ), edges AS (
           SELECT src, dst FROM pairs
           UNION SELECT dst, src FROM pairs
@@ -641,9 +641,9 @@ def q_dedup_clusters(spark, d):
     from ..operators.components import connected_components
 
     docs = load(spark, d, "documents")
-    pairs = near_dup_pairs(docs, "doc_id", "text", jaccard_threshold=0.8).select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    )
+    pairs = near_dup_pairs(
+        docs, "doc_id", "text", jaccard_threshold=NEAR_DUP_J
+    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     comp = connected_components(
         docs.select("doc_id"), pairs, "doc_id", "src", "dst"
     )

@@ -65,3 +65,18 @@ def test_random_graph_matches_union_find(spark):
         comp_min[r] = min(comp_min.get(r, x), x)
     want = {x: comp_min[find(x)] for x in range(n)}
     assert got == want
+
+
+def test_phantom_edge_endpoint_propagates_but_is_excluded(spark):
+    """An edge endpoint missing from `nodes` must still CONNECT its
+    neighbors (propagation runs through it) while being excluded from
+    the output (the nodes contract)."""
+    nodes = spark.createDataFrame(pd.DataFrame({"n": [1, 3]}), "n long")
+    edges = spark.createDataFrame(
+        pd.DataFrame({"s": [2, 2], "t": [1, 3]}), "s long, t long"
+    )
+    got = {
+        r["n"]: r["cluster_id"]
+        for r in connected_components(nodes, edges, "n", "s", "t").collect()
+    }
+    assert got == {1: 1, 3: 1}
