@@ -77,6 +77,9 @@ class GridSearchCV:
         return MulticlassClassificationEvaluator(metricName="accuracy")
 
     def fit(self, df: DataFrame) -> "GridSearchCV":
+        """Run the cross-validated search on a (features, label)
+        DataFrame; populates best_params_/best_score_/best_model_/
+        cv_results_ and returns self (sklearn-style)."""
         from pyspark.ml.tuning import CrossValidator
         from pyspark.storagelevel import StorageLevel
 
@@ -195,6 +198,9 @@ class KeyedModel:
         self.output_col = output_col
 
     def transform(self, df: DataFrame) -> DataFrame:
+        """Score ``df``: broadcast-join the models table on the key
+        columns and predict per Arrow batch (KeyedModel.transform
+        parity)."""
         x_cols, out = self.x_cols, self.output_col
 
         @F.pandas_udf("double")
@@ -236,6 +242,8 @@ class KeyedEstimator:
         self.fit_fn = fit_fn
 
     def fit(self, df: DataFrame) -> KeyedModel:
+        """Fit one model per distinct key combination; returns a
+        KeyedModel holding the keyCols + pickled-model DataFrame."""
         key_cols, x_cols, y_col, fit_fn = (
             self.key_cols,
             self.x_cols,
@@ -279,6 +287,8 @@ class Converter:
     """
 
     def toPandas(self, df: DataFrame) -> pd.DataFrame:
+        """DataFrame → pandas with MLlib Vector columns expanded to
+        numpy arrays (A9 parity, Arrow transfer)."""
         from pyspark.ml.functions import vector_to_array
         from pyspark.ml.linalg import VectorUDT
 
@@ -292,6 +302,8 @@ class Converter:
         return pdf
 
     def toSpark(self, model) -> "LinearPredictor":
+        """sklearn-protocol linear model (coef_/intercept_) → JVM-side
+        LinearPredictor (A7 parity; binary/regression only)."""
         coef = np.asarray(getattr(model, "coef_"))
         if coef.ndim > 1 and coef.shape[0] > 1:
             # a multiclass coef matrix raveled into one weight vector
@@ -305,6 +317,7 @@ class Converter:
         return LinearPredictor(coef, intercept)
 
     def toSKLearn(self, model):
+        """A8 surface — unsupported here by design (sklearn absent)."""
         raise NotImplementedError(
             "sklearn is not available in this environment; export "
             "coefficients via model.coefficients / model.intercept instead"
@@ -322,6 +335,8 @@ class LinearPredictor:
     def transform(
         self, df: DataFrame, features_col: str, output_col: str = "prediction"
     ) -> DataFrame:
+        """Append ``output_col`` = xᵀw + b over the array column —
+        whole-stage-codegen arithmetic, no UDF."""
         w = F.array(*[F.lit(c) for c in self.coef])
         dot = F.aggregate(
             F.zip_with(
