@@ -29,7 +29,11 @@ def pushed_filters(df: DataFrame) -> list[str]:
     pushed — for a filtered scan that usually means a cast or UDF is
     blocking pushdown)."""
     out: list[str] = []
-    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", executed_plan(df)):
+    # Spark truncates long node strings ("PushedFilters: [A, B, Gr..."),
+    # so the list may have NO closing bracket — stop at `]`, at the
+    # truncation ellipsis, or at the next field.
+    pat = r"PushedFilters: \[(.*?)(?:\]|\.\.\.|, ReadSchema)"
+    for m in re.finditer(pat, executed_plan(df)):
         body = m.group(1).strip()
         if body:
             out.extend(s.strip() for s in body.split(","))
