@@ -29,15 +29,45 @@ def pushed_filters(df: DataFrame) -> list[str]:
     pushed — for a filtered scan that usually means a cast or UDF is
     blocking pushdown)."""
     out: list[str] = []
-    # Spark truncates long node strings ("PushedFilters: [A, B, Gr..."),
-    # so the list may have NO closing bracket — stop at `]`, at the
-    # truncation ellipsis, or at the next field.
-    pat = r"PushedFilters: \[(.*?)(?:\]|\.\.\.|, ReadSchema)"
-    for m in re.finditer(pat, executed_plan(df)):
-        body = m.group(1).strip()
-        if body:
-            out.extend(s.strip() for s in body.split(","))
+    for m in re.finditer(r"PushedFilters: \[([^\n]*)", executed_plan(df)):
+        out.extend(_parse_filter_list(m.group(1)))
     return out
+
+
+def _parse_filter_list(body: str) -> list[str]:
+    """Tokenize a rendered filter list, robustly against Spark's
+    truncation and filter syntax:
+
+    - commas split only at paren depth 0 (a filter like
+      GreaterThan(l_shipdate,1997-01-01) is ONE token);
+    - the list ends at the depth-0 ``]`` — or at end-of-line when
+      Spark truncated the node string with ``...``, in which case the
+      trailing incomplete token is discarded (unbalanced parens), not
+      returned as a garbage fragment.
+    """
+    out: list[str] = []
+    tok: list[str] = []
+    depth = 0
+    for ch in body:
+        if ch == "]" and depth == 0:
+            break
+        if ch == "," and depth == 0:
+            out.append("".join(tok))
+            tok = []
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        tok.append(ch)
+    out.append("".join(tok))
+    return [
+        t.strip()
+        for t in out
+        if t.strip()
+        and t.count("(") == t.count(")")
+        and not t.strip().endswith("...")
+    ]
 
 
 def read_schema(df: DataFrame) -> list[str]:

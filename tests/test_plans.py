@@ -104,3 +104,28 @@ def test_plans_inspect_utilities(spark, sf_dir):
     assert_scalable(qs["q_join_theta"](spark, sf_dir))
     with _pytest.raises(AssertionError, match="scale-killers"):
         assert_scalable(qs["q_join_cross"](spark, sf_dir))
+
+
+def test_parse_filter_list_robustness():
+    """The filter tokenizer must survive Spark's node-string quirks:
+    commas inside filters, ellipsis truncation mid-list, ellipsis
+    inside a complete filter, and the normal closing bracket."""
+    from spark_sklearn_spark.plans.inspect import _parse_filter_list
+
+    # commas inside a filter stay in one token
+    assert _parse_filter_list(
+        "GreaterThan(l_shipdate,1997-01-01 00:00:00.0)], ReadSchema: x"
+    ) == ["GreaterThan(l_shipdate,1997-01-01 00:00:00.0)"]
+    # truncated trailing token is discarded, not returned as garbage
+    assert _parse_filter_list(
+        "IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipda..."
+    ) == ["IsNotNull(l_shipdate)"]
+    # an abbreviated-but-complete filter containing dots is kept whole
+    assert _parse_filter_list(
+        "StringContains(p_name,...), IsNotNull(p_name)]"
+    ) == ["StringContains(p_name,...)", "IsNotNull(p_name)"]
+    # plain short list
+    assert _parse_filter_list("IsNotNull(a), EqualTo(b,1)]") == [
+        "IsNotNull(a)",
+        "EqualTo(b,1)",
+    ]
