@@ -610,6 +610,58 @@ def q_dedup_embedding(spark, d):
 
 
 @query(
+    "q_dedup_embedding_lsh",
+    oracle="""
+        WITH e AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ), planted AS (
+          SELECT vec_id, v FROM e
+          UNION ALL
+          SELECT vec_id + 1000000 AS vec_id,
+                 list_transform(v, x -> x * 2.0) AS v
+          FROM e WHERE vec_id % 20 = 0
+        ), dropped AS (
+          SELECT DISTINCT b.vec_id
+          FROM planted a, planted b
+          WHERE a.vec_id < b.vec_id
+            AND ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.98
+        )
+        SELECT p.vec_id FROM planted p
+        LEFT JOIN dropped d ON p.vec_id = d.vec_id
+        WHERE d.vec_id IS NULL
+    """,
+)
+def q_dedup_embedding_lsh(spark, d):
+    """Embedding near-dup dedup on the SRP-LSH sublinear path
+    (operators/srp.py) at a production-style τ=0.98 — banded candidate
+    join, exact-cosine verify on candidates only, NO all-pairs stage
+    (plan-asserted in tests/test_plans.py). The fixture embeddings are
+    isotropic (max pairwise cos ≈ 0.46), so the query plants scaled
+    copies (vec_id+1e6, 2·v) of every 20th vector in-query; sign
+    signatures are scale-invariant, so each planted copy collides with
+    its source in every band and the declared keep-set is
+    deterministic. The oracle is the exact O(n²) dedup over the same
+    planted relation; q_dedup_embedding (exact block-matmul, τ=0.4)
+    stays as the low-τ recall oracle."""
+    from ..operators.srp import srp_near_dup_pairs
+
+    emb = load(spark, d, "embeddings")
+    base = emb.select("vec_id", "embedding")
+    copies = emb.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") * 2.0).alias(
+            "embedding"
+        ),
+    )
+    planted = base.unionByName(copies)
+    pairs = srp_near_dup_pairs(planted, "vec_id", "embedding", threshold=0.98)
+    dropped = pairs.select(F.col("id_b").alias("vec_id")).distinct()
+    return planted.select("vec_id").join(dropped, "vec_id", "left_anti")
+
+
+@query(
     "q_dedup_clusters",
     oracle=f"""
         WITH RECURSIVE {_SQL_SHINGLES_CTE}, pairs AS (

@@ -130,3 +130,56 @@ def test_multimodal_resize_and_frames(spark):
         per_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
     assert sorted(per_doc[0]) == [0, 1]   # 9000 bytes -> 2 frames
     assert sorted(per_doc[1]) == [0]      # short payload -> 1 frame
+
+
+def test_srp_planted_copies_recovered_exactly(spark):
+    """Isotropic vectors + scaled copies: SRP-LSH at tau=0.98 returns
+    exactly the planted (source, copy) pairs — sign signatures are
+    scale-invariant, so recall on exact-direction dups is 1.0, and the
+    exact-cosine verify kills every band false positive."""
+    from spark_sklearn_spark.operators.srp import srp_near_dup_pairs
+
+    rng = np.random.RandomState(23)
+    n, dim = 50, 16
+    vecs = [rng.standard_normal(dim).astype("float32").tolist() for _ in range(n)]
+    pdf = pd.DataFrame({"vec_id": range(n), "embedding": vecs})
+    copies = pd.DataFrame(
+        {
+            "vec_id": [1000 + i for i in range(5)],
+            "embedding": [[3.0 * x for x in vecs[i]] for i in range(5)],
+        }
+    )
+    df = spark.createDataFrame(pd.concat([pdf, copies], ignore_index=True))
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in srp_near_dup_pairs(df, "vec_id", "embedding", 0.98).collect()
+    }
+    assert got == {(i, 1000 + i) for i in range(5)}
+
+
+def test_srp_recall_vs_exact_at_high_tau(spark):
+    """Near-identical (noised) copies at cos ~0.99: the SRP pair set
+    must equal the exact block-matmul pair set at tau=0.95 — the
+    banded path loses nothing the exact verifier would keep (fixed
+    seeds make this deterministic; analytic miss prob ~2e-6/pair)."""
+    from spark_sklearn_spark.operators.srp import srp_near_dup_pairs
+
+    rng = np.random.RandomState(29)
+    n, dim = 40, 16
+    base = [rng.standard_normal(dim) for _ in range(n)]
+    rows = [(i, v.astype("float32").tolist()) for i, v in enumerate(base)]
+    for i in range(6):
+        noisy = base[i] + 0.05 * rng.standard_normal(dim)
+        rows.append((2000 + i, noisy.astype("float32").tolist()))
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [r[0] for r in rows], "embedding": [r[1] for r in rows]})
+    )
+    srp = {
+        (r["id_a"], r["id_b"])
+        for r in srp_near_dup_pairs(df, "vec_id", "embedding", 0.95).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_pairs(df, "vec_id", "embedding", 0.95, buckets=4).collect()
+    }
+    assert srp == exact and len(exact) >= 5

@@ -129,3 +129,12 @@ def test_parse_filter_list_robustness():
         "IsNotNull(a)",
         "EqualTo(b,1)",
     ]
+
+
+def test_srp_dedup_has_no_all_pairs_stage(spark, sf_dir):
+    """The SRP-LSH dedup query (the production embedding-dedup path)
+    must contain no cartesian/BNLJ and no single-partition exchange —
+    the property that distinguishes it from the exact block-matmul."""
+    from spark_sklearn_spark.plans import assert_scalable
+
+    assert_scalable(entry.queries()["q_dedup_embedding_lsh"](spark, sf_dir))
