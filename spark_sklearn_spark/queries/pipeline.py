@@ -442,49 +442,22 @@ def q_dedup_simhash(spark, d):
 
 @query("q_sim_ann_ivf")  # rows-only: kmeans coarse quantizer is engine-side
 def q_sim_ann_ivf(spark, d):
-    """IVF-style approximate nearest neighbors: KMeans coarse
-    quantizer (k=16, fixed seed) partitions the vectors; the query
-    probes its 4 nearest centroids and brute-forces cosine only inside
-    those inverted lists (~4/16 of the data). The scale path for ANN
+    """IVF-style approximate nearest neighbors, build/probe split
+    (operators/ivf.py, VERDICT r2 item 3): the KMeans coarse quantizer
+    + cluster assignment build ONCE per (app, sf_dir) and persist; the
+    query scores 16 centroids driver-side, probes the 4 nearest
+    inverted lists, and brute-forces cosine only inside them (~4/16 of
+    the data, no KMeans.fit in the query body). The scale path for ANN
     when LSH recall at low thresholds is poor; exact top-k
     (q_sim_knn_brute) is the recall oracle."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from ..operators.ivf import ivf_build, ivf_probe
 
-    from ..functions.vectors import cosine, unit
-
-    emb = load(spark, d, "embeddings").select(
-        "vec_id", unit(F.col("embedding")).alias("u")
+    emb = load(spark, d, "embeddings")
+    assigned, centers = ivf_build(
+        spark, emb, "vec_id", "embedding", cache_key=d, k=16
     )
-    feat = emb.select("vec_id", array_to_vector("u").alias("features"))
-    model = KMeans(k=16, seed=42, maxIter=10).fit(feat)
-    assigned = model.transform(feat).select(
-        "vec_id", F.col("prediction").alias("cluster")
-    )
-
-    import numpy as np
-
-    centers = np.vstack([c for c in model.clusterCenters()])
-    centers = centers / np.linalg.norm(centers, axis=1, keepdims=True)
-    qrow = emb.filter(F.col("vec_id") == 0).select("u").first()
-    q = np.asarray(qrow["u"], dtype="float64")
-    q = q / np.linalg.norm(q)
-    probe = [int(i) for i in np.argsort(-(centers @ q))[:4]]
-
-    qdf = F.broadcast(
-        emb.filter(F.col("vec_id") == 0).select(F.col("u").alias("qu"))
-    )
-    return (
-        emb.join(assigned, "vec_id")
-        .filter(F.col("cluster").isin(probe))
-        .crossJoin(qdf)
-        .select(
-            "vec_id",
-            F.round(cosine("u", "qu"), 6).alias("cos"),
-        )
-        .orderBy(F.desc("cos"), F.asc("vec_id"))
-        .limit(10)
-    )
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    return ivf_probe(assigned, centers, qrow["embedding"], nprobe=4, topk=10)
 
 
 @query(
