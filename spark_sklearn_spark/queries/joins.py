@@ -334,3 +334,59 @@ def q_join_cross(spark, d):
         "n_name",
         F.concat_ws("/", "r_name", "n_name").alias("pair"),
     )
+
+
+@query(
+    "q_join_skew",
+    oracle=f"""
+        WITH e AS (
+          SELECT CASE WHEN user_id % 3 = 0 THEN 0 ELSE user_id END AS k,
+                 event_type, value
+          FROM events
+        ), c AS (
+          SELECT c_custkey AS k, c_mktsegment FROM customer
+          WHERE c_custkey < 150
+        )
+        SELECT c.c_mktsegment AS mktsegment, e.event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               {sql_dsum("e.value", "sum_value")}
+        FROM e JOIN c ON e.k = c.k
+        GROUP BY 1, 2
+    """,
+)
+def q_join_skew(spark, d):
+    """Skewed-key join through the explicit salting path
+    (operators/salting.py, VERDICT r2 item 5): a deterministic hot key
+    (every third user collapses onto key 0, ~33% of the fact side —
+    the fixture's keys are uniform, so the skew is synthesized
+    in-query and mirrored exactly in the oracle) joins a small dim.
+    The big side is salted on event_id, the dim is replicated
+    16-fold, and the join is hinted shuffle_hash so the plan shows the
+    salt actually spreading the hot key across partitions — at 100 TB
+    this is the shape for dims too big to broadcast but small enough
+    to replicate, where AQE's skew split can't see a mid-query hot
+    key."""
+    from ..operators.salting import salted_join
+
+    ev = load(spark, d, "events").select(
+        F.when(F.col("user_id") % 3 == 0, F.lit(0))
+        .otherwise(F.col("user_id"))
+        .cast("long")
+        .alias("k"),
+        "event_id",
+        "event_type",
+        "value",
+    )
+    cust = (
+        load(spark, d, "customer")
+        .filter(F.col("c_custkey") < 150)
+        .select(F.col("c_custkey").cast("long").alias("k"), "c_mktsegment")
+        .hint("shuffle_hash")
+    )
+    joined = salted_join(ev, cust, on="k", buckets=16, salt_from=["event_id"])
+    return joined.groupBy(
+        F.col("c_mktsegment").alias("mktsegment"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value", "sum_value"),
+    )

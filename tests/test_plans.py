@@ -138,3 +138,13 @@ def test_srp_dedup_has_no_all_pairs_stage(spark, sf_dir):
     from spark_sklearn_spark.plans import assert_scalable
 
     assert_scalable(entry.queries()["q_dedup_embedding_lsh"](spark, sf_dir))
+
+
+def test_skew_join_salts_a_shuffled_hash_join(spark, sf_dir):
+    """q_join_skew must go through the salt stage (not a broadcast,
+    which would make the salting decorative): the executed plan shows
+    a ShuffledHashJoin keyed on (k, __salt)."""
+    plan = _plan(spark, sf_dir, "q_join_skew")
+    assert "ShuffledHashJoin" in plan
+    assert "__salt" in plan
+    assert "BroadcastHashJoin" not in plan
