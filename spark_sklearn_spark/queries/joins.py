@@ -319,6 +319,82 @@ def q_join_asof(spark, d):
 
 
 @query(
+    "q_join_asof_forward",
+    oracle="""
+        WITH p AS (SELECT event_id AS p_id, user_id, ts FROM events
+                   WHERE event_type = 'purchase'),
+             c AS (SELECT event_id AS c_id, user_id, ts FROM events
+                   WHERE event_type = 'click'),
+             j AS (
+               SELECT p.p_id, c.c_id,
+                      row_number() OVER (PARTITION BY p.p_id
+                                         ORDER BY c.ts ASC, c.c_id DESC) AS rn
+               FROM p LEFT JOIN c
+                 ON p.user_id = c.user_id AND c.ts >= p.ts
+             )
+        SELECT p_id, c_id FROM j WHERE rn = 1
+    """,
+)
+def q_join_asof_forward(spark, d):
+    """Forward as-of join: EARLIEST click at/after each purchase, per
+    user (same single-shuffle operator as q_join_asof with
+    direction='forward'; ties on click ts resolve to greatest
+    event_id, mirrored by the oracle's `c.ts ASC, c.c_id DESC`)."""
+    ev = load(spark, d, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(
+        purchases, clicks, on="user_id", ts="ts",
+        value_cols=["event_id"], tiebreak="event_id",
+        direction="forward",
+    )
+    return out.select("p_id", F.col("asof_event_id").alias("c_id"))
+
+
+@query(
+    "q_join_asof_nearest",
+    oracle="""
+        WITH p AS (SELECT event_id AS p_id, user_id, ts FROM events
+                   WHERE event_type = 'purchase'),
+             c AS (SELECT event_id AS c_id, user_id, ts FROM events
+                   WHERE event_type = 'click'),
+             j AS (
+               SELECT p.p_id, c.c_id,
+                      row_number() OVER (PARTITION BY p.p_id
+                        ORDER BY abs(epoch_us(c.ts) - epoch_us(p.ts)) ASC,
+                                 CASE WHEN c.ts <= p.ts THEN 0 ELSE 1 END ASC,
+                                 c.c_id DESC) AS rn
+               FROM p LEFT JOIN c ON p.user_id = c.user_id
+             )
+        SELECT p_id, c_id FROM j WHERE rn = 1
+    """,
+)
+def q_join_asof_nearest(spark, d):
+    """Nearest as-of join: the click closest in time to each purchase,
+    per user; equal distances resolve to the backward (earlier) match
+    — the operator's documented tie rule, mirrored in the oracle by
+    preferring `c.ts <= p.ts` at equal |Δt|. Distances compare in
+    integer microseconds on both engines (epoch_us vs unix_micros)."""
+    ev = load(spark, d, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(
+        purchases, clicks, on="user_id", ts="ts",
+        value_cols=["event_id"], tiebreak="event_id",
+        direction="nearest",
+    )
+    return out.select("p_id", F.col("asof_event_id").alias("c_id"))
+
+
+@query(
     "q_join_cross",
     oracle="""
         SELECT r.r_name, n.n_name, r.r_name || '/' || n.n_name AS pair

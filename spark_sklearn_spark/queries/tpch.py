@@ -145,6 +145,177 @@ def q_tpch_q5(spark, d):
 
 
 @query(
+    "q_tpch_q7",
+    oracle=f"""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+               {sql_dsum("l.l_extendedprice * (1 - l.l_discount)", "revenue")}
+        FROM supplier s
+        JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+        JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_6')
+            OR (n1.n_name = 'NATION_6' AND n2.n_name = 'NATION_9'))
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY 1, 2, 3
+        ORDER BY 1, 2, 3
+    """,
+)
+def q_tpch_q7(spark, d):
+    """TPC-H Q7 (volume shipping): bilateral trade between two nations
+    by shipment year. The nation pair predicate cuts both dims before
+    the join — supplier/customer/nation all broadcast, and only the
+    orders⋈lineitem spine shuffles. Nation names adapted to the
+    fixture's NATION_k domain."""
+    s = load(spark, d, "supplier")
+    c = load(spark, d, "customer")
+    n1 = load(spark, d, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load(spark, d, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    o = load(spark, d, "orders")
+    li = load(spark, d, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_9") & (F.col("cust_nation") == "NATION_6"))
+            | ((F.col("supp_nation") == "NATION_6") & (F.col("cust_nation") == "NATION_9"))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "q_tpch_q18",
+    oracle=f"""
+        SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+               o.o_totalprice,
+               {sql_dsum("l.l_quantity", "sum_qty")}
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey
+            HAVING SUM(CAST(l_quantity AS DECIMAL(30,10))) > 225
+        )
+        GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+                 o.o_totalprice
+        ORDER BY o.o_totalprice DESC, o.o_orderkey
+        LIMIT 100
+    """,
+)
+def q_tpch_q18(spark, d):
+    """TPC-H Q18 (large-volume customer): orders whose total quantity
+    exceeds a threshold, with their customer, top 100 by price. The
+    HAVING subquery is a self-semi-join of lineitem on l_orderkey —
+    both sides shuffle on the same key, so AQE reuses the exchange;
+    the quantity threshold compares through the decimal policy on
+    both engines. Threshold 225 ≈ the fixture's 97th percentile."""
+    from ._helpers import DEC
+
+    c = load(spark, d, "customer")
+    o = load(spark, d, "orders")
+    li = load(spark, d, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("__q"))
+        .filter(F.col("__q") > 225)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(big.withColumnRenamed("l_orderkey", "__ok"),
+                F.col("l_orderkey") == F.col("__ok"), "left_semi")
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == F.col("c_custkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dsum("l_quantity", "sum_qty"))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@query(
+    "q_tpch_q21",
+    oracle="""
+        WITH lo AS (
+            SELECT l.l_orderkey, l.l_suppkey,
+                   l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY AS late
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderstatus = 'F'
+        ), per_order AS (
+            SELECT l_orderkey,
+                   count(DISTINCT l_suppkey) AS n_supp,
+                   count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late
+            FROM lo GROUP BY l_orderkey
+        )
+        SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+        FROM lo
+        JOIN per_order p ON lo.l_orderkey = p.l_orderkey
+        JOIN supplier s  ON lo.l_suppkey = s.s_suppkey
+        WHERE lo.late AND p.n_supp > 1 AND p.n_late = 1
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s.s_name
+        LIMIT 10
+    """,
+)
+def q_tpch_q21(spark, d):
+    """TPC-H Q21 (suppliers who kept orders waiting): late lineitems
+    in multi-supplier finalized orders where exactly ONE supplier was
+    late. The classic EXISTS/NOT-EXISTS pair is re-expressed as one
+    per-order aggregate (n_supp > 1 covers EXISTS another supplier;
+    n_late = 1 covers NOT EXISTS another LATE supplier) joined back to
+    the late rows — two shuffles on l_orderkey instead of two extra
+    self-join passes, and AQE reuses the exchange. Lateness adapted to
+    the fixture (no l_receiptdate/l_commitdate): shipped >90 days
+    after the order date."""
+    o = load(spark, d, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = load(spark, d, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    s = load(spark, d, "supplier")
+    lo = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")).alias(
+            "late"
+        ),
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late"),
+    )
+    return (
+        lo.filter(F.col("late"))
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(10)
+    )
+
+
+@query(
     "q_tpch_q6",
     oracle=f"""
         SELECT {sql_dsum("l_extendedprice * l_discount", "revenue")},

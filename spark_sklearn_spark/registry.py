@@ -24,68 +24,70 @@ QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
 # The driver's differential harness checks the FIRST 50 keys of ``queries()``
-# in iteration order (CORRECTNESS_r02.json is exactly registration-order keys
-# 1-50). With >50 registered queries the tail is invisible to the hard gate,
-# so we pin an explicit priority order: families with no driver-green row yet
-# (UDF/ML/dedup/similarity/text/multimodal/TPC-H as of r02) plus every query
-# added this round come first, backfilled with load-bearing re-checks of
-# queries whose underlying operators changed this round. The remaining keys
-# (all hash-green in CORRECTNESS_r02.json) follow in registration order and
-# stay covered by tools/check.py sweeps + pytest.
+# in iteration order. With >50 registered queries the tail is invisible to the
+# hard gate, so we pin an explicit priority order and ROTATE it each round so
+# no key goes more than two rounds without a driver re-check. Round-4 order:
+# the five queries added this round first, then the 32 keys whose last
+# driver-green row is CORRECTNESS_r02.json (stale by two rounds — VERDICT r3
+# "What's missing" #2), then re-checks of queries whose code changes this
+# round (broadcast-hint removals in pipeline.py, tpch.py additions, the asof
+# operator now driving three queries) and the flagship. The ~37 keys checked
+# in r3 and unchanged since stay covered by tools/check.py sweeps + pytest.
+# tests/test_queries_smoke.py asserts every name here is registered.
 DRIVER_PRIORITY: list[str] = [
-    # r02-invisible families (registration positions 51-80 in round 2)
-    "q_stream_stateful",
+    # new in round 4 (never driver-checked)
+    "q_join_asof_forward",
+    "q_join_asof_nearest",
+    "q_tpch_q7",
+    "q_tpch_q18",
+    "q_tpch_q21",
+    # last driver-checked in r2 (stale two rounds)
+    "q_filter_like",
+    "q_join_broadcast",
+    "q_join_shuffle",
+    "q_join_multiway",
+    "q_join_outer",
+    "q_join_outer_right",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_cross",
+    "q_agg_distinct",
+    "q_agg_approx_distinct",
+    "q_agg_rollup",
+    "q_agg_cube",
+    "q_agg_stats",
+    "q_win_rank",
+    "q_win_analytic",
+    "q_win_frame_rows",
+    "q_win_frame_range",
+    "q_sort_multi",
+    "q_topk_limit",
+    "q_set_union",
+    "q_set_union_distinct",
+    "q_set_intersect",
+    "q_set_except",
+    "q_fn_string",
+    "q_fn_date",
+    "q_fn_math",
+    "q_fn_map",
+    "q_fn_json",
+    "q_stream_sliding",
+    "q_stream_watermark",
+    "q_stream_dedup",
+    # re-checks: queries whose code changes this round + flagship
+    "q_dedup_clusters",
+    "q_multimodal_cols",
+    "q_multimodal_decode",
+    "q_dedup_exact",
+    "q_join_asof",
+    "q_join_skew",
     "q_tpch_q3",
     "q_tpch_q10",
     "q_tpch_q5",
     "q_tpch_q6",
-    "q_udf_scalar",
-    "q_udaf_grouped",
-    "q_udtf_split",
-    "q_gapply_norm",
-    "q_ml_grid_search",
-    "q_ml_random_search",
-    "q_ml_vector_roundtrip",
-    "q_ml_keyed_fit",
-    "q_ml_keyed_transform",
-    "q_dedup_exact",
-    "q_dedup_minhash",
-    "q_dedup_fingerprint",
-    "q_sim_knn_brute",
-    "q_sim_pairs_threshold",
-    "q_text_stats",
-    "q_text_tfidf",
-    "q_text_quality",
-    "q_multimodal_cols",
-    "q_dedup_simhash",
-    "q_sim_ann_ivf",
-    "q_text_langid",
-    "q_text_tokens",
-    "q_multimodal_decode",
-    "q_dedup_embedding",
-    "q_dedup_clusters",
-    # new in round 3 (never driver-checked)
-    "q_join_skew",
-    "q_join_asof_forward",
-    "q_join_asof_nearest",
-    "q_dedup_embedding_lsh",
-    "q_tpch_q7",
-    "q_tpch_q18",
-    "q_tpch_q21",
-    # re-checks: flagship + queries whose operators change this round
     "q_agg_hash",
-    "q_join_asof",
-    "q_win_ntile",
-    "q_join_theta",
-    "q_join_range_ts",
-    "q_stream_session",
-    "q_agg_collect",
-    "q_agg_grouping_sets",
-    "q_join_outer_full",
-    "q_fn_array",
-    "q_scan_pushdown",
-    "q_topk_per_group",
-    "q_stream_tumbling",
+    "q_dedup_embedding_lsh",
+    "q_sim_ann_ivf",
 ]
 
 

@@ -68,6 +68,72 @@ def test_asof_tiebreak_picks_greatest(spark):
     assert out[0]["asof_tag"] == "second"
 
 
+def _asof_fixture(spark):
+    """One key, left rows at t=100 and t=205; right rows at 90, 100,
+    150, 150 (tie), 210 — crafted so backward/forward/nearest and the
+    strict mode all pick DIFFERENT rows."""
+    left = spark.createDataFrame(
+        [(1, 100), (1, 205)], "k bigint, t bigint"
+    ).select("k", "t", F.timestamp_micros(F.col("t") * 1_000_000).alias("ts"))
+    right = spark.createDataFrame(
+        [(1, 90, 1, "r90"), (1, 100, 2, "r100"), (1, 150, 3, "r150a"),
+         (1, 150, 4, "r150b"), (1, 210, 5, "r210")],
+        "k bigint, t bigint, rid bigint, tag string",
+    ).select("k", F.timestamp_micros(F.col("t") * 1_000_000).alias("ts"), "rid", "tag")
+    return left, right
+
+
+def _asof_tags(left, right, **kw):
+    out = asof_join(left, right, on="k", ts="ts", value_cols=["tag"],
+                    tiebreak="rid", **kw)
+    return {r["t"]: r["asof_tag"] for r in out.collect()}
+
+
+def test_asof_forward_picks_earliest_at_or_after(spark):
+    left, right = _asof_fixture(spark)
+    got = _asof_tags(left, right, direction="forward")
+    # t=100: exact match wins; t=205: earliest later row is 210
+    assert got == {100: "r100", 205: "r210"}
+
+
+def test_asof_forward_strict_skips_exact_match(spark):
+    left, right = _asof_fixture(spark)
+    got = _asof_tags(left, right, direction="forward", allow_exact_matches=False)
+    # t=100: exact match excluded -> next is the 150 tie, greatest rid wins
+    assert got == {100: "r150b", 205: "r210"}
+
+
+def test_asof_backward_strict_skips_exact_match(spark):
+    left, right = _asof_fixture(spark)
+    got = _asof_tags(left, right, allow_exact_matches=False)
+    assert got == {100: "r90", 205: "r150b"}
+
+
+def test_asof_nearest_prefers_backward_on_equal_distance(spark):
+    left, right = _asof_fixture(spark)
+    got = _asof_tags(left, right, direction="nearest")
+    # t=100: exact match (d=0); t=205: backward 150 is d=55, forward 210
+    # is d=5 -> forward wins; equal-distance case pinned separately
+    assert got == {100: "r100", 205: "r210"}
+    # equal distance: left at 125 sits exactly between 100 and 150 ->
+    # backward match (r100) must win per the documented tie rule
+    mid = left.limit(0).sparkSession.createDataFrame(
+        [(1, 125)], "k bigint, t bigint"
+    ).select("k", "t", F.timestamp_micros(F.col("t") * 1_000_000).alias("ts"))
+    assert _asof_tags(mid, right, direction="nearest") == {125: "r100"}
+
+
+def test_asof_nearest_one_sided_when_no_forward_match(spark):
+    left, right = _asof_fixture(spark)
+    far = spark.createDataFrame(
+        [(1, 500), (1, 10)], "k bigint, t bigint"
+    ).select("k", "t", F.timestamp_micros(F.col("t") * 1_000_000).alias("ts"))
+    got = _asof_tags(far, right, direction="nearest")
+    # t=500 has no forward candidate -> backward 210; t=10 has no
+    # backward candidate -> forward 90
+    assert got == {500: "r210", 10: "r90"}
+
+
 def test_asof_rejects_non_integer_tiebreak(spark):
     left = spark.createDataFrame([(1, 1)], "k bigint, ts bigint")
     right = spark.createDataFrame([(1, 1, "x")], "k bigint, ts bigint, tag string")

@@ -15,7 +15,9 @@ import __spark_entry__ as entry
 SLOW = {"q_ml_grid_search", "q_ml_random_search"}  # CV fits: covered by t2
 # q_join_theta's selective value filters leave no qualifying pairs in
 # the 1000-event sf0.001 fixture; it returns 6 rows at sf0.01 (t2).
-EMPTY_OK: set[str] = {"q_join_theta"}
+# q_tpch_q7's nation pair doesn't exist among sf0.001's 10 suppliers;
+# it returns 4 rows at sf0.01 (the driver's correctness grain).
+EMPTY_OK: set[str] = {"q_join_theta", "q_tpch_q7"}
 
 
 @pytest.fixture(scope="module")
@@ -30,6 +32,23 @@ def test_every_query_has_docstring_and_registration(registry):
         assert fn.__doc__, f"{name} lacks a docstring"
         assert name.startswith("q_"), name
     assert set(oracles) <= set(queries)
+
+
+def test_driver_priority_names_are_registered(registry):
+    """Every DRIVER_PRIORITY name must be a registered query —
+    ordered_queries() silently drops unknown names, so a phantom entry
+    wastes one of the 50 driver-checked slots (VERDICT r3 item 4: five
+    pinned-but-unimplemented keys went unnoticed for a round)."""
+    from spark_sklearn_spark.registry import DRIVER_PRIORITY
+
+    queries, _ = registry
+    phantom = set(DRIVER_PRIORITY) - set(queries)
+    assert not phantom, f"DRIVER_PRIORITY pins unregistered queries: {sorted(phantom)}"
+    assert len(DRIVER_PRIORITY) == len(set(DRIVER_PRIORITY)), "duplicate priority keys"
+    assert len(DRIVER_PRIORITY) >= 50, (
+        "driver checks the first 50 keys; a shorter priority list leaves "
+        "slots to registration-order luck"
+    )
 
 
 def test_entry_flagship_runs(spark):
