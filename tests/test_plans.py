@@ -57,9 +57,31 @@ def test_topk_uses_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
-def test_multimodal_join_broadcasts_embeddings(spark, sf_dir):
+def test_multimodal_join_is_bucketed_zero_exchange(spark, sf_dir):
+    """documents⋈embeddings is 1:1 table-to-table — broadcasting either
+    side grows with the corpus. The co-bucketed sort-merge join must
+    run with ZERO Exchange (bucket-local scans on both sides) and no
+    broadcast of the embeddings relation."""
     plan = _plan(spark, sf_dir, "q_multimodal_cols")
-    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan
+    assert "BroadcastHashJoin" not in plan
+    assert plan.count("Bucketed: true") == 2
+
+
+def test_dedup_clusters_never_broadcasts_cluster_sizes(spark, sf_dir):
+    """component_size must come from a cluster-partitioned window, not
+    a join against an O(#clusters) relation — #clusters is within a
+    constant factor of #documents on a mostly-unique corpus, so a
+    static broadcast of it melts the driver at scale. (AQE may still
+    broadcast genuinely-small sides inside the LSH subplans — that's
+    runtime-sized and reverts to shuffle at scale; the pinned property
+    is that no join is keyed on cluster_id.)"""
+    import re
+
+    plan = _plan(spark, sf_dir, "q_dedup_clusters")
+    assert re.search(r"Window \[count\(1\) windowspecdefinition\(cluster_id", plan)
+    assert not re.search(r"Join \[cluster_id", plan)
 
 
 def test_agg_hash_is_partial_final(spark, sf_dir):
