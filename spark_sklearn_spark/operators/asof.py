@@ -120,13 +120,25 @@ def asof_join(
         filled = u.select(
             "__side", "__lrow", "__t", *scan(backward=True), *scan(backward=False)
         )
-        # distances in integer microseconds for timestamps — a double
-        # epoch would round at the last ulp and could flip an
-        # equal-distance tie against an integer-math oracle
+        # distances in integer units (microseconds / days / the raw
+        # integer) — a double epoch would round at the last ulp and
+        # could flip an equal-distance tie against an integer-math
+        # oracle, and bigints past 2^53 would lose precision entirely
         ts_type = dict(left.dtypes).get(ts, "")
 
         def tnum(c):
-            return F.unix_micros(c) if ts_type.startswith("timestamp") else c.cast("double")
+            if ts_type.startswith("timestamp"):
+                return F.unix_micros(c)
+            if ts_type == "date":
+                return F.unix_date(c)
+            if ts_type in ("tinyint", "smallint", "int", "bigint"):
+                return c.cast("long")
+            if ts_type in ("float", "double"):
+                return c.cast("double")
+            raise TypeError(
+                f"asof_join direction='nearest' needs an orderable "
+                f"numeric/temporal ts column (got {ts!r}: {ts_type!r})"
+            )
 
         d_b = tnum(F.col("__t")) - tnum(F.col("__mt_b"))
         d_f = tnum(F.col("__mt_f")) - tnum(F.col("__t"))

@@ -20,6 +20,11 @@ def spark():
     s = createLocalSparkSession("pytest", cpus=8)
     s.conf.set("spark.sql.shuffle.partitions", "8")
     yield s
+    # _IVF_CACHE holds persisted DataFrames for the app lifetime;
+    # release them when the suite's session winds down.
+    from spark_sklearn_spark.operators.ivf import clear_ivf_cache
+
+    clear_ivf_cache()
 
 
 @pytest.fixture(scope="session")

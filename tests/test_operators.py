@@ -134,6 +134,42 @@ def test_asof_nearest_one_sided_when_no_forward_match(spark):
     assert got == {500: "r210", 10: "r90"}
 
 
+def test_asof_nearest_date_and_bigint_ts(spark):
+    """nearest over DATE and bigint ts columns (ADVICE r3: the double
+    cast fallback silently narrowed the ts domain) — integer-unit
+    distance math in days / raw longs, equal-distance tie -> backward."""
+    # DATE: left 2024-01-11 sits 10 days from both right rows
+    left_d = spark.sql(
+        "select 1 as k, date'2024-01-11' as ts"
+    )
+    right_d = spark.sql(
+        "select 1 as k, date'2024-01-01' as ts, 1 as rid, 'jan1' as tag "
+        "union all select 1, date'2024-01-21', 2, 'jan21'"
+    )
+    out = asof_join(left_d, right_d, on="k", ts="ts", value_cols=["tag"],
+                    tiebreak="rid", direction="nearest").collect()
+    assert out[0]["asof_tag"] == "jan1"
+    # bigint beyond 2^53: double math would see d_b == d_f == 0 wrongly
+    base = 1 << 60
+    left_i = spark.createDataFrame([(1, base + 3)], "k bigint, ts bigint")
+    right_i = spark.createDataFrame(
+        [(1, base, 1, "lo"), (1, base + 4, 2, "hi")],
+        "k bigint, ts bigint, rid bigint, tag string",
+    )
+    out = asof_join(left_i, right_i, on="k", ts="ts", value_cols=["tag"],
+                    tiebreak="rid", direction="nearest").collect()
+    assert out[0]["asof_tag"] == "hi"  # d_f=1 < d_b=3 — long math required
+
+
+def test_asof_nearest_rejects_string_ts(spark):
+    left = spark.createDataFrame([(1, "a")], "k bigint, ts string")
+    right = spark.createDataFrame([(1, "a", 1, "x")],
+                                  "k bigint, ts string, rid bigint, tag string")
+    with pytest.raises(TypeError, match="nearest"):
+        asof_join(left, right, on="k", ts="ts", value_cols=["tag"],
+                  tiebreak="rid", direction="nearest")
+
+
 def test_asof_rejects_non_integer_tiebreak(spark):
     left = spark.createDataFrame([(1, 1)], "k bigint, ts bigint")
     right = spark.createDataFrame([(1, 1, "x")], "k bigint, ts bigint, tag string")
