@@ -15,6 +15,7 @@ from . import (  # noqa: F401
     scalar_fns,
     streaming_batch,
     tpch,
+    tpch2,
     udfs,
     ml,
     pipeline,

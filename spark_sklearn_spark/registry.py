@@ -27,20 +27,39 @@ ORACLES: dict[str, str] = {}
 # in iteration order. With >50 registered queries the tail is invisible to the
 # hard gate, so we pin an explicit priority order and ROTATE it each round so
 # no key goes more than two rounds without a driver re-check. Round-4 order:
-# the five queries added this round first, then the 32 keys whose last
-# driver-green row is CORRECTNESS_r02.json (stale by two rounds — VERDICT r3
-# "What's missing" #2), then re-checks of queries whose code changes this
-# round (broadcast-hint removals in pipeline.py, tpch.py additions, the asof
-# operator now driving three queries) and the flagship. The ~37 keys checked
-# in r3 and unchanged since stay covered by tools/check.py sweeps + pytest.
+# the 19 queries with no driver row yet (the 14 tpch2.py additions completing
+# the TPC-H suite, plus asof forward/nearest and Q7/Q18/Q21 which postdate
+# r3's check), then the two queries whose plans changed AFTER r3's check
+# (broadcast-hint removals, commit 88528f9), then 29 of the 32 keys whose
+# last driver-green row is CORRECTNESS_r02.json. Three r2-stale keys
+# (q_join_cross, q_set_union, q_set_union_distinct — trivial, unchanged,
+# pytest-smoke covered) plus the r3-green unchanged tail wait for r5.
 # tests/test_queries_smoke.py asserts every name here is registered.
 DRIVER_PRIORITY: list[str] = [
-    # new in round 4 (never driver-checked)
+    # never driver-checked: TPC-H suite completion (tpch2.py)
+    "q_tpch_q2",
+    "q_tpch_q4",
+    "q_tpch_q8",
+    "q_tpch_q9",
+    "q_tpch_q11",
+    "q_tpch_q12",
+    "q_tpch_q13",
+    "q_tpch_q14",
+    "q_tpch_q15",
+    "q_tpch_q16",
+    "q_tpch_q17",
+    "q_tpch_q19",
+    "q_tpch_q20",
+    "q_tpch_q22",
+    # never driver-checked: added after r3's harness ran
     "q_join_asof_forward",
     "q_join_asof_nearest",
     "q_tpch_q7",
     "q_tpch_q18",
     "q_tpch_q21",
+    # plans changed after r3's check (broadcast removals, 88528f9)
+    "q_dedup_clusters",
+    "q_multimodal_cols",
     # last driver-checked in r2 (stale two rounds)
     "q_filter_like",
     "q_join_broadcast",
@@ -50,7 +69,6 @@ DRIVER_PRIORITY: list[str] = [
     "q_join_outer_right",
     "q_join_semi",
     "q_join_anti",
-    "q_join_cross",
     "q_agg_distinct",
     "q_agg_approx_distinct",
     "q_agg_rollup",
@@ -62,8 +80,6 @@ DRIVER_PRIORITY: list[str] = [
     "q_win_frame_range",
     "q_sort_multi",
     "q_topk_limit",
-    "q_set_union",
-    "q_set_union_distinct",
     "q_set_intersect",
     "q_set_except",
     "q_fn_string",
@@ -74,20 +90,10 @@ DRIVER_PRIORITY: list[str] = [
     "q_stream_sliding",
     "q_stream_watermark",
     "q_stream_dedup",
-    # re-checks: queries whose code changes this round + flagship
-    "q_dedup_clusters",
-    "q_multimodal_cols",
-    "q_multimodal_decode",
-    "q_dedup_exact",
-    "q_join_asof",
-    "q_join_skew",
-    "q_tpch_q3",
-    "q_tpch_q10",
-    "q_tpch_q5",
-    "q_tpch_q6",
-    "q_agg_hash",
-    "q_dedup_embedding_lsh",
-    "q_sim_ann_ivf",
+    # deferred to r5 (r2-green, trivial, pytest-covered)
+    "q_join_cross",
+    "q_set_union",
+    "q_set_union_distinct",
 ]
 
 
