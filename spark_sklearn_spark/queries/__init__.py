@@ -19,4 +19,6 @@ from . import (  # noqa: F401
     udfs,
     ml,
     pipeline,
+    pipeline2,
+    reshape,
 )

@@ -1,0 +1,172 @@
+"""LLM-pipeline text operators, batch 2: exact n-gram Jaccard
+near-dup pairs and rolling-hash document fingerprints.
+
+Complements pipeline.py's sketch-based families (MinHash bands,
+SimHash, SRP) with their EXACT counterparts — the forms you run on a
+candidate subset, or at moderate corpus sizes, when you need the true
+Jaccard rather than a banded estimate.
+
+Scale notes: the n-gram join is a postings join (doc x gram), never a
+doc x doc cartesian; hot grams are capped by a document-frequency
+filter exactly like stop-shingle removal, which bounds any posting
+list's pair fan-out at C(cap, 2); the rolling-hash fingerprint is a
+Generate + hash agg, one shuffle on doc_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from ..registry import query
+from ..sources.io import load
+
+# Word bigrams present in more than DF_CAP documents are dropped from
+# BOTH sides (stop-gram removal): a gram in k docs fans out C(k,2)
+# candidate pairs, so the cap bounds the postings join while barely
+# moving Jaccard on near-dups (stop-grams carry no identity signal).
+DF_CAP = 100
+
+_BIGRAMS_SQL = f"""
+        words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+                FROM words),
+        grams AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i + 1] AS g FROM idx),
+        rare AS (
+            SELECT doc_id, g FROM grams
+            WHERE g IN (SELECT g FROM grams GROUP BY g
+                        HAVING COUNT(*) <= {DF_CAP})
+        )
+"""
+
+
+@query(
+    "q_dedup_ngram",
+    oracle=f"""
+        WITH {_BIGRAMS_SQL},
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM rare GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+            FROM rare a JOIN rare b ON a.g = b.g AND a.doc_id < b.doc_id
+            GROUP BY doc_a, doc_b
+        )
+        SELECT i.doc_a, i.doc_b,
+               ROUND(i.c * 1.0 / (sa.n + sb.n - i.c), 6) AS jacc
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
+        WHERE ROUND(i.c * 1.0 / (sa.n + sb.n - i.c), 6) >= 0.4
+        ORDER BY doc_a, doc_b
+    """,
+)
+def q_dedup_ngram(spark, d):
+    """Exact word-bigram Jaccard near-dup pairs at tau=0.4 over
+    DF-capped grams. |A .. B| comes from a postings self-join on the
+    gram (equi-join, one shuffle on g, fan-out bounded by DF_CAP);
+    |A u B| = |A| + |B| - |A .. B| from per-doc gram counts. The
+    ratio is rounded to 6 BEFORE the threshold on both engines, so
+    the boundary pair set is identical. This is the exact-verify
+    stage MinHash banding (q_dedup_minhash) approximates."""
+    docs = load(spark, d, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "CASE WHEN size(split(text, ' ')) >= 2 THEN "
+                    "transform(sequence(1, size(split(text, ' ')) - 1), "
+                    "  i -> concat(element_at(split(text, ' '), i), ' ', "
+                    "              element_at(split(text, ' '), i + 1))) "
+                    "ELSE array() END"
+                )
+            )
+        ).alias("g"),
+    )
+    # window-count keeps the DF cap at one shuffle on g (vs agg+join = two)
+    rare = (
+        grams.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("g")))
+        .filter(F.col("df") <= DF_CAP)
+        .drop("df")
+    )
+    sizes = rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = rare.select(F.col("doc_id").alias("doc_a"), "g")
+    b = rare.select(F.col("doc_id").alias("doc_b"), "g")
+    inter = (
+        a.join(b, "g")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jacc = F.round(
+        F.col("c") / (F.col("na") + F.col("nb") - F.col("c")), 6
+    )
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jacc", jacc)
+        .filter(F.col("jacc") >= 0.4)
+        .select("doc_a", "doc_b", "jacc")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# 5-char rolling window, base-256 polynomial over codepoints: fits
+# int64 exactly (max codepoint 0x10FFFF * 256^4 < 2^53 < 2^63), so
+# both engines compute identical hashes with plain integer math.
+_K = 5
+
+
+def _poly_sql(col: str, i: str) -> str:
+    return " + ".join(
+        f"ascii(substr({col}, {i} + {j}, 1)) * {256 ** (_K - 1 - j)}"
+        for j in range(_K)
+    )
+
+
+@query(
+    "q_text_fingerprint_rolling",
+    oracle=f"""
+        WITH pos AS (
+            SELECT doc_id, text,
+                   unnest(generate_series(1, len(text) - {_K - 1})) AS i
+            FROM documents
+            WHERE len(text) >= {_K}
+        ),
+        hashes AS (
+            SELECT doc_id, ({_poly_sql("text", "i")}) AS h FROM pos
+        )
+        SELECT doc_id,
+               MIN(h) AS fp_min,
+               COUNT(DISTINCT h) AS n_distinct_grams,
+               COUNT(*) AS n_grams
+        FROM hashes
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+)
+def q_text_fingerprint_rolling(spark, d):
+    """Rolling-hash document fingerprinting: a base-256 polynomial
+    over every 5-char window (the Rabin-Karp/winnowing primitive),
+    reduced to a per-doc min-hash fingerprint + gram cardinalities.
+    Generate (explode positions) -> codegen'd integer hash -> one
+    hash agg on doc_id; no Python, no extra shuffle. Full winnowing
+    (min per sliding window of hashes, for plagiarism-style locality)
+    adds one more window function over the same exploded frame."""
+    docs = load(spark, d, "documents").filter(F.length("text") >= _K)
+    pos = docs.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(1), F.length("text") - (_K - 1))).alias("i"),
+    )
+    hash_expr = F.expr(_poly_sql("text", "i"))
+    return (
+        pos.select("doc_id", hash_expr.alias("h"))
+        .groupBy("doc_id")
+        .agg(
+            F.min("h").alias("fp_min"),
+            F.count_distinct("h").alias("n_distinct_grams"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,164 @@
+"""Reshape / statistical-summary / sampling operators: pivot, unpivot,
+exact percentiles, deterministic hash sampling.
+
+These round out the relational surface a reference user expects from a
+DataFrame engine (pandas/sklearn users lean hard on pivot_table, melt,
+quantile, and reproducible sampling when staging training data).
+
+Scale notes: the pivot passes an EXPLICIT value list, so Spark skips
+the extra distinct-collection job a dynamic pivot needs and the plan
+is a single hash aggregate; unpivot is a Generate (no shuffle) before
+its agg; hash sampling is a pure codegen'd filter that prunes at scan
+time — none of these materialize driver-side state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.io import load
+from ._helpers import DEC, dsum, sql_dsum
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_PRIO_ALIAS = ["urgent", "high", "medium", "not_specified", "low"]
+
+
+@query(
+    "q_pivot_wide",
+    oracle="""
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS urgent,
+               COUNT(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS high,
+               COUNT(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS medium,
+               COUNT(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS not_specified,
+               COUNT(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS low,
+               COUNT(*) AS total
+        FROM orders
+        GROUP BY o_year
+        ORDER BY o_year
+    """,
+)
+def q_pivot_wide(spark, d):
+    """Pivot (long -> wide): order counts per year x priority. The
+    value list is explicit, so no pre-pass distinct job runs and the
+    whole query is ONE hash aggregate with 5 conditional counts —
+    the same plan the SQL oracle's CASE counts produce. Absent cells
+    coalesce to 0 to match COUNT(CASE...)."""
+    o = load(spark, d, "orders").withColumn("o_year", F.year("o_orderdate"))
+    wide = o.groupBy("o_year").pivot("o_orderpriority", _PRIORITIES).count()
+    total = o.groupBy("o_year").agg(F.count(F.lit(1)).alias("total"))
+    return (
+        wide.join(total, "o_year")
+        .select(
+            "o_year",
+            *[
+                F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(a)
+                for p, a in zip(_PRIORITIES, _PRIO_ALIAS)
+            ],
+            "total",
+        )
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "q_unpivot_long",
+    oracle=f"""
+        SELECT 'l_discount' AS measure, {sql_dsum("l_discount", "total")} FROM lineitem
+        UNION ALL
+        SELECT 'l_extendedprice', {sql_dsum("l_extendedprice", "total")} FROM lineitem
+        UNION ALL
+        SELECT 'l_quantity', {sql_dsum("l_quantity", "total")} FROM lineitem
+        UNION ALL
+        SELECT 'l_tax', {sql_dsum("l_tax", "total")} FROM lineitem
+        ORDER BY measure
+    """,
+)
+def q_unpivot_long(spark, d):
+    """Unpivot / melt (wide -> long): the four lineitem measures fold
+    into (measure, value) rows — an Expand node, zero shuffles —
+    then one decimal-exact sum per measure. The melt shape is what
+    feature-store exports and long-format training dumps use."""
+    li = load(spark, d, "lineitem")
+    long = li.unpivot(
+        [],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "value",
+    )
+    return (
+        long.groupBy("measure")
+        .agg(dsum(F.col("value"), "total"))
+        .orderBy("measure")
+    )
+
+
+@query(
+    "q_agg_percentile",
+    oracle="""
+        SELECT l_returnflag,
+               ROUND(quantile_cont(l_quantity, 0.25), 6) AS p25,
+               ROUND(quantile_cont(l_quantity, 0.50), 6) AS p50,
+               ROUND(quantile_cont(l_quantity, 0.75), 6) AS p75,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+)
+def q_agg_percentile(spark, d):
+    """Exact linear-interpolation percentiles of l_quantity per
+    return flag (Spark ``percentile`` == DuckDB ``quantile_cont``;
+    both interpolate a + (b-a)*frac over the sorted run, and the
+    inputs are identical parquet doubles, so the doubles agree before
+    the round-6). Exact percentile sorts within each group — fine for
+    a bounded group count; approx_percentile is the knob when groups
+    are huge (its t-digest error breaks the oracle, so the declared
+    query pins the exact form)."""
+    li = load(spark, d, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_quantity", F.lit(0.25)), 6).alias("p25"),
+            F.round(F.percentile("l_quantity", F.lit(0.50)), 6).alias("p50"),
+            F.round(F.percentile("l_quantity", F.lit(0.75)), 6).alias("p75"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q_sample_hash",
+    oracle="""
+        SELECT o_orderstatus,
+               COUNT(*) AS n_sample,
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE), 2)
+                 AS sum_price
+        FROM orders
+        WHERE (o_orderkey * 2654435761) % 4294967296 < 429496729
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
+)
+def q_sample_hash(spark, d):
+    """Deterministic ~10% sample via a Knuth multiplicative hash on
+    the key, then a sanity aggregate. Unlike TABLESAMPLE / df.sample
+    — whose row picks depend on partition layout and so can't be
+    oracle-checked or reproduced across engines — a key-hash filter
+    is a pure codegen'd predicate: same rows on any engine, any
+    partitioning, any day. This is the reproducible-subset idiom for
+    training-data pipelines (hash on a stable ID, threshold by
+    sample rate); the arithmetic stays in exact int64 on both sides."""
+    o = load(spark, d, "orders")
+    h = (F.col("o_orderkey") * F.lit(2654435761)) % F.lit(4294967296)
+    return (
+        o.filter(h < 429496729)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_sample"),
+            dsum(F.col("o_totalprice"), "sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )

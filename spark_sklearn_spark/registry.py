@@ -27,13 +27,14 @@ ORACLES: dict[str, str] = {}
 # in iteration order. With >50 registered queries the tail is invisible to the
 # hard gate, so we pin an explicit priority order and ROTATE it each round so
 # no key goes more than two rounds without a driver re-check. Round-4 order:
-# the 19 queries with no driver row yet (the 14 tpch2.py additions completing
-# the TPC-H suite, plus asof forward/nearest and Q7/Q18/Q21 which postdate
-# r3's check), then the two queries whose plans changed AFTER r3's check
-# (broadcast-hint removals, commit 88528f9), then 29 of the 32 keys whose
-# last driver-green row is CORRECTNESS_r02.json. Three r2-stale keys
-# (q_join_cross, q_set_union, q_set_union_distinct — trivial, unchanged,
-# pytest-smoke covered) plus the r3-green unchanged tail wait for r5.
+# the 25 queries with no driver row yet (14 tpch2.py TPC-H completions,
+# asof forward/nearest + Q7/Q18/Q21 which postdate r3's check, and the 6
+# reshape.py/pipeline2.py additions), then the two queries whose plans
+# changed AFTER r3's check (broadcast-hint removals, commit 88528f9), then
+# 23 of the 32 keys whose last driver-green row is CORRECTNESS_r02.json.
+# Nine r2-stale keys wait for r5, picked to cost least: three are rows-only
+# (their driver check is only rows>0), the rest are trivial unchanged
+# projections/setops with pytest-smoke coverage.
 # tests/test_queries_smoke.py asserts every name here is registered.
 DRIVER_PRIORITY: list[str] = [
     # never driver-checked: TPC-H suite completion (tpch2.py)
@@ -57,6 +58,13 @@ DRIVER_PRIORITY: list[str] = [
     "q_tpch_q7",
     "q_tpch_q18",
     "q_tpch_q21",
+    # never driver-checked: reshape.py / pipeline2.py additions
+    "q_pivot_wide",
+    "q_unpivot_long",
+    "q_agg_percentile",
+    "q_sample_hash",
+    "q_dedup_ngram",
+    "q_text_fingerprint_rolling",
     # plans changed after r3's check (broadcast removals, 88528f9)
     "q_dedup_clusters",
     "q_multimodal_cols",
@@ -70,13 +78,11 @@ DRIVER_PRIORITY: list[str] = [
     "q_join_semi",
     "q_join_anti",
     "q_agg_distinct",
-    "q_agg_approx_distinct",
     "q_agg_rollup",
     "q_agg_cube",
     "q_agg_stats",
     "q_win_rank",
     "q_win_analytic",
-    "q_win_frame_rows",
     "q_win_frame_range",
     "q_sort_multi",
     "q_topk_limit",
@@ -85,12 +91,15 @@ DRIVER_PRIORITY: list[str] = [
     "q_fn_string",
     "q_fn_date",
     "q_fn_math",
-    "q_fn_map",
-    "q_fn_json",
     "q_stream_sliding",
+    # deferred to r5 (r2-green, unchanged; rows-only or trivial
+    # pytest-covered projections/setops)
+    "q_agg_approx_distinct",
     "q_stream_watermark",
     "q_stream_dedup",
-    # deferred to r5 (r2-green, trivial, pytest-covered)
+    "q_win_frame_rows",
+    "q_fn_map",
+    "q_fn_json",
     "q_join_cross",
     "q_set_union",
     "q_set_union_distinct",

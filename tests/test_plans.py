@@ -162,6 +162,33 @@ def test_srp_dedup_has_no_all_pairs_stage(spark, sf_dir):
     assert_scalable(entry.queries()["q_dedup_embedding_lsh"](spark, sf_dir))
 
 
+def test_ngram_dedup_is_postings_join_not_cartesian(spark, sf_dir):
+    """q_dedup_ngram's exact Jaccard must come from the postings
+    equi-join on the gram, never a doc x doc cartesian; same for the
+    rolling-hash fingerprint (Generate + one hash agg)."""
+    from spark_sklearn_spark.plans import assert_scalable
+
+    assert_scalable(entry.queries()["q_dedup_ngram"](spark, sf_dir))
+    assert_scalable(entry.queries()["q_text_fingerprint_rolling"](spark, sf_dir))
+
+
+def test_sample_hash_filter_reaches_scan_side(spark, sf_dir):
+    """The deterministic sample predicate is codegen'd ahead of the
+    aggregate — no join, no Python, no extra exchange beyond the
+    group-by."""
+    plan = _plan(spark, sf_dir, "q_sample_hash")
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_tpch_q2_min_window_is_key_partitioned(spark, sf_dir):
+    """Q2's correlated-min rewrite must keep the window partitioned by
+    part key (no single-partition window) and stay cartesian-free."""
+    plan = _plan(spark, sf_dir, "q_tpch_q2")
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan
+
+
 def test_skew_join_salts_a_shuffled_hash_join(spark, sf_dir):
     """q_join_skew must go through the salt stage (not a broadcast,
     which would make the salting decorative): the executed plan shows
