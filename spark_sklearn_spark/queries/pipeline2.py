@@ -19,6 +19,7 @@ from pyspark.sql import Window, functions as F
 
 from ..registry import query
 from ..sources.io import load
+from ._helpers import DEC
 
 # Word bigrams present in more than DF_CAP documents are dropped from
 # BOTH sides (stop-gram removal): a gram in k docs fans out C(k,2)
@@ -169,4 +170,50 @@ def q_text_fingerprint_rolling(spark, d):
             F.count(F.lit(1)).alias("n_grams"),
         )
         .orderBy("doc_id")
+    )
+
+
+@query(
+    "q_emb_centroid",
+    oracle="""
+        WITH idx AS (
+            SELECT label, embedding AS e,
+                   unnest(generate_series(1, len(embedding))) AS dim
+            FROM embeddings
+        )
+        SELECT label, dim,
+               ROUND(CAST(SUM(CAST(CAST(e[dim] AS DOUBLE) AS DECIMAL(30,10)))
+                          AS DOUBLE) / COUNT(*), 6) AS centroid,
+               COUNT(*) AS n
+        FROM idx
+        GROUP BY label, dim
+        ORDER BY label, dim
+    """,
+)
+def q_emb_centroid(spark, d):
+    """Per-class embedding centroids — the training-pipeline primitive
+    behind nearest-centroid classifiers, class-balanced sampling, and
+    IVF coarse quantizer seeding. posexplode flattens (vector ->
+    dim, value) JVM-side, then ONE hash agg on (label, dim) computes
+    all centroids: the shuffle carries (label, dim, partial sums) —
+    64 x |labels| cells regardless of corpus size, so this aggregates
+    100 TB of embeddings into KBs. Float values widen to double before
+    the exact-decimal sum on both engines (float32 -> float64 is
+    value-preserving, so the hashes agree)."""
+    emb = load(spark, d, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .select(
+            "label",
+            (F.col("pos") + 1).alias("dim"),
+            F.col("val").cast("double").alias("v"),
+        )
+        .groupBy("label", "dim")
+        .agg(
+            F.round(
+                F.sum(F.col("v").cast(DEC)).cast("double") / F.count(F.lit(1)), 6
+            ).alias("centroid"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("label", "dim")
     )

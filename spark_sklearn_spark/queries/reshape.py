@@ -130,6 +130,77 @@ def q_agg_percentile(spark, d):
 
 
 @query(
+    "q_upsert_snapshot",
+    oracle=f"""
+        WITH changes AS (
+            SELECT o_orderkey AS key, o_totalprice * 1.1 AS new_price,
+                   FALSE AS is_delete
+            FROM orders WHERE o_orderkey % 10 = 0
+            UNION ALL
+            SELECT o_orderkey + 10000000, o_totalprice, FALSE
+            FROM orders WHERE o_orderkey % 100 = 7
+            UNION ALL
+            SELECT o_orderkey, CAST(NULL AS DOUBLE), TRUE
+            FROM orders WHERE o_orderkey % 37 = 1
+        ),
+        merged AS (
+            SELECT COALESCE(c.new_price, o.o_totalprice) AS price,
+                   COALESCE(o.o_orderstatus, 'NEW') AS status
+            FROM orders o
+            FULL OUTER JOIN changes c ON o.o_orderkey = c.key
+            WHERE COALESCE(c.is_delete, FALSE) = FALSE
+        )
+        SELECT status, COUNT(*) AS n_rows,
+               {sql_dsum("price", "sum_price")}
+        FROM merged GROUP BY status ORDER BY status
+    """,
+)
+def q_upsert_snapshot(spark, d):
+    """CDC upsert / SCD-1 snapshot maintenance without a table format:
+    apply a deterministic changes batch (updates, inserts, deletes —
+    synthesized from the orders keyspace so the oracle can mirror it)
+    onto the base via ONE full-outer join on the key, coalescing
+    changed columns and dropping delete rows. This is the MERGE INTO
+    rewrite for plain-parquet pipelines: one shuffle on the key (or
+    zero against a key-bucketed base table via sources/io
+    .write_bucketed); Delta/Iceberg replace the rewrite with the same
+    join plus file-level pruning, so the plan shape carries over."""
+    o = load(spark, d, "orders")
+    upd = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        F.col("o_orderkey").alias("key"),
+        (F.col("o_totalprice") * 1.1).alias("new_price"),
+        F.lit(False).alias("is_delete"),
+    )
+    ins = o.filter(F.col("o_orderkey") % 100 == 7).select(
+        (F.col("o_orderkey") + 10000000).alias("key"),
+        F.col("o_totalprice").alias("new_price"),
+        F.lit(False).alias("is_delete"),
+    )
+    dels = o.filter(F.col("o_orderkey") % 37 == 1).select(
+        F.col("o_orderkey").alias("key"),
+        F.lit(None).cast("double").alias("new_price"),
+        F.lit(True).alias("is_delete"),
+    )
+    changes = upd.unionByName(ins).unionByName(dels)
+    merged = (
+        o.join(changes, o.o_orderkey == changes.key, "full_outer")
+        .filter(F.coalesce(F.col("is_delete"), F.lit(False)) == False)  # noqa: E712
+        .select(
+            F.coalesce(F.col("new_price"), F.col("o_totalprice")).alias("price"),
+            F.coalesce(F.col("o_orderstatus"), F.lit("NEW")).alias("status"),
+        )
+    )
+    return (
+        merged.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("price"), "sum_price"),
+        )
+        .orderBy("status")
+    )
+
+
+@query(
     "q_sample_hash",
     oracle="""
         SELECT o_orderstatus,

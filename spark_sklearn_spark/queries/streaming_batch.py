@@ -152,3 +152,30 @@ def q_stream_stateful(spark, d):
     """Real readStream: arbitrary per-user running state via
     applyInPandasWithState."""
     return running_user_state(spark, d)
+
+
+@query(
+    "q_stream_join",
+    oracle="""
+        SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+               c.user_id,
+               epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+        FROM events c
+        JOIN events p ON c.user_id = p.user_id
+          AND p.ts >= c.ts
+          AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        ORDER BY click_id, purchase_id
+    """,
+)
+def q_stream_join(spark, d):
+    """Real readStream stream-stream interval join (clicks x
+    purchases within 30 min, watermarked state eviction on both
+    sides), DECLARED against the equivalent batch join: the
+    single-file availableNow source runs one micro-batch, so no row
+    can be watermark-dropped and the streaming result must equal the
+    SQL oracle exactly. See streaming/jobs.py for the state-bound
+    argument."""
+    from ..streaming.jobs import click_purchase_interval_join
+
+    return click_purchase_interval_join(spark, d)

@@ -117,6 +117,51 @@ def dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(out, "append")
 
 
+def click_purchase_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner interval join: purchases within 30 minutes
+    after a click by the same user. Both sides carry watermarks — the
+    join's state store evicts a click once the purchase-side watermark
+    passes click.ts + 30 min, which is what bounds state on unbounded
+    streams (without the time bound the join would buffer both
+    streams forever). The fixture source is a single parquet file, so
+    availableNow processes exactly one micro-batch and the result
+    equals the batch join — which is why this streaming query can be
+    DECLARED against a plain SQL oracle (multi-batch reads could drop
+    late rows by design and would demote this to rows-only)."""
+    ev = events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+    )
+    out = joined.select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("lag_us"),
+    )
+    return _run_to_memory(out, "append")
+
+
 def running_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary stateful processing: per-user running aggregates via
     applyInPandasWithState (count, running max value). One state

@@ -10,7 +10,10 @@ funnels through a single partition.
 
 from __future__ import annotations
 
+import re
+
 import __spark_entry__ as entry
+from pyspark.sql import functions as F
 
 
 def _plan(spark, sf_dir, name):
@@ -160,6 +163,26 @@ def test_srp_dedup_has_no_all_pairs_stage(spark, sf_dir):
     from spark_sklearn_spark.plans import assert_scalable
 
     assert_scalable(entry.queries()["q_dedup_embedding_lsh"](spark, sf_dir))
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """Hive-style partitioned parquet (the lake layout for time-series
+    facts): a filter on the partition column must become a
+    PartitionFilter — pruned at file-listing time, before any IO —
+    not a post-scan predicate."""
+    from spark_sklearn_spark.sources.io import load, write_parquet
+
+    o = load(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    path = str(tmp_path / "orders_by_year")
+    write_parquet(o, path, partition_by=["o_year"])
+    back = spark.read.parquet(path).filter(F.col("o_year") == 1997)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    m = re.search(r"PartitionFilters: \[(.*?)\]", plan)
+    assert m and "1997" in m.group(1), plan[:2000]
+    assert back.count() > 0
 
 
 def test_ngram_dedup_is_postings_join_not_cartesian(spark, sf_dir):
