@@ -217,3 +217,104 @@ def q_emb_centroid(spark, d):
         )
         .orderBy("label", "dim")
     )
+
+
+@query(
+    "q_fuzzy_join",
+    oracle="""
+        WITH names AS (SELECT DISTINCT p_name FROM part)
+        SELECT a.p_name AS name_a, b.p_name AS name_b,
+               CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        FROM names a
+        JOIN names b
+          ON split_part(a.p_name, ' ', 2) = split_part(b.p_name, ' ', 2)
+         AND a.p_name < b.p_name
+        WHERE levenshtein(a.p_name, b.p_name) <= 3
+        ORDER BY name_a, name_b
+    """,
+)
+def q_fuzzy_join(spark, d):
+    """Fuzzy (edit-distance) self-join over part names: candidate
+    pairs come from an EQUI-join on a blocking key (the noun token),
+    and levenshtein evaluates only within blocks — the standard
+    entity-resolution shape. An unblocked similarity join is a
+    cartesian (n^2 edit distances); blocking bounds the fan-out at
+    sum_b C(|b|, 2) and keeps the join hash-based. At corpus scale
+    the blocking key generalizes to phonetic/sorted-token keys, same
+    plan."""
+    names = load(spark, d, "part").select("p_name").distinct()
+    block = F.element_at(F.split(F.col("p_name"), " "), 2)
+    a = names.select(F.col("p_name").alias("name_a"), block.alias("blk"))
+    b = names.select(F.col("p_name").alias("name_b"), block.alias("blk"))
+    return (
+        a.join(b, "blk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b").cast("long"))
+        .filter(F.col("dist") <= 3)
+        .select("name_a", "name_b", "dist")
+        .orderBy("name_a", "name_b")
+    )
+
+
+@query(
+    "q_text_winnow",
+    oracle=f"""
+        WITH pos AS (
+            SELECT doc_id, text,
+                   unnest(generate_series(1, len(text) - {_K - 1})) AS i
+            FROM documents
+            WHERE len(text) >= {_K}
+        ),
+        hashes AS (
+            SELECT doc_id, i, ({_poly_sql("text", "i")}) AS h FROM pos
+        ),
+        winnowed AS (
+            SELECT doc_id,
+                   MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                       AS wmin,
+                   i,
+                   COUNT(*) OVER (PARTITION BY doc_id) AS n
+            FROM hashes
+        )
+        SELECT doc_id,
+               COUNT(DISTINCT wmin) AS n_fingerprints,
+               MIN(wmin) AS fp_min
+        FROM winnowed
+        WHERE i <= n - 3
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+)
+def q_text_winnow(spark, d):
+    """Full winnowing fingerprints (Schleimer et al.'s moss
+    primitive): the min rolling hash in every window of 4 consecutive
+    5-gram hashes, deduplicated per document. Guarantees a shared
+    fingerprint for any match of length >= 8 chars — the locality
+    property plain min-hashing (q_text_fingerprint_rolling) lacks.
+    Plan: Generate -> doc-partitioned window (bounded ROWS frame,
+    no single-partition stage) -> one hash agg."""
+    docs = load(spark, d, "documents").filter(F.length("text") >= _K)
+    pos = docs.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(1), F.length("text") - (_K - 1))).alias("i"),
+    )
+    hashes = pos.select("doc_id", "i", F.expr(_poly_sql("text", "i")).alias("h"))
+    w = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, 3)
+    wn = Window.partitionBy("doc_id")
+    winnowed = hashes.select(
+        "doc_id",
+        "i",
+        F.min("h").over(w).alias("wmin"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return (
+        winnowed.filter(F.col("i") <= F.col("n") - 3)
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("wmin").alias("n_fingerprints"),
+            F.min("wmin").alias("fp_min"),
+        )
+        .orderBy("doc_id")
+    )

@@ -147,3 +147,30 @@ def q_win_ntile(spark, d):
         n_tiles=4,
         out_col="quartile",
     ).select("c_custkey", "quartile")
+
+
+@query(
+    "q_win_distribution",
+    oracle="""
+        SELECT o_orderkey, o_orderstatus,
+               ROUND(percent_rank() OVER w, 6) AS pct_rank,
+               ROUND(cume_dist() OVER w, 6) AS cume
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderstatus
+                     ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def q_win_distribution(spark, d):
+    """percent_rank + cume_dist per order-status partition — the
+    distribution-analytic pair (rank-1)/(n-1) and rank_le/n. Values
+    are small-integer ratios evaluated in double on both engines, so
+    they agree bitwise before the round-6. Partitioned by status:
+    no single-partition window."""
+    o = load(spark, d, "orders")
+    w = W.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )

@@ -27,14 +27,14 @@ ORACLES: dict[str, str] = {}
 # in iteration order. With >50 registered queries the tail is invisible to the
 # hard gate, so we pin an explicit priority order and ROTATE it each round so
 # no key goes more than two rounds without a driver re-check. Round-4 order:
-# the 28 queries with no driver row yet (14 tpch2.py TPC-H completions,
-# asof forward/nearest + Q7/Q18/Q21 which postdate r3's check, and the 9
-# reshape.py/pipeline2.py/streaming additions), then the two queries whose
+# the 31 queries with no driver row yet (14 tpch2.py TPC-H completions,
+# asof forward/nearest + Q7/Q18/Q21 which postdate r3's check, and the 12
+# reshape.py/pipeline2.py/windows/streaming additions), then the two whose
 # plans changed AFTER r3's check (broadcast-hint removals, 88528f9), then
-# 20 of the 32 keys whose last driver-green row is CORRECTNESS_r02.json.
-# Twelve r2-stale keys wait for r5, picked to cost least: three are
+# 17 of the 32 keys whose last driver-green row is CORRECTNESS_r02.json.
+# Fifteen r2-stale keys wait for r5, picked to cost least: three are
 # rows-only (their driver check is only rows>0), the rest are trivial
-# unchanged projections/setops/sorts with pytest-smoke coverage.
+# unchanged projections/setops/sorts/windows with pytest-smoke coverage.
 # tests/test_queries_smoke.py asserts every name here is registered.
 DRIVER_PRIORITY: list[str] = [
     # never driver-checked: TPC-H suite completion (tpch2.py)
@@ -68,6 +68,9 @@ DRIVER_PRIORITY: list[str] = [
     "q_emb_centroid",
     "q_upsert_snapshot",
     "q_stream_join",
+    "q_win_distribution",
+    "q_fuzzy_join",
+    "q_text_winnow",
     # plans changed after r3's check (broadcast removals, 88528f9)
     "q_dedup_clusters",
     "q_multimodal_cols",
@@ -85,15 +88,15 @@ DRIVER_PRIORITY: list[str] = [
     "q_agg_cube",
     "q_agg_stats",
     "q_win_rank",
-    "q_win_analytic",
-    "q_set_intersect",
-    "q_set_except",
     "q_fn_string",
     "q_fn_date",
     "q_fn_math",
     "q_stream_sliding",
     # deferred to r5 (r2-green, unchanged; rows-only or trivial
-    # pytest-covered projections/setops/sorts)
+    # pytest-covered projections/setops/sorts/windows)
+    "q_win_analytic",
+    "q_set_intersect",
+    "q_set_except",
     "q_agg_approx_distinct",
     "q_stream_watermark",
     "q_stream_dedup",
