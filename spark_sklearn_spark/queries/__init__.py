@@ -20,5 +20,6 @@ from . import (  # noqa: F401
     ml,
     pipeline,
     pipeline2,
+    pipeline3,
     reshape,
 )

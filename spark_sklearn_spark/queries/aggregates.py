@@ -226,3 +226,35 @@ def q_agg_stats(spark, d):
         F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
         F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
     )
+
+
+@query(
+    "q_agg_histogram",
+    oracle="""
+        SELECT CAST(floor(o_totalprice / 25000.0) AS INTEGER) AS bucket,
+               COUNT(*) AS n_orders,
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10)))
+                          AS DOUBLE), 2) AS sum_price
+        FROM orders
+        GROUP BY bucket
+        ORDER BY bucket
+    """,
+)
+def q_agg_histogram(spark, d):
+    """Equi-width histogram of order prices: bucket = floor(x / 25k)
+    (prices span [1013, 500k) -> buckets 0..19). Plain arithmetic
+    binning rather than width_bucket so both engines evaluate the
+    identical IEEE double floor-division; the histogram itself is one
+    partial+final hash agg over ~20 groups — the profile-a-column
+    primitive that costs one scan no matter the table size."""
+    o = load(spark, d, "orders")
+    return (
+        o.groupBy(
+            F.floor(F.col("o_totalprice") / 25000.0).cast("int").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), "sum_price"),
+        )
+        .orderBy("bucket")
+    )

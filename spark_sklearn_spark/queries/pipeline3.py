@@ -1,0 +1,265 @@
+"""LLM-pipeline operators, batch 3: the curation tail of a dedup
+pipeline (canonical-doc selection), context-window chunking, and
+embedding int8 quantization.
+
+These are the steps that sit AFTER matching in a real training-data
+pipeline: once clusters are known you keep exactly one canonical
+member; once documents are clean you chunk them to the model's
+context window; once embeddings are computed you quantize them for
+the ANN index.
+
+Scale notes: canonical selection is one cluster-partitioned window
+over the component assignment (no extra shuffle beyond the one on
+cluster_id); chunking is a Generate (explode) — zero shuffles, output
+rows ~ corpus_bytes / stride; quantization is a pure per-row
+projection over the vector column — zero shuffles, zero Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from ..registry import query
+from ..sources.io import load
+from .pipeline import _SQL_JACCARD, _SQL_SHINGLES_CTE, NEAR_DUP_J
+
+
+@query(
+    "q_dedup_canonical",
+    oracle=f"""
+        WITH RECURSIVE {_SQL_SHINGLES_CTE}, pairs AS (
+          SELECT a.doc_id AS src, b.doc_id AS dst
+          FROM sh a, sh b
+          WHERE a.doc_id < b.doc_id
+            AND {_SQL_JACCARD} >= {NEAR_DUP_J}
+        ), edges AS (
+          SELECT src, dst FROM pairs
+          UNION SELECT dst, src FROM pairs
+          UNION SELECT doc_id, doc_id FROM documents
+        ), reach(src, dst) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        ), comp AS (
+          SELECT src AS doc_id, min(dst) AS cluster_id
+          FROM reach GROUP BY src
+        ), sized AS (
+          SELECT c.cluster_id, c.doc_id, d.n_chars,
+                 COUNT(*) OVER (PARTITION BY c.cluster_id) AS n_members,
+                 ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                    ORDER BY d.n_chars DESC, c.doc_id)
+                     AS rn
+          FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+        )
+        SELECT cluster_id,
+               doc_id AS canonical_doc,
+               n_chars AS kept_chars,
+               CAST(n_members AS BIGINT) AS n_members
+        FROM sized
+        WHERE rn = 1 AND n_members > 1
+        ORDER BY cluster_id
+    """,
+)
+def q_dedup_canonical(spark, d):
+    """Keep-one-per-cluster canonical selection — the step that turns
+    near-dup clusters into an actual dedup decision. Clusters come
+    from the same MinHash-LSH pairs + min-label-propagation components
+    as q_dedup_clusters; the canonical member is the longest document
+    (ties to the smallest doc_id), the usual keep-the-richest policy.
+    One cluster-partitioned window (count + row_number share the
+    partitioning, so one shuffle) over the component assignment;
+    singleton clusters are dropped — output is one row per real dup
+    group."""
+    from ..operators.components import connected_components
+    from ..operators.minhash import near_dup_pairs
+
+    docs = load(spark, d, "documents")
+    pairs = near_dup_pairs(
+        docs, "doc_id", "text", jaccard_threshold=NEAR_DUP_J
+    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    comp = connected_components(
+        docs.select("doc_id"), pairs, "doc_id", "src", "dst"
+    )
+    sized = comp.join(docs.select("doc_id", "n_chars"), "doc_id")
+    wc = Window.partitionBy("cluster_id")
+    wr = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        sized.withColumn("n_members", F.count(F.lit(1)).over(wc))
+        .withColumn("rn", F.row_number().over(wr))
+        .filter((F.col("rn") == 1) & (F.col("n_members") > 1))
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("canonical_doc"),
+            F.col("n_chars").alias("kept_chars"),
+            "n_members",
+        )
+        .orderBy("cluster_id")
+    )
+
+
+# Context-window chunking: CHUNK chars per piece, stride STRIDE
+# (CHUNK - STRIDE chars of overlap between consecutive pieces so no
+# span is split across a boundary without also appearing whole).
+CHUNK = 200
+STRIDE = 150
+
+
+@query(
+    "q_text_chunk",
+    oracle=f"""
+        SELECT doc_id,
+               i AS start,
+               md5(substr(text, i, {CHUNK})) AS chunk_md5,
+               CAST(len(substr(text, i, {CHUNK})) AS BIGINT) AS chunk_len
+        FROM (
+            SELECT doc_id, text,
+                   unnest(generate_series(1, len(text), {STRIDE})) AS i
+            FROM documents
+        )
+        ORDER BY doc_id, start
+    """,
+)
+def q_text_chunk(spark, d):
+    """Overlapping context-window chunking: each document becomes
+    ceil(len/STRIDE) pieces of up to CHUNK chars starting every STRIDE
+    chars — the standard fixed-window split for packing documents into
+    a model's context length. Pure Generate (explode of a sequence) +
+    codegen'd substring/md5 projection: zero shuffles, zero Python;
+    output volume is corpus_bytes x CHUNK/STRIDE regardless of
+    document-length skew, and a 1 GB document costs one task, not one
+    partition-sized sort. Chunks are emitted as (start, md5, len) so
+    the declared output stays scalar."""
+    docs = load(spark, d, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            "text",
+            F.explode(
+                F.sequence(F.lit(1), F.length("text"), F.lit(STRIDE))
+            ).alias("start"),
+        )
+        .select(
+            "doc_id",
+            "start",
+            F.md5(F.expr(f"substring(text, start, {CHUNK})")).alias("chunk_md5"),
+            F.expr(f"length(substring(text, start, {CHUNK}))")
+            .cast("long")
+            .alias("chunk_len"),
+        )
+        .orderBy("doc_id", "start")
+    )
+
+
+@query(
+    "q_emb_quantize",
+    oracle="""
+        WITH v AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd,
+                   list_max(list_transform(embedding,
+                                           x -> abs(CAST(x AS DOUBLE))))
+                       AS maxabs
+            FROM embeddings
+        )
+        SELECT vec_id,
+               ROUND(maxabs, 6) AS maxabs,
+               array_to_string(
+                   list_transform(
+                       vd, x -> CAST(floor(x * 127.0 / maxabs + 0.5) AS INT)),
+                   ',') AS q8
+        FROM v
+        WHERE maxabs > 0
+        ORDER BY vec_id
+    """,
+)
+def q_emb_quantize(spark, d):
+    """Symmetric int8 quantization of the embedding column — the
+    compression step before building a byte-sized ANN index (4x
+    smaller, SIMD-friendly dot products). Per vector: scale by
+    127/max|x| and round half-up via floor(x*s + 0.5), which both
+    engines evaluate identically in IEEE double (F.round's HALF_UP
+    BigDecimal path would not — see CLAUDE.md's decimal policy).
+    Floats are cast to double on BOTH sides before any arithmetic so
+    the promotion is identical. Pure per-row projection: zero
+    shuffles, zero Python; the int8 vector is serialized to a string
+    because declared outputs must be scalar."""
+    emb = load(spark, d, "embeddings")
+    v = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("vd"),
+        F.expr(
+            "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"
+        ).alias("maxabs"),
+    )
+    return (
+        v.filter(F.col("maxabs") > 0)
+        .select(
+            "vec_id",
+            F.round("maxabs", 6).alias("maxabs"),
+            F.expr(
+                "array_join(transform(vd, x -> "
+                "CAST(CAST(floor(x * 127.0 / maxabs + 0.5) AS INT) AS STRING)"
+                "), ',')"
+            ).alias("q8"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@query(
+    "q_text_ngram_counts",
+    oracle="""
+        WITH words AS (
+            SELECT lang, string_split(text, ' ') AS w FROM documents
+        ),
+        idx AS (
+            SELECT lang, w, unnest(generate_series(1, len(w) - 1)) AS i
+            FROM words WHERE len(w) >= 2
+        ),
+        counts AS (
+            SELECT lang, w[i] || ' ' || w[i + 1] AS gram, COUNT(*) AS n
+            FROM idx GROUP BY lang, gram
+        ),
+        ranked AS (
+            SELECT lang, gram, n,
+                   ROW_NUMBER() OVER (PARTITION BY lang
+                                      ORDER BY n DESC, gram) AS rn
+            FROM counts
+        )
+        SELECT lang, gram, CAST(n AS BIGINT) AS n
+        FROM ranked WHERE rn <= 20
+        ORDER BY lang, n DESC, gram
+    """,
+)
+def q_text_ngram_counts(spark, d):
+    """Corpus-wide token-bigram count table, top 20 per language — the
+    n-gram statistics pass behind LM count tables, contamination
+    checks, and stop-gram lists. Occurrence counts (not per-doc
+    distinct): Generate -> one partial+final hash agg on (lang, gram)
+    -- the big shuffle is the agg, whose map-side combine collapses
+    repeated grams before the exchange -- then a top-k window over the
+    already-aggregated gram counts partitioned by lang. Ties pinned by
+    (n DESC, gram) on both engines."""
+    docs = load(spark, d, "documents")
+    words = docs.select("lang", F.split("text", " ").alias("w")).filter(
+        F.size("w") >= 2
+    )
+    grams = words.select(
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 1), "
+                "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
+            )
+        ).alias("gram"),
+    )
+    counts = grams.groupBy("lang", "gram").agg(F.count(F.lit(1)).alias("n"))
+    wr = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("gram"))
+    return (
+        counts.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= 20)
+        .select("lang", "gram", "n")
+        .orderBy("lang", F.col("n").desc(), "gram")
+    )

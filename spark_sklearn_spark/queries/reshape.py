@@ -233,3 +233,41 @@ def q_sample_hash(spark, d):
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "q_sample_stratified",
+    oracle="""
+        SELECT lang,
+               COUNT(*) AS n_sample,
+               CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+        FROM documents
+        WHERE (doc_id * 2654435761) % 4294967296 <
+              CASE WHEN lang = 'en' THEN 2147483648 ELSE 429496729 END
+        GROUP BY lang
+        ORDER BY lang
+    """,
+)
+def q_sample_stratified(spark, d):
+    """Stratified deterministic sampling: per-stratum rates (50% for
+    'en', 10% for every other lang) applied through the same Knuth
+    key-hash filter as q_sample_hash — the up/down-sampling idiom for
+    rebalancing a training mix. The per-stratum threshold is a CASE
+    over the stratum column, so the whole thing stays one codegen'd
+    scan predicate: no shuffle, no per-stratum pass, reproducible on
+    any engine/partitioning. sum(doc_id) pins the exact row picks,
+    not just the counts."""
+    docs = load(spark, d, "documents")
+    h = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    thresh = F.when(F.col("lang") == "en", F.lit(2147483648)).otherwise(
+        F.lit(429496729)
+    )
+    return (
+        docs.filter(h < thresh)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sample"),
+            F.sum("doc_id").alias("sum_ids"),
+        )
+        .orderBy("lang")
+    )

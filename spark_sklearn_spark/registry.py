@@ -27,14 +27,16 @@ ORACLES: dict[str, str] = {}
 # in iteration order. With >50 registered queries the tail is invisible to the
 # hard gate, so we pin an explicit priority order and ROTATE it each round so
 # no key goes more than two rounds without a driver re-check. Round-4 order:
-# the 31 queries with no driver row yet (14 tpch2.py TPC-H completions,
-# asof forward/nearest + Q7/Q18/Q21 which postdate r3's check, and the 12
-# reshape.py/pipeline2.py/windows/streaming additions), then the two whose
-# plans changed AFTER r3's check (broadcast-hint removals, 88528f9), then
-# 17 of the 32 keys whose last driver-green row is CORRECTNESS_r02.json.
-# Fifteen r2-stale keys wait for r5, picked to cost least: three are
-# rows-only (their driver check is only rows>0), the rest are trivial
-# unchanged projections/setops/sorts/windows with pytest-smoke coverage.
+# the 37 queries with no driver row yet (14 tpch2.py TPC-H completions,
+# asof forward/nearest + Q7/Q18/Q21 which postdate r3's check, and the 18
+# reshape/pipeline2/pipeline3/windows/aggregates/streaming additions),
+# then the two whose plans changed AFTER r3's check (broadcast-hint
+# removals, 88528f9), then 11 of the 32 keys whose last driver-green row
+# is CORRECTNESS_r02.json. Twenty-one r2-stale keys wait for r5, picked
+# to cost least: three are rows-only (their driver check is only rows>0),
+# the rest are trivial unchanged projections/setops/sorts/windows with
+# pytest-smoke coverage — and every one of them re-passed this round's
+# full tools/check.py sf0.01 sweep.
 # tests/test_queries_smoke.py asserts every name here is registered.
 DRIVER_PRIORITY: list[str] = [
     # never driver-checked: TPC-H suite completion (tpch2.py)
@@ -71,6 +73,13 @@ DRIVER_PRIORITY: list[str] = [
     "q_win_distribution",
     "q_fuzzy_join",
     "q_text_winnow",
+    # never driver-checked: pipeline3.py curation batch + binning/sampling
+    "q_dedup_canonical",
+    "q_text_chunk",
+    "q_emb_quantize",
+    "q_text_ngram_counts",
+    "q_sample_stratified",
+    "q_agg_histogram",
     # plans changed after r3's check (broadcast removals, 88528f9)
     "q_dedup_clusters",
     "q_multimodal_cols",
@@ -83,17 +92,18 @@ DRIVER_PRIORITY: list[str] = [
     "q_join_outer_right",
     "q_join_semi",
     "q_join_anti",
-    "q_agg_distinct",
     "q_agg_rollup",
     "q_agg_cube",
+    "q_fn_date",
+    "q_fn_math",
+    # deferred to r5 (r2-green, unchanged; rows-only or trivial
+    # pytest-covered projections/setops/sorts/windows — ALL re-verified
+    # green at sf0.01 by this round's full tools/check.py sweep)
+    "q_agg_distinct",
     "q_agg_stats",
     "q_win_rank",
     "q_fn_string",
-    "q_fn_date",
-    "q_fn_math",
     "q_stream_sliding",
-    # deferred to r5 (r2-green, unchanged; rows-only or trivial
-    # pytest-covered projections/setops/sorts/windows)
     "q_win_analytic",
     "q_set_intersect",
     "q_set_except",

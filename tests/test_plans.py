@@ -220,3 +220,40 @@ def test_skew_join_salts_a_shuffled_hash_join(spark, sf_dir):
     assert "ShuffledHashJoin" in plan
     assert "__salt" in plan
     assert "BroadcastHashJoin" not in plan
+
+
+def test_r4_additions_are_scalable(spark, sf_dir):
+    """Round-4 queries: no cartesians, no broadcast nested loops, no
+    single-partition exchanges anywhere in the executed plans. The
+    fuzzy join in particular must stay an equi-join on the blocking
+    key (an unblocked similarity join would be a BNLJ)."""
+    from spark_sklearn_spark.plans import assert_scalable
+
+    qs = entry.queries()
+    for name in [
+        "q_win_distribution",
+        "q_fuzzy_join",
+        "q_text_winnow",
+        "q_dedup_canonical",
+        "q_text_chunk",
+        "q_emb_quantize",
+        "q_text_ngram_counts",
+        "q_sample_stratified",
+        "q_agg_histogram",
+    ]:
+        assert_scalable(qs[name](spark, sf_dir))
+
+
+def test_fuzzy_join_is_hash_join_on_block_key(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_fuzzy_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_chunk_and_quantize_stay_jvm_side(spark, sf_dir):
+    """Chunking and quantization are pure projections: no shuffle
+    beyond the final presentation sort, no Python evaluation."""
+    for name in ("q_text_chunk", "q_emb_quantize"):
+        plan = _plan(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert "Join" not in plan, name
