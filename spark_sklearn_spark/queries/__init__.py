@@ -18,6 +18,7 @@ from . import (  # noqa: F401
     tpch2,
     udfs,
     ml,
+    behavior,
     pipeline,
     pipeline2,
     pipeline3,

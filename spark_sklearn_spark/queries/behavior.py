@@ -1,0 +1,203 @@
+"""Behavioral / time-series analytics over the events table: ordered
+funnels, cohort retention, and calendar gap-fill with forward-fill.
+
+These are the product-analytics operators (Amplitude/Mixpanel-class)
+a reference user runs on event streams; none of them is a plain
+groupBy, but all three decompose into shuffle-lean DataFrame plans.
+
+Scale notes: the funnel is three per-user min-aggregations chained by
+equi-joins on user_id — every shuffle is keyed on user_id, no
+broadcast of user-cardinality relations (a user dimension grows with
+the data; broadcasting it is the scale hazard the dedup-clusters fix
+removed). Retention is one agg to find cohorts + one equi-join +
+one distinct-agg. Gap-fill generates each user's calendar span with
+sequence() (rows ~ users x days, independent of event skew) and
+forward-fills with a user-partitioned running last() — no
+single-partition window anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from ..registry import query
+from ..sources.io import load
+
+
+@query(
+    "q_funnel_ordered",
+    oracle="""
+        WITH t1 AS (
+            SELECT user_id, min(ts) AS ts1 FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ),
+        t2 AS (
+            SELECT e.user_id, min(e.ts) AS ts2
+            FROM events e JOIN t1 ON e.user_id = t1.user_id
+            WHERE e.event_type = 'click' AND e.ts > t1.ts1
+            GROUP BY e.user_id
+        ),
+        t3 AS (
+            SELECT e.user_id, min(e.ts) AS ts3
+            FROM events e JOIN t2 ON e.user_id = t2.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > t2.ts2
+            GROUP BY e.user_id
+        )
+        SELECT stage, n_users FROM (
+            SELECT 1 AS stage, CAST(count(*) AS BIGINT) AS n_users FROM t1
+            UNION ALL
+            SELECT 2, CAST(count(*) AS BIGINT) FROM t2
+            UNION ALL
+            SELECT 3, CAST(count(*) AS BIGINT) FROM t3
+        ) ORDER BY stage
+    """,
+)
+def q_funnel_ordered(spark, d):
+    """Ordered conversion funnel view -> click -> purchase: a user
+    counts at stage k only if the stage-k event happened strictly
+    AFTER their stage-(k-1) entry time. Each stage is a per-user min
+    aggregation gated by an equi-join on user_id to the previous
+    stage — the sequential-pattern shape that plain conditional
+    aggregation (min per type, unordered) gets wrong. Three
+    user-keyed shuffles total; stage relations are user-cardinality,
+    so they are joined, never broadcast."""
+    ev = load(spark, d, "events")
+    t1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts1"))
+    )
+    t2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .filter(F.col("ts") > F.col("ts1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts2"))
+    )
+    t3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .filter(F.col("ts") > F.col("ts2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts3"))
+    )
+    counts = (
+        t1.agg(F.lit(1).alias("stage"), F.count(F.lit(1)).alias("n_users"))
+        .unionAll(
+            t2.agg(F.lit(2).alias("stage"), F.count(F.lit(1)).alias("n_users"))
+        )
+        .unionAll(
+            t3.agg(F.lit(3).alias("stage"), F.count(F.lit(1)).alias("n_users"))
+        )
+    )
+    return counts.orderBy("stage")
+
+
+@query(
+    "q_retention_cohort",
+    oracle="""
+        WITH firstday AS (
+            SELECT user_id, CAST(date_trunc('day', min(ts)) AS DATE) AS cohort
+            FROM events GROUP BY user_id
+        )
+        SELECT CAST(f.cohort AS TIMESTAMP) AS cohort_day,
+               date_diff('day', f.cohort,
+                         CAST(date_trunc('day', e.ts) AS DATE)) AS day_offset,
+               CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active
+        FROM events e JOIN firstday f ON e.user_id = f.user_id
+        GROUP BY 1, 2
+        ORDER BY cohort_day, day_offset
+    """,
+)
+def q_retention_cohort(spark, d):
+    """Cohort retention triangle: users grouped by first-activity day,
+    counted distinct on each subsequent day offset. One per-user min
+    agg to assign cohorts, one equi-join on user_id (shuffle join —
+    the cohort relation is user-cardinality), one distinct-count agg
+    on (cohort, offset). The (cohort_day, day_offset) grid is at most
+    days^2 rows regardless of event volume."""
+    ev = load(spark, d, "events")
+    firstday = ev.groupBy("user_id").agg(
+        F.to_date(F.min("ts")).alias("cohort")
+    )
+    return (
+        ev.join(firstday, "user_id")
+        .groupBy(
+            F.col("cohort").cast("timestamp").alias("cohort_day"),
+            F.datediff(F.to_date("ts"), F.col("cohort")).alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+@query(
+    "q_ts_gapfill",
+    oracle="""
+        WITH daily AS (
+            SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+                   ROUND(CAST(SUM(CAST(value AS DECIMAL(30,10))) AS DOUBLE), 2)
+                       AS day_value
+            FROM events GROUP BY 1, 2
+        ),
+        span AS (
+            SELECT user_id, min(day) AS mn, max(day) AS mx
+            FROM daily GROUP BY user_id
+        ),
+        grid AS (
+            SELECT user_id,
+                   CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE)
+                       AS day
+            FROM span
+        )
+        SELECT g.user_id,
+               CAST(g.day AS TIMESTAMP) AS day,
+               last_value(d.day_value IGNORE NULLS)
+                   OVER (PARTITION BY g.user_id ORDER BY g.day
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS filled_value,
+               d.day_value IS NULL AS is_gap
+        FROM grid g
+        LEFT JOIN daily d ON d.user_id = g.user_id AND d.day = g.day
+        ORDER BY g.user_id, g.day
+    """,
+)
+def q_ts_gapfill(spark, d):
+    """Calendar gap-fill + LOCF (last observation carried forward):
+    each user's daily value series is densified to a full calendar
+    between their first and last active day, and missing days take
+    the previous day's value. The grid is a Generate over
+    sequence(min_day, max_day) — rows ~ users x days, immune to
+    event-count skew — and the fill is one user-partitioned running
+    last(ignorenulls) window. Daily sums of doubles go through the
+    decimal policy BEFORE the fill, so carried values are exact
+    copies of already-agreed numbers on both engines."""
+    ev = load(spark, d, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(30,10)")).cast("double"), 2
+        ).alias("day_value")
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("mn"), F.max("day").alias("mx")
+    )
+    grid = span.select(
+        "user_id", F.explode(F.sequence("mn", "mx")).alias("day")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            F.col("day").cast("timestamp").alias("day"),
+            F.last("day_value", ignorenulls=True).over(w).alias("filled_value"),
+            F.col("day_value").isNull().alias("is_gap"),
+        )
+        .orderBy("user_id", "day")
+    )

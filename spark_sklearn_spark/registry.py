@@ -27,12 +27,12 @@ ORACLES: dict[str, str] = {}
 # in iteration order. With >50 registered queries the tail is invisible to the
 # hard gate, so we pin an explicit priority order and ROTATE it each round so
 # no key goes more than two rounds without a driver re-check. Round-4 order:
-# the 37 queries with no driver row yet (14 tpch2.py TPC-H completions,
-# asof forward/nearest + Q7/Q18/Q21 which postdate r3's check, and the 18
-# reshape/pipeline2/pipeline3/windows/aggregates/streaming additions),
+# the 40 queries with no driver row yet (14 tpch2.py TPC-H completions,
+# asof forward/nearest + Q7/Q18/Q21 which postdate r3's check, and the 21
+# reshape/pipeline2/pipeline3/behavior/windows/aggregates additions),
 # then the two whose plans changed AFTER r3's check (broadcast-hint
-# removals, 88528f9), then 11 of the 32 keys whose last driver-green row
-# is CORRECTNESS_r02.json. Twenty-one r2-stale keys wait for r5, picked
+# removals, 88528f9), then 8 of the 32 keys whose last driver-green row
+# is CORRECTNESS_r02.json. Twenty-four r2-stale keys wait for r5, picked
 # to cost least: three are rows-only (their driver check is only rows>0),
 # the rest are trivial unchanged projections/setops/sorts/windows with
 # pytest-smoke coverage — and every one of them re-passed this round's
@@ -80,6 +80,10 @@ DRIVER_PRIORITY: list[str] = [
     "q_text_ngram_counts",
     "q_sample_stratified",
     "q_agg_histogram",
+    # never driver-checked: behavior.py event analytics
+    "q_funnel_ordered",
+    "q_retention_cohort",
+    "q_ts_gapfill",
     # plans changed after r3's check (broadcast removals, 88528f9)
     "q_dedup_clusters",
     "q_multimodal_cols",
@@ -92,13 +96,13 @@ DRIVER_PRIORITY: list[str] = [
     "q_join_outer_right",
     "q_join_semi",
     "q_join_anti",
+    # deferred to r5 (r2-green, unchanged; rows-only or trivial
+    # pytest-covered projections/setops/sorts/windows — ALL re-verified
+    # green at sf0.01 by this round's full tools/check.py sweep)
     "q_agg_rollup",
     "q_agg_cube",
     "q_fn_date",
     "q_fn_math",
-    # deferred to r5 (r2-green, unchanged; rows-only or trivial
-    # pytest-covered projections/setops/sorts/windows — ALL re-verified
-    # green at sf0.01 by this round's full tools/check.py sweep)
     "q_agg_distinct",
     "q_agg_stats",
     "q_win_rank",

@@ -240,8 +240,26 @@ def test_r4_additions_are_scalable(spark, sf_dir):
         "q_text_ngram_counts",
         "q_sample_stratified",
         "q_agg_histogram",
+        "q_retention_cohort",
+        "q_ts_gapfill",
     ]:
         assert_scalable(qs[name](spark, sf_dir))
+
+
+def test_funnel_joins_carry_no_forced_broadcast(spark, sf_dir):
+    """Funnel stage relations are user-cardinality, so the query must
+    not FORCE a broadcast (no hint in the logical plan) — AQE is free
+    to pick one at runtime when the stage output is actually small,
+    which is the scale-safe behavior. Cartesian-free as always. (The
+    funnel ends in three single-row counts, so assert_scalable's
+    SinglePartition check doesn't apply.)"""
+    import __spark_entry__ as e
+
+    df = e.queries()["q_funnel_ordered"](spark, sf_dir)
+    logical = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in logical and "broadcast" not in logical.lower()
+    plan = _plan(spark, sf_dir, "q_funnel_ordered")
+    assert "CartesianProduct" not in plan
 
 
 def test_fuzzy_join_is_hash_join_on_block_key(spark, sf_dir):
