@@ -263,3 +263,77 @@ def q_text_ngram_counts(spark, d):
         .select("lang", "gram", "n")
         .orderBy("lang", F.col("n").desc(), "gram")
     )
+
+
+# Frame sampling stride/cap for the declared multimodal query: texts
+# average ~157 bytes, so 64-byte strides yield 1-3 frames per doc.
+_FRAME_BYTES = 64
+_MAX_FRAMES = 4
+
+
+@query(
+    "q_multimodal_frames",
+    oracle=f"""
+        WITH f AS (
+            SELECT doc_id, text,
+                   unnest(generate_series(
+                       0,
+                       least({_MAX_FRAMES},
+                             greatest(1, len(text) // {_FRAME_BYTES})) - 1))
+                       AS frame_idx
+            FROM documents
+        )
+        SELECT doc_id, frame_idx,
+               md5(substr(text, frame_idx * {_FRAME_BYTES} + 1,
+                          {_FRAME_BYTES})) AS frame_md5,
+               CAST(len(substr(text, frame_idx * {_FRAME_BYTES} + 1,
+                               {_FRAME_BYTES})) AS BIGINT) AS frame_len
+        FROM f
+        ORDER BY doc_id, frame_idx
+    """,
+)
+def q_multimodal_frames(spark, d):
+    """Video-style frame sampling through the REAL multimodal
+    plumbing: documents wrapped as opaque binary payloads
+    (multimodal/columns.as_media), then the Arrow-batched
+    mapInPandas frame sampler emits up to {max_frames} fixed-stride
+    byte windows per payload — the one-payload→many-frames Generate
+    shape of keyframe extraction. DECLARED: the stub 'codec' is
+    deterministic byte slicing, and the fixture text is ASCII, so
+    each frame's bytes equal the corresponding substring and DuckDB
+    can recompute the md5 exactly. The Python crossing is one Arrow
+    batch per partition; at real scale the payload column is pruned
+    until this stage projects it."""
+    from ..multimodal.columns import as_media, sample_frames
+
+    media = as_media(load(spark, d, "documents"), "doc_id", "text")
+    frames = sample_frames(
+        media, every_n_bytes=_FRAME_BYTES, max_frames=_MAX_FRAMES
+    )
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.md5("frame").alias("frame_md5"),
+        F.length("frame").cast("long").alias("frame_len"),
+    ).orderBy("doc_id", "frame_idx")
+
+
+@query("q_multimodal_resize", oracle=None)
+def q_multimodal_resize(spark, d):
+    """Arrow-batched 8x8 area-average resize over stub-decoded
+    rasters (multimodal/columns.resize_images) — rows-only: the
+    decode stub's raster layout is engine-side, so DuckDB can't
+    mirror the pixel math (the resize arithmetic itself is real
+    numpy and unit-tested for stub parity in
+    tests/test_dedup_similarity.py). Emits scalar columns only."""
+    from ..multimodal.columns import as_media, resize_images
+
+    media = as_media(load(spark, d, "documents"), "doc_id", "text")
+    small = resize_images(media, width=8, height=8)
+    return small.select(
+        "doc_id",
+        "width",
+        "height",
+        F.md5("pixels").alias("pixels_md5"),
+        F.length("pixels").cast("long").alias("n_raster_bytes"),
+    ).orderBy("doc_id")

@@ -179,3 +179,29 @@ def q_stream_join(spark, d):
     from ..streaming.jobs import click_purchase_interval_join
 
     return click_purchase_interval_join(spark, d)
+
+
+@query(
+    "q_stream_static_join",
+    oracle="""
+        WITH firstday AS (
+            SELECT user_id, CAST(date_trunc('day', min(ts)) AS DATE) AS cohort
+            FROM events GROUP BY user_id
+        )
+        SELECT CAST(f.cohort AS TIMESTAMP) AS cohort_day,
+               e.event_type,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events e JOIN firstday f ON e.user_id = f.user_id
+        GROUP BY 1, 2
+        ORDER BY cohort_day, event_type
+    """,
+)
+def q_stream_static_join(spark, d):
+    """Real readStream stream-static join (streaming/jobs.py): events
+    stream ⋈ static per-user cohort dim, aggregated per (cohort day,
+    event type). DECLARED: the static side is deterministic and the
+    single-file availableNow source runs one micro-batch, so the
+    streaming result equals the batch SQL exactly."""
+    from ..streaming.jobs import stream_static_enrich
+
+    return stream_static_enrich(spark, d).orderBy("cohort_day", "event_type")

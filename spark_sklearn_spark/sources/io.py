@@ -141,3 +141,76 @@ def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = Non
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+# Formats with first-class DataFrameReader/Writer support in a stock
+# Spark distribution (avro ships as a separate package; it is probed
+# at runtime by supported_formats()).
+_BUILTIN_FORMATS = ("parquet", "orc", "json", "csv", "text")
+
+# Spark's default csv/json timestampFormat carries milliseconds only —
+# a silent 3-digit truncation of µs event times. Both sides of the
+# text-format round-trip pin a microsecond pattern instead.
+_TEXTUAL_TS_FORMAT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+
+def _textual_options(fmt: str, options: dict | None) -> dict:
+    merged = dict(options or {})
+    if fmt in ("csv", "json"):
+        merged.setdefault("timestampFormat", _TEXTUAL_TS_FORMAT)
+    if fmt == "csv":
+        merged.setdefault("header", "true")
+    return merged
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    options: dict | None = None,
+    partition_by: list[str] | None = None,
+) -> None:
+    """Generic file sink for every built-in format. Column-oriented
+    formats (parquet/orc) keep types natively; csv/json are lossy on
+    types by nature, so read_table takes an explicit schema to
+    restore them losslessly — schema-on-read, never inferSchema in a
+    pipeline (an inference pass is a second full scan AND can guess
+    differently between runs)."""
+    options = _textual_options(fmt, options)
+    w = df.write.mode("overwrite").format(fmt)
+    for k, v in options.items():
+        w = w.option(k, v)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.save(path)
+
+
+def read_table(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema=None,
+    options: dict | None = None,
+) -> DataFrame:
+    """Generic file source. Pass the writer's schema for csv/json to
+    round-trip exactly (see write_table)."""
+    options = _textual_options(fmt, options)
+    r = spark.read.format(fmt)
+    if schema is not None:
+        r = r.schema(schema)
+    for k, v in options.items():
+        r = r.option(k, v)
+    return r.load(path)
+
+
+def supported_formats(spark: SparkSession) -> list[str]:
+    """The file formats this session can actually run: the five
+    built-ins, plus avro when the spark-avro package is on the
+    classpath (it is a separate jar in stock distributions)."""
+    fmts = list(_BUILTIN_FORMATS)
+    try:
+        spark._jvm.org.apache.spark.sql.avro.AvroFileFormat  # noqa: B018
+        fmts.append("avro")
+    except Exception:
+        pass
+    return fmts

@@ -192,3 +192,32 @@ def running_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return _run_to_memory(out, "update")
+
+
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the events stream enriched with a STATIC
+    per-user cohort dimension computed by a batch read of the same
+    store, then aggregated per (cohort day, event type). The static
+    side of a stream-static join is re-planned per micro-batch but
+    keeps NO state store (unlike stream-stream joins) — it is the
+    enrich-with-dimension pattern, and the standard way to attach
+    slowly-changing reference data to an unbounded stream. Complete
+    output mode: the agg keyspace is bounded (days x types), so the
+    sink holds the full small result and no watermark is needed."""
+    from ..sources.io import load
+
+    static = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.to_date(F.min("ts")).alias("cohort"))
+    )
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.join(static, "user_id")
+        .groupBy(
+            F.col("cohort").cast("timestamp").alias("cohort_day"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return _run_to_memory(agg, "complete")
