@@ -201,3 +201,47 @@ def q_ts_gapfill(spark, d):
         )
         .orderBy("user_id", "day")
     )
+
+
+@query(
+    "q_ts_rollup_multigrain",
+    oracle="""
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+               event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(30,10))) AS DOUBLE), 2)
+                   AS total_value
+        FROM events
+        GROUP BY GROUPING SETS (
+            (date_trunc('day', ts), event_type),
+            (date_trunc('day', ts), date_trunc('hour', ts), event_type))
+        ORDER BY day, hr NULLS FIRST, event_type
+    """,
+)
+def q_ts_rollup_multigrain(spark, d):
+    """Multi-granularity time rollup (the hypertable continuous-
+    aggregate shape): hourly AND daily grains of the same measures in
+    ONE scan via GROUPING SETS — Catalyst expands each input row once
+    per grain before a single partial+final hash agg, so adding a
+    grain costs an Expand ratio, not another scan of a 100 TB fact.
+    Day-grain rows carry NULL hr, exactly like a TimescaleDB rollup
+    view."""
+    from ..sources.io import register_views
+
+    register_views(spark, d, tables=["events"])
+    return spark.sql(
+        """
+        SELECT date_trunc('day', ts) AS day,
+               date_trunc('hour', ts) AS hr,
+               event_type,
+               count(*) AS n,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(30,10))) AS DOUBLE), 2)
+                   AS total_value
+        FROM events
+        GROUP BY GROUPING SETS (
+            (date_trunc('day', ts), event_type),
+            (date_trunc('day', ts), date_trunc('hour', ts), event_type))
+        ORDER BY day, hr NULLS FIRST, event_type
+        """
+    )

@@ -27,12 +27,12 @@ ORACLES: dict[str, str] = {}
 # in iteration order. With >50 registered queries the tail is invisible to the
 # hard gate, so we pin an explicit priority order and ROTATE it each round so
 # no key goes more than two rounds without a driver re-check. Round-4 order:
-# the 43 queries with no driver row yet (14 tpch2.py TPC-H completions,
-# asof forward/nearest + Q7/Q18/Q21 which postdate r3's check, and the 24
+# the 44 queries with no driver row yet (14 tpch2.py TPC-H completions,
+# asof forward/nearest + Q7/Q18/Q21 which postdate r3's check, and the 25
 # reshape/pipeline2/pipeline3/behavior/multimodal/streaming additions),
 # then the two whose plans changed AFTER r3's check (broadcast-hint
-# removals, 88528f9), then 5 of the 32 keys whose last driver-green row
-# is CORRECTNESS_r02.json. Twenty-seven r2-stale keys wait for r5, picked
+# removals, 88528f9), then 4 of the 32 keys whose last driver-green row
+# is CORRECTNESS_r02.json. Twenty-eight r2-stale keys wait for r5, picked
 # to cost least: three are rows-only (their driver check is only rows>0),
 # the rest are trivial unchanged projections/setops/sorts/windows with
 # pytest-smoke coverage — and every one of them re-passed this round's
@@ -88,13 +88,13 @@ DRIVER_PRIORITY: list[str] = [
     "q_multimodal_frames",
     "q_multimodal_resize",
     "q_stream_static_join",
+    "q_ts_rollup_multigrain",
     # plans changed after r3's check (broadcast removals, 88528f9)
     "q_dedup_clusters",
     "q_multimodal_cols",
     # last driver-checked in r2 (stale two rounds)
     "q_join_broadcast",
     "q_join_shuffle",
-    "q_join_outer",
     "q_join_semi",
     "q_join_anti",
     # deferred to r5 (r2-green, unchanged; rows-only or trivial
@@ -102,6 +102,7 @@ DRIVER_PRIORITY: list[str] = [
     # green at sf0.01 by this round's full tools/check.py sweep)
     "q_filter_like",
     "q_join_multiway",
+    "q_join_outer",
     "q_join_outer_right",
     "q_agg_rollup",
     "q_agg_cube",
