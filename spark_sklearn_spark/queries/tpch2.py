@@ -278,7 +278,11 @@ def q_tpch_q11(spark, d):
         .select("l_partkey", (F.col("l_extendedprice") * F.col("l_quantity")).cast(DEC).alias("v"))
     )
     per_part = eu.groupBy("l_partkey").agg(F.sum("v").alias("v_dec"))
-    total = eu.agg(F.sum("v").alias("total_dec"))
+    # the corpus total is the sum of the per-part decimal sums — exact
+    # by associativity — so it derives from per_part instead of
+    # re-evaluating the whole join subtree a second time (Catalyst
+    # can't reuse it: the two aggs need different partitionings)
+    total = per_part.agg(F.sum("v_dec").alias("total_dec"))
     return (
         per_part.join(F.broadcast(total))
         .filter(F.col("v_dec") * 1000 > F.col("total_dec"))
@@ -443,9 +447,13 @@ def q_tpch_q15(spark, d):
         & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))
     )
     s = load(spark, d, "supplier")
+    # revenue feeds both the scalar max and the final join; persist the
+    # post-agg relation (#suppliers rows — small at ANY sf) so the
+    # lineitem scan+agg runs once, not twice. bench/test clearCache()
+    # hygiene evicts it, matching the minhash/simhash convention.
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_revenue")
-    )
+    ).persist()
     mx = revenue.agg(F.max("total_revenue").alias("max_rev"))
     return (
         revenue.join(F.broadcast(mx))
