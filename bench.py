@@ -126,22 +126,44 @@ def main() -> None:
         pass
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "cpus": os.environ.get("SPARK_GRAFT_CPUS", "all"),
-                "n_queries": len(timings),
-                "n_errors": sum(1 for t in timings.values() if t < 0),
-                "ivf_prebuild_ok": ivf_prebuild_ok,
-                "reps": MAX_REPS,
-            }
-        )
+    meta = {
+        "metric": "total_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "all"),
+        "n_queries": len(timings),
+        "n_errors": sum(1 for t in timings.values() if t < 0),
+        "ivf_prebuild_ok": ivf_prebuild_ok,
+        "reps": MAX_REPS,
+    }
+
+    # The driver keeps only the LAST 2000 chars of stdout and parses the
+    # final line as JSON. 126 queries serialize to ~4 KB, so a full
+    # per-query dict on stdout has never parsed (BENCH_r01-r04 all show
+    # parsed: null). Full detail goes to BENCH_DETAIL.json next to this
+    # script; stdout carries the totals plus as many of the SLOWEST
+    # queries (the informative ones for perf triage) as fit the budget.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    if not only:  # partial runs must not clobber the full-sweep record
+        with open(detail_path, "w") as fh:
+            json.dump({**meta, "queries": timings}, fh, indent=1, sort_keys=True)
+
+    budget = 1800
+    ranked = sorted(timings.items(), key=lambda kv: kv[1], reverse=True)
+    shown: dict[str, float] = {}
+    for name, wall in ranked:
+        shown[name] = wall
+        line = json.dumps({**meta, "detail": "BENCH_DETAIL.json", "queries": shown})
+        if len(line) > budget:
+            del shown[name]
+            break
+    out = {**meta, "detail": "BENCH_DETAIL.json", "queries": shown}
+    if len(shown) < len(timings):
+        out["queries_omitted"] = len(timings) - len(shown)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

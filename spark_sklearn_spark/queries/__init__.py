@@ -22,5 +22,6 @@ from . import (  # noqa: F401
     pipeline,
     pipeline2,
     pipeline3,
+    pipeline4,
     reshape,
 )

@@ -26,108 +26,72 @@ ORACLES: dict[str, str] = {}
 # The driver's differential harness checks the FIRST 50 keys of ``queries()``
 # in iteration order. With >50 registered queries the tail is invisible to the
 # hard gate, so we pin an explicit priority order and ROTATE it each round so
-# no key goes more than two rounds without a driver re-check. Round-4 order:
-# the 44 queries with no driver row yet (14 tpch2.py TPC-H completions,
-# asof forward/nearest + Q7/Q18/Q21 which postdate r3's check, and the 25
-# reshape/pipeline2/pipeline3/behavior/multimodal/streaming additions),
-# then the two whose plans changed AFTER r3's check (broadcast-hint
-# removals, 88528f9), then 4 of the 32 keys whose last driver-green row
-# is CORRECTNESS_r02.json. Twenty-eight r2-stale keys wait for r5, picked
-# to cost least: three are rows-only (their driver check is only rows>0),
-# the rest are trivial unchanged projections/setops/sorts/windows with
-# pytest-smoke coverage — and every one of them re-passed this round's
-# full tools/check.py sf0.01 sweep.
+# no key goes more than two rounds without a driver re-check. Round-5 order:
+# the 7 pipeline4.py additions (never driver-checked), then the 28 keys whose
+# last driver-green row is CORRECTNESS_r02.json (deferred from r4 exactly as
+# planned), then 15 of the 48 r3-last keys — preferentially the events-table
+# queries, because the fixture's ts column changed ns->us this round and
+# sources/io.load grew a schema dispatch (every key here re-verified green at
+# sf0.01 by this round's full tools/check.py sweep). The 33 remaining
+# r3-last keys rotate into r6's prefix.
 # tests/test_queries_smoke.py asserts every name here is registered.
 DRIVER_PRIORITY: list[str] = [
-    # never driver-checked: TPC-H suite completion (tpch2.py)
-    "q_tpch_q2",
-    "q_tpch_q4",
-    "q_tpch_q8",
-    "q_tpch_q9",
-    "q_tpch_q11",
-    "q_tpch_q12",
-    "q_tpch_q13",
-    "q_tpch_q14",
-    "q_tpch_q15",
-    "q_tpch_q16",
-    "q_tpch_q17",
-    "q_tpch_q19",
-    "q_tpch_q20",
-    "q_tpch_q22",
-    # never driver-checked: added after r3's harness ran
-    "q_join_asof_forward",
-    "q_join_asof_nearest",
-    "q_tpch_q7",
-    "q_tpch_q18",
-    "q_tpch_q21",
-    # never driver-checked: reshape.py / pipeline2.py additions
-    "q_pivot_wide",
-    "q_unpivot_long",
-    "q_agg_percentile",
-    "q_sample_hash",
-    "q_dedup_ngram",
-    "q_text_fingerprint_rolling",
-    "q_emb_centroid",
-    "q_upsert_snapshot",
-    "q_stream_join",
-    "q_win_distribution",
-    "q_fuzzy_join",
-    "q_text_winnow",
-    # never driver-checked: pipeline3.py curation batch + binning/sampling
-    "q_dedup_canonical",
-    "q_text_chunk",
-    "q_emb_quantize",
-    "q_text_ngram_counts",
-    "q_sample_stratified",
-    "q_agg_histogram",
-    # never driver-checked: behavior.py event analytics
-    "q_funnel_ordered",
-    "q_retention_cohort",
-    "q_ts_gapfill",
-    # never driver-checked: multimodal frame/resize + stream-static join
-    "q_multimodal_frames",
-    "q_multimodal_resize",
-    "q_stream_static_join",
-    "q_ts_rollup_multigrain",
-    # plans changed after r3's check (broadcast removals, 88528f9)
-    "q_dedup_clusters",
-    "q_multimodal_cols",
-    # last driver-checked in r2 (stale two rounds)
-    "q_join_broadcast",
-    "q_join_shuffle",
-    "q_join_semi",
-    "q_join_anti",
-    # deferred to r5 (r2-green, unchanged; rows-only or trivial
-    # pytest-covered projections/setops/sorts/windows — ALL re-verified
-    # green at sf0.01 by this round's full tools/check.py sweep)
+    # never driver-checked: pipeline4.py (quality gate / decontamination /
+    # PII / anomaly / batched kNN / dim stats / PCA)
+    "q_quality_gate",
+    "q_decontaminate",
+    "q_pii_redact",
+    "q_ts_anomaly",
+    "q_sim_knn_batch",
+    "q_emb_dimstats",
+    "q_emb_pca",
+    # last driver-checked in r2 (three rounds stale — due now)
     "q_filter_like",
     "q_join_multiway",
     "q_join_outer",
     "q_join_outer_right",
+    "q_join_cross",
+    "q_agg_distinct",
+    "q_agg_approx_distinct",
     "q_agg_rollup",
     "q_agg_cube",
-    "q_fn_date",
-    "q_fn_math",
-    "q_agg_distinct",
     "q_agg_stats",
     "q_win_rank",
-    "q_fn_string",
-    "q_stream_sliding",
     "q_win_analytic",
-    "q_set_intersect",
-    "q_set_except",
-    "q_agg_approx_distinct",
-    "q_stream_watermark",
-    "q_stream_dedup",
     "q_win_frame_rows",
     "q_win_frame_range",
     "q_sort_multi",
     "q_topk_limit",
-    "q_fn_map",
-    "q_fn_json",
-    "q_join_cross",
     "q_set_union",
     "q_set_union_distinct",
+    "q_set_intersect",
+    "q_set_except",
+    "q_fn_string",
+    "q_fn_date",
+    "q_fn_math",
+    "q_fn_map",
+    "q_fn_json",
+    "q_stream_sliding",
+    "q_stream_watermark",
+    "q_stream_dedup",
+    # r3-last events-table queries (fixture ts ns->us + io.load dispatch
+    # change this round make these the highest-risk r3 keys)
+    "q_source_json_props",
+    "q_join_outer_full",
+    "q_join_theta",
+    "q_join_range_ts",
+    "q_join_asof",
+    "q_join_skew",
+    "q_stream_tumbling",
+    "q_stream_session",
+    "q_stream_stateful",
+    "q_udaf_grouped",
+    "q_gapply_norm",
+    # r3-last fill to 50
+    "q_scan_parquet",
+    "q_scan_projection",
+    "q_scan_pushdown",
+    "q_filter_pred",
 ]
 
 

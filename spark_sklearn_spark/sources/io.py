@@ -12,6 +12,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import LongType
 
 TABLES = (
     "region",
@@ -32,22 +33,36 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table as a DataFrame (lazy parquet scan).
 
-    events.parquet stores ``ts`` as parquet TIMESTAMP(NANOS), which
-    PySpark 4.x rejects outright (PARQUET_TYPE_ILLEGAL). We read nanos
-    as a raw long (legacy conf) and rebuild a µs-precision timestamp
-    with exact integer division — ``ts div 1000`` stays in long
-    arithmetic, avoiding the double-rounding a ``/`` would introduce at
-    1e18-scale nanosecond values. DuckDB reads the same file natively
-    at ns; truncation to µs is lossless for these fixtures (values are
-    generated at ≥µs granularity) and oracles additionally
-    date_trunc('second') before comparing epoch math.
+    events.parquet has shipped ``ts`` as either parquet
+    TIMESTAMP(NANOS) (earlier fixture generations) or TIMESTAMP(MICROS)
+    (current). PySpark 4.x rejects NANOS outright (PARQUET_TYPE_ILLEGAL)
+    unless the legacy nanosAsLong conf reads it as a raw long, so:
+    keep the conf on (it is a no-op for micros files), read, and
+    dispatch on the *observed* schema — a long ``ts`` is nanos and gets
+    rebuilt into a µs timestamp with exact integer division (``ts div
+    1000`` stays in long arithmetic, avoiding double-rounding at
+    1e18-scale values); a timestamp ``ts`` is already µs and passes
+    through. DuckDB reads either encoding natively; truncation to µs is
+    lossless for these fixtures (values are generated at ≥µs
+    granularity).
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        else:
+            # Micros files arrive as TIMESTAMP_NTZ; every consumer (and
+            # unix_micros, which rejects NTZ) was written against the
+            # session-local TIMESTAMP the nanos rebuild produced. The
+            # session timezone is pinned UTC, so this cast relabels the
+            # same instant — no value shift.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -28,24 +28,34 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-EVENTS_SCHEMA = (
-    "event_id bigint, ts bigint, user_id bigint, "
-    "event_type string, value double, props string"
-)
-
-
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet as a streaming source with a proper event-time
-    ``ts`` timestamp column (µs, rebuilt from the nanos long)."""
+    ``ts`` timestamp column (µs).
+
+    The streaming file source needs an explicit schema, but the fixture
+    has shipped ``ts`` as either TIMESTAMP(NANOS) (read as a raw long
+    under the legacy conf, then rebuilt) or TIMESTAMP(MICROS) (passed
+    through) — so take the schema from a one-off batch read of the same
+    file and dispatch on what the file actually contains, exactly like
+    ``sources/io.load``."""
+    from pyspark.sql.types import LongType
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # The streaming file source lists a *directory*; events.parquet is
     # a single file, so stream the fixture dir with a glob filter.
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(schema["ts"].dataType, LongType):
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        # NTZ -> session-local timestamp (UTC session: same instant),
+        # matching what the nanos rebuild produced for older fixtures.
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def _run_to_memory(
