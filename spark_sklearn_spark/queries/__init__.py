@@ -23,5 +23,6 @@ from . import (  # noqa: F401
     pipeline2,
     pipeline3,
     pipeline4,
+    pipeline5,
     reshape,
 )

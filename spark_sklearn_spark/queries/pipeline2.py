@@ -68,20 +68,25 @@ def q_dedup_ngram(spark, d):
     the boundary pair set is identical. This is the exact-verify
     stage MinHash banding (q_dedup_minhash) approximates."""
     docs = load(spark, d, "documents")
-    grams = docs.select(
+    # Tokenize ONCE into a column (an embedded split() inside the
+    # interpreted transform re-runs per element — O(n²)/doc), and
+    # explode_outer (plain explode pushes a pruning filter that
+    # re-evaluates the whole gram transform inside the scan).
+    w = docs.select("doc_id", F.split("text", " ").alias("w")).filter(
+        F.size("w") >= 2
+    )
+    grams = w.select(
         "doc_id",
-        F.explode(
+        F.explode_outer(
             F.array_distinct(
                 F.expr(
-                    "CASE WHEN size(split(text, ' ')) >= 2 THEN "
-                    "transform(sequence(1, size(split(text, ' ')) - 1), "
-                    "  i -> concat(element_at(split(text, ' '), i), ' ', "
-                    "              element_at(split(text, ' '), i + 1))) "
-                    "ELSE array() END"
+                    "transform(sequence(1, size(w) - 1), "
+                    "  i -> concat(element_at(w, i), ' ', "
+                    "              element_at(w, i + 1)))"
                 )
             )
         ).alias("g"),
-    )
+    ).filter(F.col("g").isNotNull())
     # window-count keeps the DF cap at one shuffle on g (vs agg+join = two)
     rare = (
         grams.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("g")))

@@ -246,15 +246,18 @@ def q_text_ngram_counts(spark, d):
     words = docs.select("lang", F.split("text", " ").alias("w")).filter(
         F.size("w") >= 2
     )
+    # explode_outer + null-drop: plain explode pushes a pruning filter
+    # that re-evaluates the interpreted transform inside the scan (see
+    # q_decontaminate).
     grams = words.select(
         "lang",
-        F.explode(
+        F.explode_outer(
             F.expr(
                 "transform(sequence(1, size(w) - 1), "
                 "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
             )
         ).alias("gram"),
-    )
+    ).filter(F.col("gram").isNotNull())
     counts = grams.groupBy("lang", "gram").agg(F.count(F.lit(1)).alias("n"))
     wr = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("gram"))
     return (

@@ -186,30 +186,54 @@ def q_decontaminate(spark, d):
     No shuffle touches the corpus n-gram stream except the final
     per-doc aggregation, which is map-side combinable. Distinct
     n-grams per doc via array_distinct before explode keeps the
-    exploded row count at its minimum."""
+    exploded row count at its minimum.
+
+    Plan economics: the corpus gram stream is consumed ONCE — a LEFT
+    join against the broadcast benchmark set with a hit marker feeds a
+    single per-doc agg computing both n_ngrams (count of all grams)
+    and n_shared (count of marked grams). The naive three-consumer
+    shape (separate sizes / hits / bench branches over the same gram
+    subtree) recomputes the interpreted ngram transform per branch —
+    measured 3× the single-pass wall at sf0.1. The benchmark branch
+    itself prunes to the 1/{mod} doc slice below the explode, so its
+    gram pass is ~1% of a corpus pass."""
     docs = load(spark, d, "documents")
-    toks = F.split("text", " ")
-    grams = docs.select(
+    # Materialize the token array BEFORE the ngram transform: higher-
+    # order functions are interpreted with no CSE, so an embedded
+    # split() expression would re-tokenize the document once per
+    # element (O(n²) per doc). A column reference in the lambda is a
+    # pointer read.
+    w = docs.select("doc_id", F.split("text", " ").alias("__w"))
+    grams = w.select(
         "doc_id",
         F.array_distinct(
-            _word_ngrams(F.split("text", " "), F.size(toks), 3)
+            _word_ngrams(F.col("__w"), F.size("__w"), 3)
         ).alias("ngs"),
     )
-    tg = grams.select("doc_id", F.explode("ngs").alias("ng"))
+    # explode_outer, NOT explode: plain explode makes the optimizer
+    # push a `size(ngs) > 0 AND isnotnull(ngs)` pruning filter into the
+    # scan, re-evaluating the interpreted ngram transform per row with
+    # split() re-inlined per element — O(n²)/doc, 5× the query wall.
+    # outer explode needs no pruning predicate; drop the one null row
+    # per empty doc after the Generate instead.
+    tg = grams.select("doc_id", F.explode_outer("ngs").alias("ng")).filter(
+        F.col("ng").isNotNull()
+    )
     bench = (
         tg.filter(F.col("doc_id") % DECON_BENCH_MOD == 0)
         .select("ng")
         .distinct()
-    )
-    sizes = grams.select("doc_id", F.size("ngs").cast("long").alias("n_ngrams"))
-    hits = (
-        tg.filter(F.col("doc_id") % DECON_BENCH_MOD != 0)
-        .join(F.broadcast(bench), "ng")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .withColumn("__hit", F.lit(1))
     )
     return (
-        hits.join(sizes, "doc_id")
+        tg.filter(F.col("doc_id") % DECON_BENCH_MOD != 0)
+        .join(F.broadcast(bench), "ng", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("__hit").alias("n_shared"),
+            F.count(F.lit(1)).alias("n_ngrams"),
+        )
+        .filter(F.col("n_shared") > 0)
         .select(
             "doc_id",
             "n_shared",
@@ -494,9 +518,14 @@ def q_emb_dimstats(spark, d):
     come from exact decimal sums; the closing double ops are
     bit-identical on both engines."""
     emb = load(spark, d, "embeddings")
+    # posexplode_outer + null-drop: plain posexplode pushes a pruning
+    # filter that re-evaluates the interpreted cast-transform per row
+    # in the scan (see q_decontaminate).
     x = emb.select(
-        F.posexplode(as_double_array(F.col("embedding"))).alias("dim", "v")
-    )
+        F.posexplode_outer(as_double_array(F.col("embedding"))).alias(
+            "dim", "v"
+        )
+    ).filter(F.col("dim").isNotNull())
     sx = F.sum(F.col("v").cast(DEC)).cast("double")
     sxx = F.sum((F.col("v") * F.col("v")).cast(DEC)).cast("double")
     n = F.count(F.lit(1))

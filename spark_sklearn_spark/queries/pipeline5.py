@@ -1,0 +1,356 @@
+"""LLM-pipeline operators, batch 5 (round 5): the training-mix
+assembly tail — sequence packing into fixed context windows,
+temperature-scaled source mixing, intra-document repetition scoring,
+and per-class embedding outlier detection.
+
+These are the last steps before tokens hit the trainer: decide the
+source mix (temperature sampling), drop degenerate documents
+(repetition), pack survivors into context windows (packing), and QA
+the embedding space used for curation decisions (outliers).
+
+Scale notes per query; the shared theme: packing is a per-shard
+window cumsum (shard count scales with the cluster — never a global
+order); mixing weights come from a source-cardinality aggregate that
+is genuinely tiny (#sources, not #docs) and is the ONE broadcast
+here; repetition is explode + one combinable hash agg; outliers go
+through (label, dim) moment aggregation — 640 centroid cells
+regardless of corpus size — with every floating sum on the exact
+decimal path so both engines agree bitwise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from ..registry import query
+from ..sources.io import load
+from ._helpers import DEC
+
+# --------------------------------------------------------------------------
+# Sequence packing (context-window assembly)
+# --------------------------------------------------------------------------
+
+PACK_WINDOW = 512  # tokens per training sequence
+PACK_SHARDS = 8  # parallel packing streams per source
+
+
+@query(
+    "q_pack_sequences",
+    oracle=f"""
+        WITH t AS (
+          SELECT source,
+                 doc_id % {PACK_SHARDS} AS shard,
+                 doc_id,
+                 len(string_split(text, ' ')) AS n_tokens
+          FROM documents
+        ), c AS (
+          SELECT source, shard, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                 COALESCE(sum(n_tokens) OVER (
+                   PARTITION BY source, shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS cum_before
+          FROM t
+        )
+        SELECT source, CAST(shard AS BIGINT) AS shard, doc_id, n_tokens,
+               CAST(cum_before // {PACK_WINDOW} AS BIGINT) AS pack_id,
+               CAST(cum_before % {PACK_WINDOW} AS BIGINT) AS pack_offset
+        FROM c
+        ORDER BY source, shard, doc_id
+    """,
+)
+def q_pack_sequences(spark, d):
+    """Concat-style sequence packing (the GPT-pretraining shape):
+    documents are concatenated in a deterministic order and sliced
+    into fixed {W}-token context windows, so each document lands at
+    (pack_id, pack_offset) with documents allowed to straddle window
+    boundaries. The packing ORDER is per (source, shard) — shard =
+    doc_id % {S} — because a single global concatenation order would
+    serialize the whole corpus through one partition; per-shard
+    streams keep determinism (shard is content-derived, not
+    partition-derived) while scaling the window step to any cluster
+    width. Plan: one shuffle on (source, shard), one running-sum
+    window per stream, integer arithmetic only — bit-identical on any
+    engine. At 100 TB, shard count rises with executor count and the
+    cumsum stays a single sorted pass per stream."""
+    docs = load(spark, d, "documents")
+    t = docs.select(
+        "source",
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = t.withColumn("cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    return c.select(
+        "source",
+        "shard",
+        "doc_id",
+        "n_tokens",
+        (F.col("cum_before") / PACK_WINDOW).cast("long").alias("pack_id"),
+        (F.col("cum_before") % PACK_WINDOW).alias("pack_offset"),
+    ).orderBy("source", "shard", "doc_id")
+
+
+# --------------------------------------------------------------------------
+# Temperature-scaled source mixing
+# --------------------------------------------------------------------------
+
+MIX_TARGET = 200  # target sample size across all sources
+# alpha = 0.5: weight ∝ sqrt(count). sqrt is IEEE-754 correctly
+# rounded on every engine (unlike pow, whose libm implementations
+# differ in ULPs), so the weight arithmetic below is reproducible
+# without a tolerance.
+
+
+@query(
+    "q_sample_temperature",
+    oracle=f"""
+        WITH counts AS (
+          SELECT source, count(*) AS n_docs,
+                 CAST(sqrt(count(*)) AS DECIMAL(30,10)) AS w
+          FROM documents GROUP BY source
+        ), tot AS (
+          SELECT CAST(sum(w) AS DOUBLE) AS wsum FROM counts
+        ), rates AS (
+          SELECT source, n_docs,
+                 ROUND(least(1.0,
+                   {MIX_TARGET} * (CAST(w AS DOUBLE) / wsum) / n_docs), 6)
+                   AS rate
+          FROM counts, tot
+        )
+        SELECT d.source,
+               CAST(max(r.n_docs) AS BIGINT) AS n_docs,
+               max(r.rate) AS rate,
+               count(*) AS n_sample,
+               CAST(sum(d.doc_id) AS BIGINT) AS sum_ids
+        FROM documents d JOIN rates r ON d.source = r.source
+        WHERE (d.doc_id * 2654435761) % 4294967296 <
+              CAST(r.rate * 4294967296 AS BIGINT)
+        GROUP BY d.source
+        ORDER BY d.source
+    """,
+)
+def q_sample_temperature(spark, d):
+    """Temperature-scaled source mixing (the multi-source pretraining
+    recipe): per-source sampling rate ∝ count^0.5 / count, capped at
+    1, normalized so the expected total is {T} docs — flattens the
+    source distribution so head sources stop dominating the mix. The
+    rate table has one row per SOURCE (a handful — genuinely
+    broadcastable, unlike per-doc relations), built from one tiny
+    aggregate; the corpus-side pass is then a broadcast join + the
+    same Knuth key-hash predicate as q_sample_hash, i.e. one scan,
+    one combinable agg, zero corpus-keyed shuffles beyond the final
+    per-source rollup. Determinism: sqrt (correctly rounded) instead
+    of pow, decimal-path sum of weights, rate rounded to 6 before the
+    integer threshold compare — both engines pick identical rows."""
+    docs = load(spark, d, "documents")
+    counts = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sqrt(F.count(F.lit(1))).cast(DEC).alias("w"),
+    )
+    tot = counts.agg(F.sum("w").cast("double").alias("wsum"))
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(MIX_TARGET)
+                * (F.col("w").cast("double") / F.col("wsum"))
+                / F.col("n_docs"),
+            ),
+            6,
+        ).alias("rate"),
+    )
+    h = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .filter(h < (F.col("rate") * F.lit(4294967296.0)).cast("long"))
+        .groupBy("source")
+        .agg(
+            F.max("n_docs").alias("n_docs"),
+            F.max("rate").alias("rate"),
+            F.count(F.lit(1)).alias("n_sample"),
+            F.sum("doc_id").alias("sum_ids"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# Intra-document repetition scoring
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_text_repetition",
+    oracle="""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ), tg AS (
+          SELECT doc_id,
+                 unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                         for i in generate_series(1, len(w) - 2)]) AS ng
+          FROM toks
+          WHERE len(w) >= 3
+        ), per AS (
+          SELECT doc_id, ng, count(*) AS cnt FROM tg GROUP BY doc_id, ng
+        )
+        SELECT doc_id,
+               CAST(sum(cnt) AS BIGINT) AS n_grams,
+               count(*) AS n_distinct,
+               CAST(max(cnt) AS BIGINT) AS max_rep,
+               ROUND(1.0 - count(*) * 1.0 / sum(cnt), 6) AS rep_ratio
+        FROM per
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+)
+def q_text_repetition(spark, d):
+    """Intra-document repetition detection (the Gopher "repetition"
+    family): fraction of word 3-grams that are repeats of an earlier
+    3-gram in the SAME document — degenerate generated/boilerplate
+    text scores high and gets culled before training. Same two-level
+    hash-agg shape as q_quality_gate: explode 3-grams → count per
+    (doc, gram) → per-doc rollup; both aggregations are map-side
+    combinable on doc_id-prefixed keys, no windows, no joins, and the
+    ratio is a single IEEE division of exact integer counts. The
+    sliding 3-gram build is a JVM-side transform over the token array
+    (no per-element fold — O(n) per doc)."""
+    from .pipeline4 import _word_ngrams
+
+    docs = load(spark, d, "documents")
+    # tokenize ONCE into a column — an embedded split() inside the
+    # interpreted ngram lambda would re-run per element (O(n²)/doc)
+    w = docs.select("doc_id", F.split("text", " ").alias("__w")).filter(
+        F.size("__w") >= 3
+    )
+    # explode_outer + null-drop, not explode: see q_decontaminate —
+    # plain explode pushes a pruning filter that re-runs the
+    # interpreted ngram transform (with split() inlined per element)
+    # inside the scan.
+    tg = w.select(
+        "doc_id",
+        F.explode_outer(
+            _word_ngrams(F.col("__w"), F.size("__w"), 3)
+        ).alias("ng"),
+    ).filter(F.col("ng").isNotNull())
+    per = tg.groupBy("doc_id", "ng").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        per.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_grams"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("cnt").alias("max_rep"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_distinct",
+            "max_rep",
+            F.round(
+                F.lit(1.0) - F.col("n_distinct") / F.col("n_grams"), 6
+            ).alias("rep_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-class embedding outliers (distance to label centroid)
+# --------------------------------------------------------------------------
+
+OUT_TOP_K = 5  # flagged outliers per label
+
+
+@query(
+    "q_emb_outliers",
+    oracle=f"""
+        WITH x AS (
+          SELECT vec_id, label,
+                 generate_subscripts(embedding, 1) - 1 AS dim,
+                 CAST(unnest(embedding) AS DOUBLE) AS v
+          FROM embeddings
+        ), cent AS (
+          SELECT label, dim,
+                 CAST(sum(CAST(v AS DECIMAL(30,10))) AS DOUBLE) / count(*)
+                   AS c
+          FROM x GROUP BY label, dim
+        ), dist AS (
+          SELECT x.vec_id, x.label,
+                 ROUND(sqrt(CAST(sum(
+                   CAST((x.v - cent.c) * (x.v - cent.c) AS DECIMAL(30,10))
+                 ) AS DOUBLE)), 6) AS dist
+          FROM x JOIN cent ON x.label = cent.label AND x.dim = cent.dim
+          GROUP BY x.vec_id, x.label
+        )
+        SELECT label, vec_id, dist, CAST(rn AS INTEGER) AS rank
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY label
+                                       ORDER BY dist DESC, vec_id) AS rn
+          FROM dist
+        )
+        WHERE rn <= {OUT_TOP_K}
+        ORDER BY label, rank
+    """,
+)
+def q_emb_outliers(spark, d):
+    """Per-class embedding outlier detection: Euclidean distance of
+    each vector to its label's centroid, top-{K} farthest per label —
+    the mislabeled-example / encoder-glitch sweep a curation pipeline
+    runs over its embedding space. Plan: posexplode to (vec, label,
+    dim, v); centroids are ONE hash agg onto (label, dim) — 640 cells
+    total, independent of corpus size — broadcast back; distances are
+    a second combinable agg keyed on vec_id; top-k per label is a
+    window PARTITIONED BY label (parallelism = #labels; at higher
+    label cardinality this is exactly operators/ranking.py's
+    distributed top-k shape). Determinism: every floating sum (the
+    centroid numerator AND the squared-distance accumulation) runs on
+    the exact decimal path, so both engines produce bit-identical
+    doubles before the ROUND(6)/rank. The n·d row inflation is the
+    declared-correctness surrogate for the O(d) JVM array fold used
+    by the similarity operators; both are one linear pass."""
+    emb = load(spark, d, "embeddings")
+    # posexplode_outer + null-drop: plain posexplode pushes a pruning
+    # filter that re-evaluates the interpreted cast-transform per row
+    # in the scan (see q_decontaminate).
+    x = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode_outer(
+            F.transform(F.col("embedding"), lambda v: v.cast("double"))
+        ).alias("dim", "v"),
+    ).filter(F.col("dim").isNotNull())
+    cent = x.groupBy("label", "dim").agg(
+        (F.sum(F.col("v").cast(DEC)).cast("double") / F.count(F.lit(1))).alias(
+            "c"
+        )
+    )
+    dist = (
+        x.join(F.broadcast(cent), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.round(
+                F.sqrt(
+                    F.sum(
+                        (
+                            (F.col("v") - F.col("c"))
+                            * (F.col("v") - F.col("c"))
+                        ).cast(DEC)
+                    ).cast("double")
+                ),
+                6,
+            ).alias("dist")
+        )
+    )
+    wr = Window.partitionBy("label").orderBy(F.desc("dist"), F.asc("vec_id"))
+    return (
+        dist.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= OUT_TOP_K)
+        .select("label", "vec_id", "dist", "rank")
+        .orderBy("label", "rank")
+    )

@@ -87,11 +87,12 @@ DRIVER_PRIORITY: list[str] = [
     "q_stream_stateful",
     "q_udaf_grouped",
     "q_gapply_norm",
-    # r3-last fill to 50
-    "q_scan_parquet",
-    "q_scan_projection",
-    "q_scan_pushdown",
-    "q_filter_pred",
+    # never driver-checked: pipeline5.py (packing / temperature mix /
+    # repetition / embedding outliers)
+    "q_pack_sequences",
+    "q_sample_temperature",
+    "q_text_repetition",
+    "q_emb_outliers",
 ]
 
 

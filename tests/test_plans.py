@@ -320,3 +320,109 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_quality_and_repetition_are_two_level_hash_aggs(spark, sf_dir):
+    """q_quality_gate / q_text_repetition: explode → (doc, token|gram)
+    agg → per-doc rollup. No joins, no windows, no Python crossings —
+    the whole corpus pass must be combinable hash aggregation."""
+    from spark_sklearn_spark.plans import assert_scalable
+
+    for name in ("q_quality_gate", "q_text_repetition"):
+        df = entry.queries()[name](spark, sf_dir)
+        assert_scalable(df)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_decontaminate_broadcasts_benchmark_ngrams(spark, sf_dir):
+    """The benchmark n-gram set is the genuinely-small relation —
+    it must broadcast; the corpus n-gram stream must never shuffle
+    for the join itself."""
+    plan = _plan(spark, sf_dir, "q_decontaminate")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pii_redact_is_pure_projection(spark, sf_dir):
+    """Compliance scrubbing must stream at scan speed: no join, no
+    aggregation, no Python — regex count/replace inside codegen."""
+    plan = _plan(spark, sf_dir, "q_pii_redact")
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ts_anomaly_window_is_user_partitioned(spark, sf_dir):
+    """The trailing z-score frame must partition by user_id — a global
+    ordered window would serialize the event stream."""
+    plan = _plan(spark, sf_dir, "q_ts_anomaly")
+    assert "hashpartitioning(user_id" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_knn_batch_broadcasts_queries_and_partitions_topk(spark, sf_dir):
+    """Batched kNN: the query batch is the broadcast side; per-query
+    top-k must be a window partitioned by query_id (parallel), never a
+    single-partition sort of all scores."""
+    plan = _plan(spark, sf_dir, "q_sim_knn_batch")
+    assert "BroadcastExchange" in plan
+    assert "hashpartitioning(query_id" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_pack_sequences_window_is_shard_partitioned(spark, sf_dir):
+    """Packing must run one cumsum per (source, shard) stream — the
+    shard key is what keeps the concatenation order deterministic AND
+    parallel; a global cumsum would be a single-partition window."""
+    plan = _plan(spark, sf_dir, "q_pack_sequences")
+    assert "hashpartitioning(source" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_sample_temperature_broadcasts_rate_table(spark, sf_dir):
+    """The per-source rate relation (#sources rows) broadcasts; the
+    corpus side is one scan + one combinable rollup."""
+    from spark_sklearn_spark.plans import assert_scalable
+
+    df = entry.queries()["q_sample_temperature"](spark, sf_dir)
+    # the single-row weight-total crossJoin is a broadcast of 1 row —
+    # same allowed pattern as the tfidf doc-count broadcast
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_emb_outliers_centroids_broadcast_and_label_topk(spark, sf_dir):
+    """Centroids are (label, dim) cells — bounded, broadcastable; the
+    distance agg must stay combinable and the top-k window label-
+    partitioned."""
+    plan = _plan(spark, sf_dir, "q_emb_outliers")
+    assert "BroadcastHashJoin" in plan
+    assert "hashpartitioning(label" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_no_interpreted_lambda_in_filters(spark, sf_dir):
+    """Generate (explode) pruning pushes `size(arr) > 0 AND
+    isnotnull(arr)` into the scan Filter; when arr is an interpreted
+    higher-order transform the filter re-evaluates it per row — with
+    any upstream projection (e.g. split()) re-inlined per element.
+    Measured 5-9× walls on the ngram queries. Pin: no Filter node may
+    contain a lambda expression — the explode_outer + null-drop idiom
+    keeps the transform in a Project."""
+    for name in (
+        "q_decontaminate",
+        "q_text_repetition",
+        "q_dedup_ngram",
+        "q_text_ngram_counts",
+        "q_emb_dimstats",
+        "q_emb_outliers",
+    ):
+        df = entry.queries()[name](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        for line in plan.splitlines():
+            stripped = line.lstrip(" +-:*")
+            if stripped.startswith("Filter") or stripped.startswith("PushedFilters"):
+                assert "lambdafunction" not in line, (name, line[:300])
