@@ -354,3 +354,200 @@ def q_emb_outliers(spark, d):
         .select("label", "vec_id", "dist", "rank")
         .orderBy("label", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# BM25 retrieval scoring
+# --------------------------------------------------------------------------
+
+BM25_TERMS = ("hash", "join", "merge", "scan")  # fixed probe query
+BM25_K1, BM25_B = 1.2, 0.75
+BM25_TOP = 20
+
+
+@query(
+    "q_text_bm25",
+    oracle=f"""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ), dl AS (
+          SELECT doc_id, len(w) AS dl FROM toks
+        ), stats AS (
+          SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+                 count(*) AS n FROM dl
+        ), tf AS (
+          SELECT doc_id, tok, count(*) AS tf
+          FROM (SELECT doc_id, unnest(w) AS tok FROM toks)
+          WHERE tok IN ('hash', 'join', 'merge', 'scan')
+          GROUP BY doc_id, tok
+        ), df AS (
+          SELECT tok, count(*) AS df FROM tf GROUP BY tok
+        ), contrib AS (
+          SELECT t.doc_id,
+                 CAST(ROUND(
+                   ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                   * (t.tf * ({BM25_K1} + 1.0))
+                   / (t.tf + {BM25_K1} * (1.0 - {BM25_B}
+                        + {BM25_B} * l.dl / s.avgdl)),
+                 6) AS DECIMAL(30,10)) AS c
+          FROM tf t
+          JOIN df d USING (tok)
+          JOIN dl l ON t.doc_id = l.doc_id
+          CROSS JOIN stats s
+        )
+        SELECT doc_id,
+               ROUND(CAST(sum(c) AS DOUBLE), 6) AS bm25
+        FROM contrib GROUP BY doc_id
+        ORDER BY bm25 DESC, doc_id LIMIT {BM25_TOP}
+    """,
+)
+def q_text_bm25(spark, d):
+    """BM25 retrieval scoring of the corpus against a fixed probe
+    query — the lexical-retrieval baseline every RAG/eval pipeline
+    keeps next to its vector index. Plan: tokens explode ONCE with an
+    early isin(query terms) filter (the stream that survives is
+    |terms|-bounded per doc); tf is one combinable agg on (doc, term);
+    df and the corpus length stats are genuinely tiny relations
+    (|terms| rows / 1 row) joined back broadcast-style by AQE; dl
+    rides along from a scan projection. Determinism: each per-term
+    contribution is rounded to 6 then summed on the exact decimal
+    path (a raw double sum over terms would be order-dependent), and
+    the ln/×/÷ chain is written with identical structure on both
+    engines. Top-{top} by (bm25 desc, doc_id) →
+    TakeOrderedAndProject, never a global sort."""
+    docs = load(spark, d, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("w"))
+    dl = toks.select("doc_id", F.size("w").cast("long").alias("dl"))
+    stats = dl.agg(
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    tf = (
+        toks.select("doc_id", F.explode("w").alias("tok"))
+        .filter(F.col("tok").isin(*BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + BM25_K1 * (
+        1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    contrib = (
+        tf.join(df_t, "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(
+                idf * (F.col("tf") * (BM25_K1 + 1.0)) / denom, 6
+            ).cast(DEC).alias("c"),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(F.round(F.sum("c").cast("double"), 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(BM25_TOP)
+    )
+
+
+# --------------------------------------------------------------------------
+# PMI phrase mining
+# --------------------------------------------------------------------------
+
+PMI_MIN_COUNT = 5
+PMI_TOP = 20
+
+
+@query(
+    "q_text_pmi",
+    oracle=f"""
+        WITH toks AS (
+          SELECT string_split(text, ' ') AS w FROM documents
+        ), uni AS (
+          SELECT tok, count(*) AS cu
+          FROM (SELECT unnest(w) AS tok FROM toks) GROUP BY tok
+        ), tu AS (
+          SELECT CAST(sum(cu) AS BIGINT) AS t_u FROM uni
+        ), pos AS (
+          SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+          FROM toks WHERE len(w) >= 2
+        ), big AS (
+          SELECT w[i] AS w1, w[i + 1] AS w2, count(*) AS n_pair
+          FROM pos GROUP BY 1, 2
+        ), tb AS (
+          SELECT CAST(sum(n_pair) AS BIGINT) AS t_b FROM big
+        )
+        SELECT b.w1, b.w2, CAST(b.n_pair AS BIGINT) AS n_pair,
+               ROUND(ln(
+                 (b.n_pair * 1.0 / t.t_b)
+                 / ((a.cu * 1.0 / u.t_u) * (c.cu * 1.0 / u.t_u))
+               ), 6) AS pmi
+        FROM big b
+        JOIN uni a ON a.tok = b.w1
+        JOIN uni c ON c.tok = b.w2
+        CROSS JOIN tu u CROSS JOIN tb t
+        WHERE b.n_pair >= {PMI_MIN_COUNT}
+        ORDER BY pmi DESC, w1, w2 LIMIT {PMI_TOP}
+    """,
+)
+def q_text_pmi(spark, d):
+    """PMI phrase mining: pointwise mutual information of adjacent
+    word pairs vs their unigram frequencies — the collocation pass
+    that surfaces multi-word expressions worth single tokens.
+    Bigrams come from arrays_zip of two array slices (JVM-native, no
+    interpreted lambda, no pruning-filter hazard) exploded once;
+    unigram and bigram count tables are combinable hash aggs; the
+    two count joins key on the WORD (vocabulary-sized relations — at
+    corpus scale a DF cap bounds them, and AQE picks broadcast when
+    they fit); the totals are 1-row broadcasts. The probability
+    ratio is built with the identical expression tree on both
+    engines, ln'd, rounded to 6, then top-{top} by (pmi desc, w1,
+    w2) → TakeOrderedAndProject."""
+    docs = load(spark, d, "documents")
+    toks = docs.select(F.split("text", " ").alias("w"))
+    uni = (
+        toks.select(F.explode("w").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    tu = uni.agg(F.sum("cu").alias("t_u"))
+    pairs = toks.filter(F.size("w") >= 2).select(
+        F.explode_outer(
+            F.arrays_zip(
+                F.slice("w", 1, F.size("w") - 1).alias("w1"),
+                F.slice(F.col("w"), 2, F.size("w") - 1).alias("w2"),
+            )
+        ).alias("p")
+    ).filter(F.col("p").isNotNull())
+    big = (
+        pairs.select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    tb = big.agg(F.sum("n_pair").alias("t_b"))
+    ua = uni.select(F.col("tok").alias("w1"), F.col("cu").alias("cu_a"))
+    uc = uni.select(F.col("tok").alias("w2"), F.col("cu").alias("cu_b"))
+    pmi = F.round(
+        F.log(
+            (F.col("n_pair") * F.lit(1.0) / F.col("t_b"))
+            / (
+                (F.col("cu_a") * F.lit(1.0) / F.col("t_u"))
+                * (F.col("cu_b") * F.lit(1.0) / F.col("t_u"))
+            )
+        ),
+        6,
+    )
+    return (
+        big.filter(F.col("n_pair") >= PMI_MIN_COUNT)
+        .join(ua, "w1")
+        .join(uc, "w2")
+        .crossJoin(F.broadcast(tu))
+        .crossJoin(F.broadcast(tb))
+        .select("w1", "w2", "n_pair", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(PMI_TOP)
+    )

@@ -27,13 +27,14 @@ ORACLES: dict[str, str] = {}
 # in iteration order. With >50 registered queries the tail is invisible to the
 # hard gate, so we pin an explicit priority order and ROTATE it each round so
 # no key goes more than two rounds without a driver re-check. Round-5 order:
-# the 7 pipeline4.py additions (never driver-checked), then the 28 keys whose
-# last driver-green row is CORRECTNESS_r02.json (deferred from r4 exactly as
-# planned), then 15 of the 48 r3-last keys — preferentially the events-table
-# queries, because the fixture's ts column changed ns->us this round and
-# sources/io.load grew a schema dispatch (every key here re-verified green at
-# sf0.01 by this round's full tools/check.py sweep). The 33 remaining
-# r3-last keys rotate into r6's prefix.
+# the 13 pipeline4/pipeline5 additions (never driver-checked), 26 of the 28
+# keys whose last driver-green row is CORRECTNESS_r02.json (q_set_union and
+# q_set_union_distinct — trivial, pytest- and local-sweep-covered — rotate to
+# r6), and 11 r3-last events-table queries, highest-risk because the
+# fixture's ts column changed ns->us this round and sources/io.load grew a
+# schema dispatch. Every key here re-verified green at sf0.01 by this
+# round's full tools/check.py sweep. The 37 remaining r3-last keys rotate
+# into r6's prefix.
 # tests/test_queries_smoke.py asserts every name here is registered.
 DRIVER_PRIORITY: list[str] = [
     # never driver-checked: pipeline4.py (quality gate / decontamination /
@@ -62,8 +63,6 @@ DRIVER_PRIORITY: list[str] = [
     "q_win_frame_range",
     "q_sort_multi",
     "q_topk_limit",
-    "q_set_union",
-    "q_set_union_distinct",
     "q_set_intersect",
     "q_set_except",
     "q_fn_string",
@@ -88,11 +87,15 @@ DRIVER_PRIORITY: list[str] = [
     "q_udaf_grouped",
     "q_gapply_norm",
     # never driver-checked: pipeline5.py (packing / temperature mix /
-    # repetition / embedding outliers)
+    # repetition / embedding outliers / BM25 / PMI). q_set_union and
+    # q_set_union_distinct (r2-stale, trivial, pytest- and local-sweep-
+    # covered) rotate to r6 to make room.
     "q_pack_sequences",
     "q_sample_temperature",
     "q_text_repetition",
     "q_emb_outliers",
+    "q_text_bm25",
+    "q_text_pmi",
 ]
 
 

@@ -362,12 +362,12 @@ def test_ts_anomaly_window_is_user_partitioned(spark, sf_dir):
     assert "SinglePartition" not in plan
 
 
-def test_knn_batch_broadcasts_queries_and_partitions_topk(spark, sf_dir):
-    """Batched kNN: the query batch is the broadcast side; per-query
-    top-k must be a window partitioned by query_id (parallel), never a
-    single-partition sort of all scores."""
+def test_knn_batch_partitions_topk_by_query(spark, sf_dir):
+    """Batched kNN: per-query top-k must be a window partitioned by
+    query_id (parallel), never a single-partition sort of all scores.
+    (The probe set ships inside the Arrow-task closure — see
+    test_knn_batch_python_rows_are_bounded for the mapInPandas shape.)"""
     plan = _plan(spark, sf_dir, "q_sim_knn_batch")
-    assert "BroadcastExchange" in plan
     assert "hashpartitioning(query_id" in plan
     assert "SinglePartition" not in plan
 
@@ -426,3 +426,23 @@ def test_no_interpreted_lambda_in_filters(spark, sf_dir):
             stripped = line.lstrip(" +-:*")
             if stripped.startswith("Filter") or stripped.startswith("PushedFilters"):
                 assert "lambdafunction" not in line, (name, line[:300])
+
+
+def test_bm25_and_pmi_end_in_take_ordered(spark, sf_dir):
+    """Both retrieval-scoring queries finish with TakeOrderedAndProject
+    (top-k, never a global sort) and contain no cartesian product (the
+    1-row stats/total crossJoins are broadcasts)."""
+    for name in ("q_text_bm25", "q_text_pmi"):
+        plan = _plan(spark, sf_dir, name)
+        assert "TakeOrderedAndProject" in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_knn_batch_python_rows_are_bounded(spark, sf_dir):
+    """The batched kNN must prune to local top-k INSIDE the Arrow task:
+    the plan is mapInPandas → window top-k, with no per-row JVM fold
+    join (the broadcast-NLJ shape it replaced)."""
+    plan = _plan(spark, sf_dir, "q_sim_knn_batch")
+    assert "MapInPandas" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "hashpartitioning(query_id" in plan
