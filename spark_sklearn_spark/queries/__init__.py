@@ -24,5 +24,6 @@ from . import (  # noqa: F401
     pipeline3,
     pipeline4,
     pipeline5,
+    layout,
     reshape,
 )

@@ -446,3 +446,20 @@ def test_knn_batch_python_rows_are_bounded(spark, sf_dir):
     assert "MapInPandas" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "hashpartitioning(query_id" in plan
+
+
+def test_incremental_merge_is_all_hash_aggs(spark, sf_dir):
+    """Snapshot ⊕ delta merge: two partial aggs + union + re-agg —
+    no join, no window, every agg partial+final."""
+    plan = _plan(spark, sf_dir, "q_agg_incremental")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final × (branch, merge)
+
+
+def test_zorder_key_is_codegen_no_prekey_shuffle(spark, sf_dir):
+    """The Morton key build must be pure projection (no Python, no
+    join); the only exchanges are the bounded stats agg + final sort."""
+    plan = _plan(spark, sf_dir, "q_layout_zorder")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan

@@ -49,6 +49,37 @@ NOTES = {
         "Block-matmul self-join: bucket-pair tasks via explode, "
         "applyInPandas BLAS per task; no cartesian."
     ),
+    "q_decontaminate": (
+        "Benchmark n-grams (tiny) broadcast; the corpus gram stream is "
+        "consumed ONCE via a left join with a hit marker feeding a single "
+        "combinable per-doc agg. explode_outer keeps the interpreted "
+        "ngram transform out of the scan filter."
+    ),
+    "q_sim_knn_batch": (
+        "Batched kNN: mapInPandas scores every query per Arrow batch with "
+        "one BLAS matmul and emits only local top-k per query (bounded "
+        "Python→JVM rows); query_id-partitioned window finishes the rank."
+    ),
+    "q_pack_sequences": (
+        "Sequence packing: ONE shuffle on (source, shard), a running-sum "
+        "window per stream, integer arithmetic only — shard count scales "
+        "the packing streams with the cluster."
+    ),
+    "q_emb_outliers": (
+        "Centroids are (label, dim) cells — bounded, broadcast back; "
+        "distance is a second combinable agg; top-k window partitions by "
+        "label."
+    ),
+    "q_text_bm25": (
+        "Early isin(terms) filter bounds the exploded stream; df/stats "
+        "are tiny broadcasts; decimal-path score sum; "
+        "TakeOrderedAndProject top-k."
+    ),
+    "q_layout_zorder": (
+        "Morton key = 16 codegen'd integer ops per row, no shuffle "
+        "before the bounded per-bucket stats agg; production rewrite is "
+        "repartitionByRange(zkey) + sortWithinPartitions."
+    ),
 }
 
 
