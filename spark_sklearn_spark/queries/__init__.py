@@ -25,5 +25,6 @@ from . import (  # noqa: F401
     pipeline4,
     pipeline5,
     layout,
+    profiling,
     reshape,
 )

@@ -463,3 +463,19 @@ def test_zorder_key_is_codegen_no_prekey_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_layout_zorder")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Join" not in plan
+
+
+def test_profile_table_avoids_expand_multi_distinct(spark, sf_dir):
+    """The profiler's exact ndv must come from the (column, value)
+    pre-aggregation, not Spark's expand-based multi-distinct (row
+    multiplication + single-partition final agg)."""
+    plan = _plan(spark, sf_dir, "q_profile_table")
+    assert "Expand" not in plan
+    assert "SinglePartition" not in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final × two levels
+
+
+def test_split_train_is_single_scan_agg(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_split_train")
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
