@@ -108,6 +108,13 @@ def srp_near_dup_pairs(
     no Arrow stage is needed in the verify.
     """
     banded = srp_band_signatures(df, id_col, vec_col, bands, rows_per_band, seed)
+    # The band self-join consumes ``banded`` on BOTH sides, and the
+    # per-side aliasing sits below the exchange so ReuseExchange cannot
+    # dedupe the subtrees — without staging, the whole Arrow signature
+    # pass runs twice. Persist the (vid, band_idx, band_hash) triples
+    # (3 longs/row — far smaller than the vectors); same staging rule
+    # as operators/minhash.py, released by the caller's clearCache.
+    banded = banded.persist()
     a = banded.select(F.col("vid").alias("id_a"), "band_idx", "band_hash")
     b = banded.select(F.col("vid").alias("id_b"), "band_idx", "band_hash")
     cand = (
