@@ -258,3 +258,35 @@ def q_agg_histogram(spark, d):
         )
         .orderBy("bucket")
     )
+
+
+@query("q_agg_approx_percentile")  # rows-only: sketch is engine-defined
+def q_agg_approx_percentile(spark, d):
+    """Approximate percentiles via Spark's GK-sketch
+    (approx_percentile with accuracy 10000) per return flag — the
+    sketch path a 100 TB profile uses where exact interpolation
+    (q_agg_percentile) would need a full sort per group. The sketch
+    is mergeable: partial sketches combine map-side exactly like any
+    algebraic agg, so the shuffle carries one small sketch per
+    (group, column), not data. Rows-only: the GK summary is
+    engine-defined (DuckDB's approx_quantile uses t-digest — same
+    contract, different bits); tests/test_properties.py pins the
+    rank-error bound against the exact percentiles instead."""
+    li = load(spark, d, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)"
+            ).alias("p"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.col("p")[0], 2).alias("p50"),
+            F.round(F.col("p")[1], 2).alias("p90"),
+            F.round(F.col("p")[2], 2).alias("p99"),
+            "n",
+        )
+        .orderBy("l_returnflag")
+    )

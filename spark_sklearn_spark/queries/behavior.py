@@ -245,3 +245,43 @@ def q_ts_rollup_multigrain(spark, d):
         ORDER BY day, hr NULLS FIRST, event_type
         """
     )
+
+
+@query(
+    "q_behavior_transitions",
+    oracle="""
+        WITH seq AS (
+          SELECT user_id, event_type,
+                 lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev_type
+          FROM events
+        )
+        SELECT prev_type, event_type AS next_type,
+               count(*) AS n_transitions
+        FROM seq
+        WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2
+        ORDER BY prev_type, next_type
+    """,
+)
+def q_behavior_transitions(spark, d):
+    """Event-flow transition matrix (the Sankey / Markov-chain view of
+    user behavior): counts of consecutive event-type pairs per user.
+    One shuffle on user_id for the lag window (total order inside a
+    user via (ts, event_id) — deterministic under timestamp ties),
+    then a combinable hash agg onto the tiny (prev, next) key space.
+    The transition matrix is |event_types|² rows regardless of
+    corpus size — 100 TB of events reduces to a 25-cell table."""
+    ev = load(spark, d, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    return (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+        .orderBy("prev_type", "next_type")
+    )

@@ -205,3 +205,15 @@ def q_stream_static_join(spark, d):
     from ..streaming.jobs import stream_static_enrich
 
     return stream_static_enrich(spark, d).orderBy("cohort_day", "event_type")
+
+
+@query("q_stream_foreach_upsert")  # rows-only: true streaming execution
+def q_stream_foreach_upsert(spark, d):
+    """Real foreachBatch sink: each micro-batch's partial aggregate
+    states MERGE into an accumulating per-event-type table
+    (idempotent algebraic merge — the streaming twin of
+    q_agg_incremental). See streaming/jobs.py:foreach_batch_upsert;
+    rows-only because the maintained table lives engine-side."""
+    from ..streaming.jobs import foreach_batch_upsert
+
+    return foreach_batch_upsert(spark, d)

@@ -9,10 +9,10 @@ windowed aggregations live in ``queries/streaming_batch.py``; these
 jobs cover what only the streaming engine has: watermarks + late-data
 drop, stateful dedup within watermark, and arbitrary per-key state.
 
-The parquet source streams ts as raw nanos longs (the same
-PARQUET_TYPE_ILLEGAL workaround as sources/io.py, but in streaming
-the schema must be supplied explicitly anyway) and rebuilds a µs
-timestamp before any event-time logic.
+The parquet source dispatches on the fixture's ts encoding exactly
+like sources/io.py (nanos-as-long rebuild for older fixture
+generations, NTZ→UTC-session cast for current micros files) before
+any event-time logic — see events_stream.
 
 Scale: file-source streaming partitions by file; at production scale
 the source would be Kafka/object-store listing, but every operator
@@ -231,3 +231,66 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     return _run_to_memory(agg, "complete")
+
+
+def foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance of an aggregate table via foreachBatch —
+    the sink-side streaming API the other jobs don't cover. Each
+    micro-batch is aggregated to per-event-type partial states and
+    MERGED into an accumulating result table by re-aggregation (the
+    same algebraic merge as q_agg_incremental, applied per batch):
+    count/sum absorb deltas, so the maintained table always equals
+    the from-scratch aggregate over everything seen. foreachBatch is
+    where production streams do idempotent MERGE INTO a lake table —
+    here the 'table' is a temp view, the merge identical. State is
+    bounded by the output key cardinality (|event_types|), not the
+    stream length."""
+    from ..queries._helpers import DEC
+
+    view = f"agg_acc_{uuid.uuid4().hex[:12]}"
+    ev = events_stream(spark, sf_dir)
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # foreachBatch runs in a CLONED session whose local temp views
+        # the outer session cannot see — the accumulating table must be
+        # a GLOBAL temp view (application-scoped catalog).
+        partial = batch_df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(DEC)).alias("sum_value"),
+        )
+        sess = batch_df.sparkSession
+        if sess.catalog.tableExists(f"global_temp.{view}"):
+            merged = (
+                sess.table(f"global_temp.{view}")
+                .unionByName(partial)
+                .groupBy("event_type")
+                .agg(
+                    F.sum("n").alias("n"),
+                    F.sum("sum_value").alias("sum_value"),
+                )
+            )
+        else:
+            merged = partial
+        # materialize BEFORE replacing the view the plan reads from
+        rows = merged.collect()
+        sess.createDataFrame(rows, merged.schema).createOrReplaceGlobalTempView(
+            view
+        )
+
+    q = (
+        ev.writeStream.foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("foreachBatch upsert still running after 300s")
+    return (
+        spark.table(f"global_temp.{view}")
+        .select(
+            "event_type",
+            "n",
+            F.round(F.col("sum_value").cast("double"), 2).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -80,3 +80,34 @@ def test_distributed_ntile_equals_native(spark, seed, n, tiles, n_ties):
     w = Window.orderBy(F.col("v").asc(), F.col("id").asc())
     want = df.select("id", F.ntile(tiles).over(w).cast("long").alias("q"))
     assert got.select("id", "q").exceptAll(want).count() == 0
+
+
+def test_approx_percentile_rank_error_bound(spark, sf_dir):
+    """q_agg_approx_percentile is rows-only for the driver; pin its
+    accuracy here instead: with accuracy=10000 the GK sketch's rank
+    error is ≤ n/10000 ranks — assert the returned p50/p90/p99 values
+    sit within a generous ±1% rank window of the exact order
+    statistics computed via window ranks."""
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+
+    from spark_sklearn_spark.sources.io import load
+
+    got = {
+        r["l_returnflag"]: r
+        for r in entry.queries()["q_agg_approx_percentile"](spark, sf_dir).collect()
+    }
+    li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    for flag, row in got.items():
+        vals = sorted(
+            v[0]
+            for v in li.filter(F.col("l_returnflag") == flag)
+            .select("l_extendedprice")
+            .collect()
+        )
+        n = len(vals)
+        assert n == row["n"]
+        for q, key in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+            lo = vals[max(0, int((q - 0.01) * n) - 1)]
+            hi = vals[min(n - 1, int((q + 0.01) * n))]
+            assert lo <= row[key] <= hi, (flag, key, row[key], lo, hi)
