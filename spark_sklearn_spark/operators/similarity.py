@@ -257,3 +257,78 @@ def cosine_batch_topk(
         .filter(F.col("rank") <= kk)
         .select("query_id", "neighbor_id", "cos", "rank")
     )
+
+
+MMR_SCHEMA = StructType(
+    [
+        StructField("rank", LongType()),
+        StructField("vec_id", LongType()),
+        StructField("relevance", DoubleType()),
+        StructField("mmr_score", DoubleType()),
+    ]
+)
+
+
+def mmr_rerank(
+    cand_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    rel_col: str,
+    k: int,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-rank of a BOUNDED candidate set:
+    greedily pick argmax of λ·relevance − (1−λ)·max-sim-to-selected.
+
+    MMR is inherently sequential in k, so it does not distribute along
+    k — but it never needs to: the candidate set is the output of a
+    distributed top-N retrieval (tens to hundreds of rows), and the
+    whole greedy loop runs in ONE Arrow task over that set (k·N cosine
+    evaluations on an N×N float64 gram matrix computed with one BLAS
+    call). The distributed work is upstream (scoring the corpus); this
+    operator is the driver-adjacent tail, same bounded-task argument
+    as the IVF coarse probe. Ties break on the smaller id at every
+    step, so the selection is deterministic run-to-run."""
+    import numpy as np
+
+    kk, ll = int(k), float(lam)
+
+    def one(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pd.DataFrame(columns=["rank", "vec_id", "relevance", "mmr_score"])
+        order0 = np.lexsort((pdf[id_col].to_numpy(), -pdf[rel_col].to_numpy()))
+        pdf = pdf.iloc[order0].reset_index(drop=True)
+        X = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+        X /= np.linalg.norm(X, axis=1, keepdims=True)
+        S = X @ X.T  # N×N gram, one BLAS call
+        rel = pdf[rel_col].to_numpy(dtype=np.float64)
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        n = len(pdf)
+        selected, scores = [], []
+        remaining = np.ones(n, dtype=bool)
+        for _ in range(min(kk, n)):
+            if selected:
+                div = S[:, selected].max(axis=1)
+            else:
+                div = np.zeros(n)
+            mmr = ll * rel - (1.0 - ll) * div
+            mmr_masked = np.where(remaining, mmr, -np.inf)
+            # argmax with deterministic (score desc, id asc) tie-break
+            best = np.lexsort((ids, -mmr_masked))[0]
+            selected.append(best)
+            scores.append(mmr_masked[best])
+            remaining[best] = False
+        return pd.DataFrame(
+            {
+                "rank": np.arange(1, len(selected) + 1, dtype=np.int64),
+                "vec_id": ids[selected],
+                "relevance": np.round(rel[selected], 6),
+                "mmr_score": np.round(np.asarray(scores), 6),
+            }
+        )
+
+    return (
+        cand_df.withColumn("__g", F.lit(0))
+        .groupBy("__g")
+        .applyInPandas(one, MMR_SCHEMA)
+    )

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import Window, functions as F
 
+from ..functions.vectors import as_double_array
 from ..registry import query
 from ..sources.io import load
 from ._helpers import DEC
@@ -551,3 +552,41 @@ def q_text_pmi(spark, d):
         .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
         .limit(PMI_TOP)
     )
+
+
+# --------------------------------------------------------------------------
+# MMR diversity re-ranking
+# --------------------------------------------------------------------------
+
+MMR_QUERY_ID = 0
+MMR_CAND = 20
+MMR_K = 5
+
+
+@query("q_sim_mmr_rerank")  # rows-only: greedy selection not SQL-expressible
+def q_sim_mmr_rerank(spark, d):
+    """MMR diversity re-rank of a retrieval result: top-{cand}
+    cosine candidates for one probe vector (distributed brute-force
+    scoring, TakeOrderedAndProject), then the greedy λ-tradeoff
+    selection of {k} in ONE bounded Arrow task
+    (operators/similarity.mmr_rerank) — the standard fix for
+    retrieval lists full of near-duplicates. Deterministic (ties on
+    id); rows-only because greedy argmax chains don't express in
+    SQL; tests/test_dedup_similarity.py pins that the MMR set is
+    strictly more diverse than plain top-k on the fixture."""
+    from ..operators.similarity import cosine_topk, mmr_rerank
+
+    emb = load(spark, d, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == MMR_QUERY_ID).select("embedding")
+    cands = cosine_topk(
+        emb.filter(F.col("vec_id") != MMR_QUERY_ID),
+        qrow,
+        "vec_id",
+        "embedding",
+        MMR_CAND,
+    )
+    cand_vecs = cands.join(
+        emb.select("vec_id", as_double_array(F.col("embedding")).alias("vec")),
+        "vec_id",
+    )
+    return mmr_rerank(cand_vecs, "vec_id", "vec", "cos", MMR_K).orderBy("rank")

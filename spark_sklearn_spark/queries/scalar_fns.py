@@ -215,3 +215,48 @@ def q_fn_json(spark, d):
         parsed.getField("k").alias("k_from"),
         F.get_json_object("props", "$.k").isNotNull().alias("has_k"),
     )
+
+
+@query(
+    "q_fn_variant",
+    oracle="""
+        SELECT event_type,
+               count(*) AS n,
+               CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS sum_k,
+               CAST(min(CAST(json_extract(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS min_k,
+               CAST(max(CAST(json_extract(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS max_k,
+               CAST(count(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT)
+                                    % 2 = 0 THEN 1 END) AS BIGINT) AS n_even
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+)
+def q_fn_variant(spark, d):
+    """Semi-structured access through Spark 4's VARIANT type:
+    parse_json once into the binary variant encoding, then typed
+    variant_get extraction — the open-schema path for event
+    properties where from_json's fixed StructType (q_fn_json) is too
+    rigid. variant_get is a JVM intrinsic over the variant binary
+    (no per-row JSON re-parse after the initial encode; at scale the
+    parse cost amortizes when many fields are extracted from one
+    parse). Integer extraction + combinable agg — deterministic on
+    both engines (the oracle reads the same JSON text directly)."""
+    ev = load(spark, d, "events")
+    k = F.expr("variant_get(v, '$.k', 'long')")
+    return (
+        ev.select("event_type", F.parse_json("props").alias("v"))
+        .select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.count(F.when(F.col("k") % 2 == 0, 1)).alias("n_even"),
+        )
+        .orderBy("event_type")
+    )

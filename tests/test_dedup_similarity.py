@@ -214,3 +214,55 @@ def test_srp_recall_vs_exact_at_high_tau(spark):
         for r in cosine_pairs(df, "vec_id", "embedding", 0.95, buckets=4).collect()
     }
     assert srp == exact and len(exact) >= 5
+
+
+def test_mmr_rerank_is_more_diverse_than_topk(spark, sf_dir):
+    """MMR's selected set must (a) keep the most-relevant candidate at
+    rank 1, and (b) have strictly lower average pairwise cosine than
+    the plain top-k prefix — otherwise the diversity term did nothing."""
+    import numpy as np
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+
+    from spark_sklearn_spark.functions.vectors import as_double_array
+    from spark_sklearn_spark.operators.similarity import cosine_topk
+    from spark_sklearn_spark.queries.pipeline5 import (
+        MMR_CAND,
+        MMR_K,
+        MMR_QUERY_ID,
+    )
+    from spark_sklearn_spark.sources.io import load
+
+    mmr = entry.queries()["q_sim_mmr_rerank"](spark, sf_dir).collect()
+    assert len(mmr) == MMR_K
+    assert [r["rank"] for r in mmr] == list(range(1, MMR_K + 1))
+
+    emb = load(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == MMR_QUERY_ID).select("embedding")
+    top = cosine_topk(
+        emb.filter(F.col("vec_id") != MMR_QUERY_ID),
+        qrow,
+        "vec_id",
+        "embedding",
+        MMR_CAND,
+    ).collect()
+    # rank 1 = the globally most relevant candidate
+    assert mmr[0]["vec_id"] == top[0]["vec_id"]
+
+    vecs = {
+        r["vec_id"]: np.array(r["vec"], dtype=np.float64)
+        for r in emb.select(
+            "vec_id", as_double_array(F.col("embedding")).alias("vec")
+        ).collect()
+    }
+
+    def avg_pairwise(ids):
+        X = np.vstack([vecs[i] for i in ids])
+        X /= np.linalg.norm(X, axis=1, keepdims=True)
+        S = X @ X.T
+        n = len(ids)
+        return (S.sum() - n) / (n * (n - 1))
+
+    mmr_div = avg_pairwise([r["vec_id"] for r in mmr])
+    topk_div = avg_pairwise([r[0] for r in top[:MMR_K]])
+    assert mmr_div < topk_div, (mmr_div, topk_div)
