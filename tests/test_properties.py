@@ -111,3 +111,44 @@ def test_approx_percentile_rank_error_bound(spark, sf_dir):
             lo = vals[max(0, int((q - 0.01) * n) - 1)]
             hi = vals[min(n - 1, int((q + 0.01) * n))]
             assert lo <= row[key] <= hi, (flag, key, row[key], lo, hi)
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    """Packing must tile each (source, shard) stream exactly: offsets
+    in [0, W); pack_id monotone; cum(pack_id·W + offset) equals the
+    running token total in doc_id order — i.e. no token is lost or
+    double-placed."""
+    import __spark_entry__ as entry
+    from spark_sklearn_spark.queries.pipeline5 import PACK_WINDOW
+
+    rows = entry.queries()["q_pack_sequences"](spark, sf_dir).collect()
+    assert rows
+    streams = {}
+    for r in rows:
+        streams.setdefault((r["source"], r["shard"]), []).append(r)
+    for key, docs in streams.items():
+        docs.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        for r in docs:
+            assert 0 <= r["pack_offset"] < PACK_WINDOW, (key, r)
+            assert r["pack_id"] * PACK_WINDOW + r["pack_offset"] == cum, (key, r)
+            cum += r["n_tokens"]
+
+
+def test_sample_temperature_rates_and_expectation(spark, sf_dir):
+    """Every per-source rate must be in (0, 1]; lower-count sources
+    must get rates ≥ higher-count sources (the flattening property);
+    and the realized sample must be within a loose binomial window of
+    rate·n."""
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["q_sample_temperature"](spark, sf_dir).collect()
+    assert rows
+    by_n = sorted(rows, key=lambda r: r["n_docs"])
+    for a, b in zip(by_n, by_n[1:]):
+        assert a["rate"] >= b["rate"] - 1e-9, (a, b)
+    for r in rows:
+        assert 0 < r["rate"] <= 1
+        expected = r["rate"] * r["n_docs"]
+        sd = (r["n_docs"] * r["rate"] * (1 - r["rate"])) ** 0.5
+        assert abs(r["n_sample"] - expected) <= 5 * sd + 3, r
