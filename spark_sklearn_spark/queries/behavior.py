@@ -285,3 +285,105 @@ def q_behavior_transitions(spark, d):
         .agg(F.count(F.lit(1)).alias("n_transitions"))
         .orderBy("prev_type", "next_type")
     )
+
+
+@query(
+    "q_ts_interpolate",
+    oracle="""
+        WITH daily AS (
+            SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+                   ROUND(CAST(SUM(CAST(value AS DECIMAL(30,10))) AS DOUBLE), 2)
+                       AS day_value
+            FROM events GROUP BY 1, 2
+        ),
+        span AS (
+            SELECT user_id, min(day) AS mn, max(day) AS mx
+            FROM daily GROUP BY user_id
+        ),
+        grid AS (
+            SELECT user_id,
+                   CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE)
+                       AS day
+            FROM span
+        ),
+        j AS (
+            SELECT g.user_id, g.day, d.day_value,
+                   last_value(d.day_value IGNORE NULLS) OVER wp AS pv,
+                   last_value(CASE WHEN d.day_value IS NOT NULL
+                                   THEN g.day END IGNORE NULLS) OVER wp AS pd,
+                   first_value(d.day_value IGNORE NULLS) OVER wn AS nv,
+                   first_value(CASE WHEN d.day_value IS NOT NULL
+                                    THEN g.day END IGNORE NULLS) OVER wn AS nd
+            FROM grid g
+            LEFT JOIN daily d ON d.user_id = g.user_id AND d.day = g.day
+            WINDOW wp AS (PARTITION BY g.user_id ORDER BY g.day
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   wn AS (PARTITION BY g.user_id ORDER BY g.day
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT user_id, CAST(day AS TIMESTAMP) AS day,
+               ROUND(CASE WHEN nd = pd THEN pv
+                          ELSE pv + (nv - pv) * datediff('day', pd, day)
+                               * 1.0 / datediff('day', pd, nd) END, 6)
+                   AS interp_value,
+               day_value IS NULL AS is_gap
+        FROM j
+        ORDER BY user_id, day
+    """,
+)
+def q_ts_interpolate(spark, d):
+    """Calendar densify + LINEAR interpolation — the lerp twin of
+    q_ts_gapfill's LOCF: gap days take the value interpolated between
+    the surrounding observed days, weighted by day distance. Same
+    skew-immune grid (Generate over the per-user day span) plus TWO
+    user-partitioned windows — a running last(ignorenulls) looking
+    back and a first(ignorenulls) looking forward — i.e. one shuffle
+    on user_id and two sorted passes, never a self-join on time. The
+    daily inputs are decimal-rounded BEFORE the lerp and the lerp
+    expression tree is identical on both engines (integer day deltas,
+    one multiply, one divide), then rounded to 6."""
+    ev = load(spark, d, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(30,10)")).cast("double"), 2
+        ).alias("day_value")
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("mn"), F.max("day").alias("mx")
+    )
+    grid = span.select(
+        "user_id", F.explode(F.sequence("mn", "mx")).alias("day")
+    )
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("day_value").isNotNull(), F.col("day"))
+    j = grid.join(daily, ["user_id", "day"], "left").select(
+        "user_id",
+        "day",
+        "day_value",
+        F.last("day_value", ignorenulls=True).over(wp).alias("pv"),
+        F.last(obs_day, ignorenulls=True).over(wp).alias("pd"),
+        F.first("day_value", ignorenulls=True).over(wn).alias("nv"),
+        F.first(obs_day, ignorenulls=True).over(wn).alias("nd"),
+    )
+    lerp = F.when(F.col("nd") == F.col("pd"), F.col("pv")).otherwise(
+        F.col("pv")
+        + (F.col("nv") - F.col("pv"))
+        * F.datediff(F.col("day"), F.col("pd"))
+        * F.lit(1.0)
+        / F.datediff(F.col("nd"), F.col("pd"))
+    )
+    return j.select(
+        "user_id",
+        F.col("day").cast("timestamp").alias("day"),
+        F.round(lerp, 6).alias("interp_value"),
+        F.col("day_value").isNull().alias("is_gap"),
+    ).orderBy("user_id", "day")

@@ -15,6 +15,8 @@ it.
 
 from __future__ import annotations
 
+from typing import Iterator
+
 import pandas as pd
 
 from pyspark.sql import functions as F
@@ -169,4 +171,94 @@ def q_gapply_norm(spark, d):
         "user_id bigint, event_id bigint, zscore double",
         "event_id",
         "value",
+    )
+
+
+@query(
+    "q_udf_iter",
+    oracle="""
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars_live,
+               md5(text) AS text_md5
+        FROM documents
+        ORDER BY doc_id
+    """,
+)
+def q_udf_iter(spark, d):
+    """Iterator-of-series pandas UDF — the variant for expensive
+    one-time initialization (model load, tokenizer build): the
+    closure's setup code runs ONCE per Python worker, then streams
+    every Arrow batch through it, instead of re-initializing per
+    batch like a plain scalar UDF would. Here the 'model' is a
+    hashlib constructor; in production it is the N-second tokenizer
+    or ONNX session load whose per-batch cost would otherwise
+    dominate. Output is deterministic (md5), so the query stays
+    declared."""
+    @pandas_udf("string")
+    def text_md5(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        import hashlib  # one-time init per worker happens HERE
+
+        digest = hashlib.md5  # stands in for a model/tokenizer load
+        for s in batches:
+            yield s.map(lambda t: digest(t.encode()).hexdigest())
+
+    docs = load(spark, d, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.length("text").cast("long").alias("n_chars_live"),
+            text_md5("text").alias("text_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q_udtf_python",
+    oracle="""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS w FROM documents
+          WHERE doc_id % 50 = 0
+        ), idx AS (
+          SELECT doc_id, w,
+                 unnest(generate_series(
+                   1, CAST(ceil(len(w) / 10.0) AS BIGINT))) AS i
+          FROM toks
+        )
+        SELECT doc_id,
+               CAST(i - 1 AS BIGINT) AS chunk_idx,
+               array_to_string(w[(i - 1) * 10 + 1 : i * 10], ' ') AS chunk,
+               CAST(least(10, len(w) - (i - 1) * 10) AS BIGINT) AS n_tokens
+        FROM idx
+        ORDER BY doc_id, chunk_idx
+    """,
+)
+def q_udtf_python(spark, d):
+    """True Python UDTF (PySpark 4 @udtf API): one input row fans out
+    to N output rows from arbitrary Python — here a 10-token
+    chunker over a 2% document slice. The UDTF is the API-coverage
+    twin of q_udtf_split (JVM posexplode): row-at-a-time Python IS
+    the slow path, which is why (a) the slice is pushed BELOW the
+    UDTF call so only 1/50 of documents cross into Python, and (b)
+    the same chunking at corpus scale ships as the Generate-based
+    q_text_chunk. Deterministic output → declared."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx bigint, chunk string, n_tokens bigint")
+    class Chunker:
+        def eval(self, text: str):
+            toks = text.split(" ")
+            for i in range(0, len(toks), 10):
+                piece = toks[i : i + 10]
+                yield (i // 10, " ".join(piece), len(piece))
+
+    docs = load(spark, d, "documents").filter(F.col("doc_id") % 50 == 0)
+    docs.createOrReplaceTempView("udtf_docs_in")
+    spark.udtf.register("chunk_udtf", Chunker)
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.chunk, c.n_tokens
+        FROM udtf_docs_in d, LATERAL chunk_udtf(d.text) c
+        ORDER BY d.doc_id, c.chunk_idx
+        """
     )
