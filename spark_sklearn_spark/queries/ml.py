@@ -240,3 +240,89 @@ def q_ml_keyed_transform(spark, d):
             F.round(F.col("n_chars") - pred, 6).alias("residual"),
         )
     )
+
+
+class _KMeans1D:
+    """Deterministic 1-D 2-means (module-level so pickled per-key
+    models survive the Arrow worker round-trip — see CLAUDE.md).
+    Lloyd's with fixed min/max init and a fixed iteration count:
+    given the same points, every engine/run converges identically."""
+
+    ITERS = 10
+
+    def __init__(self, xs):
+        import numpy as np
+
+        xs = np.sort(np.asarray(xs, dtype="float64"))
+        c0, c1 = float(xs[0]), float(xs[-1])
+        for _ in range(self.ITERS):
+            if c0 == c1:
+                break
+            mid = (c0 + c1) / 2.0
+            left = xs[xs <= mid]
+            right = xs[xs > mid]
+            if len(left) == 0 or len(right) == 0:
+                break
+            c0, c1 = float(left.mean()), float(right.mean())
+        self.c0, self.c1 = c0, c1
+
+    def predict(self, x):
+        return 1 if abs(x - self.c1) < abs(x - self.c0) else 0
+
+
+def _kmeans_fit(X, y):
+    return _KMeans1D(X[:, 0])
+
+
+@query("q_ml_keyed_cluster")  # rows-only: iterative Lloyd's, engine-side
+def q_ml_keyed_cluster(spark, d):
+    """KeyedEstimator's CLUSTERER role (the reference's third
+    estimator role next to predictor/transformer —
+    keyed_models.py#KeyedEstimator role-typed output): one
+    deterministic 1-D 2-means per user over event values, reported
+    as per-user centroids + cluster sizes.
+
+    Physical shape: the per-key fit state is BOUNDED (a user's value
+    list), so the values aggregate JVM-side (collect_list — one
+    combinable shuffle) and ALL 1.5k user fits run in a single
+    vectorized pandas-UDF call over the 1-row-per-user relation.
+    The applyInPandas-per-key form (KeyedEstimator(fit_fn=_kmeans_fit),
+    exercised in tests/test_ml_api.py for A5 role parity) measures
+    ~3 ms of per-group overhead per key — 4+ s at 1.5k keys vs
+    ~0.5 s for this shape; use per-key Arrow groups only when the
+    per-key data does NOT fit a collected list. Rows-only (iterative
+    refinement isn't SQL-expressible); invariants pinned in
+    tests/test_ml_api.py."""
+    from pyspark.sql.functions import pandas_udf
+
+    ev = load(spark, d, "events").select(
+        "user_id", F.col("value").alias("x")
+    )
+    agg = ev.groupBy("user_id").agg(F.collect_list("x").alias("xs"))
+
+    @pandas_udf("c0 double, c1 double, n0 bigint, n1 bigint")
+    def fit2means(xs: pd.Series) -> pd.DataFrame:
+        rows = []
+        for v in xs:
+            m = _KMeans1D(v)
+            import numpy as np
+
+            a = np.asarray(v, dtype="float64")
+            mid = (m.c0 + m.c1) / 2.0
+            n1 = int((a > mid).sum())
+            rows.append(
+                (round(m.c0, 6), round(m.c1, 6), len(a) - n1, n1)
+            )
+        return pd.DataFrame(rows, columns=["c0", "c1", "n0", "n1"])
+
+    return (
+        agg.select("user_id", fit2means("xs").alias("m"))
+        .select(
+            "user_id",
+            F.col("m.c0").alias("c0"),
+            F.col("m.c1").alias("c1"),
+            F.col("m.n0").alias("n0"),
+            F.col("m.n1").alias("n1"),
+        )
+        .orderBy("user_id")
+    )

@@ -131,3 +131,61 @@ def test_grid_search_respects_metric_direction(spark):
     assert gs.best_params_["regParam"] == 0.0
     scores = [r["mean_test_score"] for r in gs.cv_results_]
     assert gs.best_score_ == min(scores)
+
+
+def test_keyed_cluster_invariants(spark, sf_dir):
+    """Clusterer-role KeyedEstimator: per-user 2-means must satisfy
+    c0 ≤ c1, n0+n1 = the user's event count, and each centroid must
+    equal the mean of the points its midpoint rule assigns to it
+    (fixed-point property of Lloyd's at convergence; loose tolerance
+    because the fixed iteration cap may stop one step short)."""
+    import numpy as np
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+
+    from spark_sklearn_spark.sources.io import load
+
+    rows = entry.queries()["q_ml_keyed_cluster"](spark, sf_dir).collect()
+    assert rows
+    ev = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.collect_list("value").alias("xs"))
+        .collect()
+    )
+    by_user = {r["user_id"]: r for r in ev}
+    for r in rows:
+        assert r["c0"] <= r["c1"], r
+        u = by_user[r["user_id"]]
+        assert r["n0"] + r["n1"] == u["n"], r
+        xs = np.asarray(u["xs"], dtype="float64")
+        mid = (r["c0"] + r["c1"]) / 2.0
+        left, right = xs[xs <= mid], xs[xs > mid]
+        if len(left) and len(right):
+            assert abs(left.mean() - r["c0"]) < 1.0, r
+            assert abs(right.mean() - r["c1"]) < 1.0, r
+
+
+def test_keyed_estimator_clusterer_role_mechanism(spark, sf_dir):
+    """A5 role parity: KeyedEstimator accepts a clusterer fit_fn, the
+    per-key models survive the pickle round-trip as a
+    models-as-DataFrame, and each unpickled model predicts in {0,1}."""
+    import pickle
+
+    from pyspark.sql import functions as F
+
+    from spark_sklearn_spark.ml_api import KeyedEstimator
+    from spark_sklearn_spark.queries.ml import _kmeans_fit
+    from spark_sklearn_spark.sources.io import load
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.col("value").alias("x")
+    )
+    km = KeyedEstimator(
+        key_cols=["user_id"], x_cols=["x"], fit_fn=_kmeans_fit
+    ).fit(ev)
+    rows = km.model_df.collect()
+    assert rows and set(km.model_df.columns) == {"user_id", "__model"}
+    m = pickle.loads(rows[0]["__model"])
+    assert m.c0 <= m.c1
+    assert m.predict(m.c0) == 0 and m.predict(m.c1) in (0, 1)
