@@ -387,3 +387,84 @@ def q_ts_interpolate(spark, d):
         F.round(lerp, 6).alias("interp_value"),
         F.col("day_value").isNull().alias("is_gap"),
     ).orderBy("user_id", "day")
+
+
+RFM_TILES = 4
+
+
+@query(
+    "q_behavior_rfm",
+    oracle=f"""
+        WITH now_ref AS (
+          SELECT date_trunc('day', max(ts)) AS now_day FROM events
+        ), per AS (
+          SELECT user_id,
+                 datediff('day', date_trunc('day', max(ts)),
+                          (SELECT now_day FROM now_ref)) AS recency,
+                 count(*) AS freq,
+                 ROUND(CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE), 2)
+                     AS monetary
+          FROM events GROUP BY user_id
+        )
+        SELECT user_id,
+               CAST(recency AS BIGINT) AS recency,
+               freq,
+               monetary,
+               CAST(ntile({RFM_TILES}) OVER (ORDER BY recency, user_id)
+                    AS BIGINT) AS r_tile,
+               CAST(ntile({RFM_TILES}) OVER (ORDER BY freq, user_id)
+                    AS BIGINT) AS f_tile,
+               CAST(ntile({RFM_TILES}) OVER (ORDER BY monetary, user_id)
+                    AS BIGINT) AS m_tile
+        FROM per
+        ORDER BY user_id
+    """,
+)
+def q_behavior_rfm(spark, d):
+    """RFM (recency / frequency / monetary) segmentation — the
+    classic customer-scoring pass. Per-user measures come from one
+    combinable agg (+ a 1-row broadcast of the corpus 'now'); each
+    tile column is EXACT global NTILE semantics from
+    operators/ranking.distributed_ntile — histogram buckets + a
+    bucket-partitioned local window — never Spark's
+    single-partition ntile()-over-everything (the q_win_ntile
+    scale rule, applied three times). Monetary is decimal-rounded
+    BEFORE ranking and every ordering carries the user_id tiebreak,
+    so both engines assign identical tiles."""
+    from ..operators.ranking import distributed_ntile
+
+    ev = load(spark, d, "events")
+    now_ref = ev.agg(
+        F.date_trunc("day", F.max("ts")).alias("now_day")
+    )
+    per = (
+        ev.groupBy("user_id")
+        .agg(
+            F.date_trunc("day", F.max("ts")).alias("last_day"),
+            F.count(F.lit(1)).alias("freq"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(30,10)")).cast("double"),
+                2,
+            ).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(now_ref))
+        .select(
+            "user_id",
+            F.datediff(F.col("now_day"), F.col("last_day"))
+            .cast("long")
+            .alias("recency"),
+            "freq",
+            "monetary",
+        )
+    )
+    # Each distributed_ntile runs two EAGER driver jobs (min/max/count
+    # + histogram); three tile columns means six jobs over this
+    # relation — staging the 1-row-per-user agg once keeps those jobs
+    # from re-scanning the event table (measured 5.8 s → ~1.5 s).
+    per = per.persist()
+    out = distributed_ntile(per, "recency", ["user_id"], RFM_TILES, out_col="r_tile")
+    out = distributed_ntile(out, "freq", ["user_id"], RFM_TILES, out_col="f_tile")
+    out = distributed_ntile(out, "monetary", ["user_id"], RFM_TILES, out_col="m_tile")
+    return out.select(
+        "user_id", "recency", "freq", "monetary", "r_tile", "f_tile", "m_tile"
+    ).orderBy("user_id")

@@ -40,33 +40,11 @@ _BIGRAMS_SQL = f"""
 """
 
 
-@query(
-    "q_dedup_ngram",
-    oracle=f"""
-        WITH {_BIGRAMS_SQL},
-        sizes AS (SELECT doc_id, COUNT(*) AS n FROM rare GROUP BY doc_id),
-        inter AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
-            FROM rare a JOIN rare b ON a.g = b.g AND a.doc_id < b.doc_id
-            GROUP BY doc_a, doc_b
-        )
-        SELECT i.doc_a, i.doc_b,
-               ROUND(i.c * 1.0 / (sa.n + sb.n - i.c), 6) AS jacc
-        FROM inter i
-        JOIN sizes sa ON sa.doc_id = i.doc_a
-        JOIN sizes sb ON sb.doc_id = i.doc_b
-        WHERE ROUND(i.c * 1.0 / (sa.n + sb.n - i.c), 6) >= 0.4
-        ORDER BY doc_a, doc_b
-    """,
-)
-def q_dedup_ngram(spark, d):
-    """Exact word-bigram Jaccard near-dup pairs at tau=0.4 over
-    DF-capped grams. |A .. B| comes from a postings self-join on the
-    gram (equi-join, one shuffle on g, fan-out bounded by DF_CAP);
-    |A u B| = |A| + |B| - |A .. B| from per-doc gram counts. The
-    ratio is rounded to 6 BEFORE the threshold on both engines, so
-    the boundary pair set is identical. This is the exact-verify
-    stage MinHash banding (q_dedup_minhash) approximates."""
+def rare_bigram_pairs(spark, d):
+    """Exact word-bigram Jaccard pairs (doc_a < doc_b, jacc >= 0.4)
+    over DF-capped grams — the shared edge set for q_dedup_ngram and
+    the graph analytics built on the near-dup graph
+    (q_graph_triangles)."""
     docs = load(spark, d, "documents")
     # Tokenize ONCE into a column (an embedded split() inside the
     # interpreted transform re-runs per element — O(n²)/doc), and
@@ -115,6 +93,36 @@ def q_dedup_ngram(spark, d):
         .select("doc_a", "doc_b", "jacc")
         .orderBy("doc_a", "doc_b")
     )
+
+
+@query(
+    "q_dedup_ngram",
+    oracle=f"""
+        WITH {_BIGRAMS_SQL},
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM rare GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+            FROM rare a JOIN rare b ON a.g = b.g AND a.doc_id < b.doc_id
+            GROUP BY doc_a, doc_b
+        )
+        SELECT i.doc_a, i.doc_b,
+               ROUND(i.c * 1.0 / (sa.n + sb.n - i.c), 6) AS jacc
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
+        WHERE ROUND(i.c * 1.0 / (sa.n + sb.n - i.c), 6) >= 0.4
+        ORDER BY doc_a, doc_b
+    """,
+)
+def q_dedup_ngram(spark, d):
+    """Exact word-bigram Jaccard near-dup pairs at tau=0.4 over
+    DF-capped grams. |A .. B| comes from a postings self-join on the
+    gram (equi-join, one shuffle on g, fan-out bounded by DF_CAP);
+    |A u B| = |A| + |B| - |A .. B| from per-doc gram counts. The
+    ratio is rounded to 6 BEFORE the threshold on both engines, so
+    the boundary pair set is identical. This is the exact-verify
+    stage MinHash banding (q_dedup_minhash) approximates."""
+    return rare_bigram_pairs(spark, d)
 
 
 # 5-char rolling window, base-256 polynomial over codepoints: fits
@@ -339,3 +347,59 @@ def q_text_winnow(spark, d):
         F.expr("size(array_distinct(wmins))").cast("long").alias("n_fingerprints"),
         F.expr("array_min(wmins)").alias("fp_min"),
     ).orderBy("doc_id")
+
+
+@query(
+    "q_graph_triangles",
+    oracle=f"""
+        WITH {_BIGRAMS_SQL},
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM rare GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+            FROM rare a JOIN rare b ON a.g = b.g AND a.doc_id < b.doc_id
+            GROUP BY doc_a, doc_b
+        ),
+        edges AS (
+            SELECT i.doc_a AS u, i.doc_b AS v
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.doc_a
+            JOIN sizes sb ON sb.doc_id = i.doc_b
+            WHERE ROUND(i.c * 1.0 / (sa.n + sb.n - i.c), 6) >= 0.4
+        )
+        SELECT e1.u AS doc_a, e1.v AS doc_b, e2.v AS doc_c
+        FROM edges e1
+        JOIN edges e2 ON e2.u = e1.v
+        JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+        ORDER BY doc_a, doc_b, doc_c
+    """,
+)
+def q_graph_triangles(spark, d):
+    """Triangle enumeration on the near-duplicate graph — the graph
+    primitive behind clustering-coefficient / community QA of a dup
+    graph (a triangle means three documents that are all pairwise
+    near-dups; sparse triangles with many edges signal chained
+    false-positive pairs). Edges are the oriented (u < v) exact
+    Jaccard pairs (rare_bigram_pairs); the count comes from the
+    standard two-equi-join oriented enumeration: wedges u→v→w from
+    edges⋈edges on the middle vertex, closed by a join back to the
+    edge set — each triangle found exactly once (u < v < w), work
+    bounded by Σ wedge counts, never a cube of the vertex set. At
+    100 TB the same plan holds with the usual degree-ordering
+    refinement; every join here is a key equi-join Catalyst shuffles
+    on (u) / (u, v)."""
+    e = rare_bigram_pairs(spark, d).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    )
+    # The edge relation feeds three join sides; it is tiny relative to
+    # the corpus (near-dup pairs) but rebuilding it re-runs the whole
+    # postings join, so stage it once (same rule as operators/srp.py).
+    e = e.persist()
+    e1 = e.select(F.col("u").alias("doc_a"), F.col("v").alias("doc_b"))
+    e2 = e.select(F.col("u").alias("doc_b"), F.col("v").alias("doc_c"))
+    e3 = e.select(F.col("u").alias("doc_a"), F.col("v").alias("doc_c"))
+    return (
+        e1.join(e2, "doc_b")
+        .join(e3, ["doc_a", "doc_c"])
+        .select("doc_a", "doc_b", "doc_c")
+        .orderBy("doc_a", "doc_b", "doc_c")
+    )
