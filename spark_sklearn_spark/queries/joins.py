@@ -466,3 +466,64 @@ def q_join_skew(spark, d):
         F.count(F.lit(1)).alias("n_events"),
         dsum("value", "sum_value"),
     )
+
+
+@query(
+    "q_join_null_safe",
+    oracle="""
+        WITH o AS (
+          SELECT o_orderkey,
+                 CASE WHEN o_orderpriority = '3-MEDIUM' THEN NULL
+                      ELSE o_orderpriority END AS pri,
+                 o_totalprice
+          FROM orders
+        ), c AS (
+          SELECT DISTINCT
+                 CASE WHEN o_orderpriority = '3-MEDIUM' THEN NULL
+                      ELSE o_orderpriority END AS pri,
+                 o_orderstatus
+          FROM orders
+        )
+        SELECT o.pri AS pri, c.o_orderstatus,
+               count(*) AS n,
+               ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(30,10)))
+                          AS DOUBLE), 2) AS sum_price
+        FROM o JOIN c ON o.pri IS NOT DISTINCT FROM c.pri
+        GROUP BY o.pri, c.o_orderstatus
+        ORDER BY o.pri NULLS FIRST, c.o_orderstatus
+    """,
+)
+def q_join_null_safe(spark, d):
+    """Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    MATCH each other instead of vanishing — the semantics you need
+    when joining on a nullable dimension (here a priority column with
+    one value nulled out in-query, since the fixtures ship no NULLs).
+    Spark plans eqNullSafe as a plain hash join — the null bucket
+    hashes like any other key — so the 100 TB posture is identical to
+    q_join_shuffle; the trap it guards against is the silent row loss
+    of a plain equi-join on nullable keys. Decimal-policy sum, NULL
+    group ordered first on both engines."""
+    o = load(spark, d, "orders")
+    nullify = F.when(
+        F.col("o_orderpriority") == "3-MEDIUM", F.lit(None)
+    ).otherwise(F.col("o_orderpriority"))
+    left = o.select(
+        nullify.alias("pri"), F.col("o_totalprice")
+    )
+    right = o.select(
+        nullify.alias("pri_r"), F.col("o_orderstatus")
+    ).distinct()
+    return (
+        left.join(right, left["pri"].eqNullSafe(right["pri_r"]))
+        .groupBy("pri", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(30,10)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("sum_price"),
+        )
+        .orderBy(F.asc_nulls_first("pri"), F.asc("o_orderstatus"))
+    )

@@ -260,3 +260,52 @@ def q_fn_variant(spark, d):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_fn_interval",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(o_orderdate + INTERVAL 90 DAY AS TIMESTAMP) AS due_date,
+               CAST(date_trunc('month', o_orderdate + INTERVAL 1 MONTH)
+                    AS TIMESTAMP) AS next_month_start,
+               CAST(datediff('day', TIMESTAMP '1995-01-01', o_orderdate)
+                    AS BIGINT) AS days_since_epoch_ref,
+               ROUND((datediff('month', DATE '1995-01-01',
+                               CAST(o_orderdate AS DATE))
+                      + CASE WHEN extract(day FROM o_orderdate) >= 1
+                             THEN (extract(day FROM o_orderdate) - 1)
+                                  / 31.0 ELSE 0 END), 6) AS months_approx
+        FROM orders
+        WHERE o_orderkey % 100 = 0
+        ORDER BY o_orderkey
+    """,
+)
+def q_fn_interval(spark, d):
+    """Calendar interval arithmetic: day/month interval addition,
+    month-boundary truncation after an interval shift, day deltas
+    against a fixed reference, and a deterministic fractional-month
+    measure (integer month delta + day-of-month fraction — built from
+    integer parts on BOTH engines instead of months_between, whose
+    31-day convention DuckDB does not share). Pure codegen'd date
+    arithmetic — no shuffle beyond the final sort; the hash-sample
+    predicate prunes at the scan."""
+    o = load(spark, d, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    od = F.col("o_orderdate")
+    months_int = (
+        (F.year(od) - F.lit(1995)) * 12 + (F.month(od) - F.lit(1))
+    ).cast("double")
+    months_approx = F.round(
+        months_int + (F.dayofmonth(od) - 1) / F.lit(31.0), 6
+    )
+    return o.select(
+        "o_orderkey",
+        (od + F.expr("INTERVAL 90 DAYS")).alias("due_date"),
+        F.date_trunc("month", od + F.expr("INTERVAL 1 MONTH")).alias(
+            "next_month_start"
+        ),
+        F.datediff(od, F.lit("1995-01-01").cast("timestamp"))
+        .cast("long")
+        .alias("days_since_epoch_ref"),
+        months_approx.alias("months_approx"),
+    ).orderBy("o_orderkey")

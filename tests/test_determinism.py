@@ -1,0 +1,50 @@
+"""Cross-partitioning determinism: a declared query must produce the
+SAME rows no matter how the data is partitioned, or its driver hash is
+a coin flip. The decimal-sum policy, round-before-compare rule, and
+explicit tie-breaks exist exactly for this — here we pin them by
+running float-sensitive queries under two different shuffle-partition
+settings and diffing the collected results exactly.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry
+
+# Queries chosen for float-sensitivity: double sums (decimal policy),
+# windowed frame sums, matmul-based similarity, LSH banding, ratio
+# thresholds, and global ntile assignment.
+SENSITIVE = [
+    "q_agg_hash",
+    "q_text_tfidf",
+    "q_dedup_minhash",
+    "q_sim_pairs_threshold",
+    "q_ts_anomaly",
+    "q_behavior_rfm",
+    "q_win_ntile",
+    "q_sample_temperature",
+]
+
+
+def _rows(spark, sf_dir, name):
+    df = entry.queries()[name](spark, sf_dir)
+    cols = sorted(df.columns)
+    return sorted(
+        tuple(r[c] for c in cols) for r in df.select(*cols).collect()
+    )
+
+
+@pytest.mark.parametrize("name", SENSITIVE)
+def test_query_is_partitioning_invariant(spark, sf_dir, name):
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        a = _rows(spark, sf_dir, name)
+        spark.catalog.clearCache()
+        spark.conf.set("spark.sql.shuffle.partitions", "29")
+        b = _rows(spark, sf_dir, name)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.catalog.clearCache()
+    assert a == b, f"{name}: results differ across shuffle partitionings"
