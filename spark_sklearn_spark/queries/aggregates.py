@@ -290,3 +290,48 @@ def q_agg_approx_percentile(spark, d):
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "q_agg_mode",
+    oracle="""
+        WITH c AS (
+          SELECT l_returnflag, l_quantity, count(*) AS cnt
+          FROM lineitem GROUP BY 1, 2
+        ), r AS (
+          SELECT l_returnflag, l_quantity, cnt,
+                 row_number() OVER (PARTITION BY l_returnflag
+                                    ORDER BY cnt DESC, l_quantity) AS rn
+          FROM c
+        )
+        SELECT l_returnflag,
+               CAST(l_quantity AS DOUBLE) AS mode_qty,
+               CAST(cnt AS BIGINT) AS mode_count
+        FROM r WHERE rn = 1
+        ORDER BY l_returnflag
+    """,
+)
+def q_agg_mode(spark, d):
+    """Deterministic per-group mode (most frequent value, smallest
+    value on frequency ties — built-in mode() leaves ties
+    engine-defined, so it can never be hash-checked). Two chained
+    combinable hash aggs: (group, value) counts, then max_by over a
+    (count, -value) ordering struct — no window, no sort, and the
+    second agg's input is already collapsed to distinct values. The
+    same shape DuckDB's arg_max(x, ROW(cnt, -x)) expresses, so both
+    engines break ties identically."""
+    li = load(spark, d, "lineitem")
+    c = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        c.groupBy("l_returnflag")
+        .agg(
+            F.max_by(
+                "l_quantity",
+                F.struct(F.col("cnt"), (-F.col("l_quantity")).alias("nq")),
+            ).alias("mode_qty"),
+            F.max("cnt").alias("mode_count"),
+        )
+        .orderBy("l_returnflag")
+    )

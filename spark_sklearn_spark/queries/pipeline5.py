@@ -590,3 +590,63 @@ def q_sim_mmr_rerank(spark, d):
         "vec_id",
     )
     return mmr_rerank(cand_vecs, "vec_id", "vec", "cos", MMR_K).orderBy("rank")
+
+
+# --------------------------------------------------------------------------
+# URL canonicalization
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_url_canonical",
+    oracle="""
+        WITH aug AS (
+          SELECT doc_id,
+                 'https://' || source || '.example.com:8443/' || lang
+                 || '/doc/' || doc_id || '?utm_source=feed&ref='
+                 || (doc_id % 7) || '#frag' AS url
+          FROM documents
+        )
+        SELECT doc_id,
+               regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1) AS host,
+               regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1) AS path,
+               regexp_extract(url, 'ref=([0-9]+)', 1) AS ref,
+               regexp_replace(
+                 regexp_replace(url, '[?#].*$', ''), ':[0-9]+', '')
+                 AS canonical_url
+        FROM aug
+        ORDER BY doc_id
+    """,
+)
+def q_url_canonical(spark, d):
+    """URL parsing + canonicalization — the crawl-curation pass that
+    groups documents by origin and strips tracking params/fragments
+    before dedup (two fetches of one resource must canonicalize
+    identically or URL-level dedup misses them). Spark side uses the
+    parse_url intrinsic for host/path/query-param extraction (JVM
+    codegen'd; the oracle mirrors with the equivalent regexes);
+    canonicalization = drop query+fragment, strip the port. URLs are
+    synthesized deterministically from fixture columns (the corpus
+    ships none). Pure projection — zero shuffles, scan-speed."""
+    docs = load(spark, d, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com:8443/"),
+        F.col("lang"),
+        F.lit("/doc/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?utm_source=feed&ref="),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("#frag"),
+    )
+    aug = docs.select("doc_id", url.alias("url"))
+    return aug.select(
+        "doc_id",
+        F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+        F.parse_url(F.col("url"), F.lit("PATH")).alias("path"),
+        F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("ref")).alias("ref"),
+        F.regexp_replace(
+            F.regexp_replace(F.col("url"), r"[?#].*$", ""), ":[0-9]+", ""
+        ).alias("canonical_url"),
+    ).orderBy("doc_id")
