@@ -650,3 +650,212 @@ def q_url_canonical(spark, d):
             F.regexp_replace(F.col("url"), r"[?#].*$", ""), ":[0-9]+", ""
         ).alias("canonical_url"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Boilerplate detection (cross-document template grams)
+# --------------------------------------------------------------------------
+
+BOILER_DF = 50  # a 3-gram in more than this many docs is boilerplate
+
+
+@query(
+    "q_text_boilerplate",
+    oracle=f"""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ), tg AS (
+          SELECT doc_id,
+                 unnest(list_distinct(
+                   [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                    for i in generate_series(1, len(w) - 2)])) AS ng
+          FROM toks WHERE len(w) >= 3
+        ), df AS (
+          SELECT ng, count(*) AS ndocs FROM tg GROUP BY ng
+        )
+        SELECT t.doc_id,
+               count(*) AS n_grams,
+               CAST(count(CASE WHEN d.ndocs > {BOILER_DF} THEN 1 END)
+                    AS BIGINT) AS n_boiler,
+               ROUND(count(CASE WHEN d.ndocs > {BOILER_DF} THEN 1 END)
+                     * 1.0 / count(*), 6) AS boiler_ratio
+        FROM tg t JOIN df d ON t.ng = d.ng
+        GROUP BY t.doc_id
+        ORDER BY t.doc_id
+    """,
+)
+def q_text_boilerplate(spark, d):
+    """Boilerplate detection: the fraction of a document's distinct
+    3-grams that are cross-document template grams (document
+    frequency > {df} — headers, footers, nav text). High-ratio
+    documents are templated pages a curation pipeline strips or
+    down-weights. Plan: ONE gram explode feeds both sides — the DF
+    table via a combinable (gram → ndocs) agg, joined back to the
+    same stream on the gram key (vocabulary-sized relation, AQE
+    broadcasts when it fits) — then a per-doc combinable rollup.
+    The gram stream is staged once (same multi-consumer rule as
+    operators/srp.py); ratios are IEEE divisions of exact counts."""
+    from .pipeline4 import _word_ngrams
+
+    docs = load(spark, d, "documents")
+    w = docs.select("doc_id", F.split("text", " ").alias("__w")).filter(
+        F.size("__w") >= 3
+    )
+    tg = (
+        w.select(
+            "doc_id",
+            F.explode_outer(
+                F.array_distinct(_word_ngrams(F.col("__w"), F.size("__w"), 3))
+            ).alias("ng"),
+        )
+        .filter(F.col("ng").isNotNull())
+        .persist()
+    )
+    df_t = tg.groupBy("ng").agg(F.count(F.lit(1)).alias("ndocs"))
+    return (
+        tg.join(df_t, "ng")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count(F.when(F.col("ndocs") > BOILER_DF, 1)).alias("n_boiler"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_boiler",
+            F.round(F.col("n_boiler") / F.col("n_grams"), 6).alias(
+                "boiler_ratio"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# URL-level dedup
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_dedup_url",
+    oracle="""
+        WITH aug AS (
+          SELECT doc_id,
+                 'https://' || source || '.example.com/' || lang || '/doc/'
+                 || (doc_id % 100) AS canonical_url
+          FROM documents
+        ), ranked AS (
+          SELECT doc_id, canonical_url,
+                 row_number() OVER (PARTITION BY canonical_url
+                                    ORDER BY doc_id) AS rn,
+                 count(*) OVER (PARTITION BY canonical_url) AS n_fetches
+          FROM aug
+        )
+        SELECT canonical_url,
+               doc_id AS kept_doc,
+               CAST(n_fetches AS BIGINT) AS n_fetches
+        FROM ranked WHERE rn = 1 AND n_fetches > 1
+        ORDER BY canonical_url
+    """,
+)
+def q_dedup_url(spark, d):
+    """URL-level dedup: after canonicalization (q_url_canonical),
+    documents sharing a canonical URL are re-fetches of one resource
+    — keep the earliest doc_id per URL. Synthesized URLs collide via
+    doc_id % 100 (the corpus ships none). One shuffle on the URL;
+    the keep-pick and fetch-count come from a single url-partitioned
+    window pass — the cheapest dedup tier, run BEFORE any content
+    hashing."""
+    docs = load(spark, d, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/"),
+        F.col("lang"),
+        F.lit("/doc/"),
+        (F.col("doc_id") % 100).cast("string"),
+    )
+    aug = docs.select("doc_id", url.alias("canonical_url"))
+    wr = Window.partitionBy("canonical_url").orderBy("doc_id")
+    wc = Window.partitionBy("canonical_url")
+    return (
+        aug.withColumn("rn", F.row_number().over(wr))
+        .withColumn("n_fetches", F.count(F.lit(1)).over(wc))
+        .filter((F.col("rn") == 1) & (F.col("n_fetches") > 1))
+        .select(
+            "canonical_url",
+            F.col("doc_id").alias("kept_doc"),
+            "n_fetches",
+        )
+        .orderBy("canonical_url")
+    )
+
+
+# --------------------------------------------------------------------------
+# Corpus health rollup
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_corpus_health",
+    oracle="""
+        WITH t AS (
+          SELECT source, lang, doc_id, n_chars,
+                 len(string_split(text, ' ')) AS n_tokens,
+                 len(list_distinct(string_split(text, ' '))) AS n_uniq
+          FROM documents
+        )
+        SELECT source, lang,
+               count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               ROUND(sum(n_tokens) * 1.0 / count(*), 6) AS mean_tokens,
+               ROUND(CAST(sum(CAST(n_uniq * 1.0 / n_tokens
+                                   AS DECIMAL(30,10))) AS DOUBLE)
+                     / count(*), 6) AS mean_uniq_ratio,
+               CAST(min(n_chars) AS BIGINT) AS min_chars,
+               CAST(max(n_chars) AS BIGINT) AS max_chars
+        FROM t
+        GROUP BY source, lang
+        ORDER BY source, lang
+    """,
+)
+def q_corpus_health(spark, d):
+    """Corpus health dashboard: per (source, lang) document counts,
+    token volumes, and diversity — the monitoring rollup a data team
+    watches per ingest batch (a collapsing uniq-ratio or token count
+    flags a broken extractor upstream). One scan, per-doc in-row
+    token stats (split + array_distinct, no explode), one combinable
+    agg onto the tiny (source, lang) key space. The uniq-ratio mean
+    routes each per-doc ratio through the exact decimal path before
+    summing (a raw double sum would be order-dependent across
+    partitionings)."""
+    docs = load(spark, d, "documents")
+    t = docs.select(
+        "source",
+        "lang",
+        "n_chars",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.size(F.array_distinct(F.split("text", " "))).alias("n_uniq"),
+    )
+    return (
+        t.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.round(
+                F.sum("n_tokens") * F.lit(1.0) / F.count(F.lit(1)), 6
+            ).alias("mean_tokens"),
+            F.round(
+                F.sum(
+                    (F.col("n_uniq") * F.lit(1.0) / F.col("n_tokens")).cast(
+                        DEC
+                    )
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_uniq_ratio"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+        )
+        .orderBy("source", "lang")
+    )
