@@ -63,3 +63,35 @@ def q_source_json_props(spark, d):
         "event_id",
         F.get_json_object("props", "$.k").cast("long").alias("k"),
     )
+
+
+@query(
+    "q_scan_metadata",
+    oracle="""
+        SELECT 'lineitem.parquet' AS file_name,
+               count(*) AS n_rows,
+               CAST(min(l_orderkey) AS BIGINT) AS min_key,
+               CAST(max(l_orderkey) AS BIGINT) AS max_key
+        FROM lineitem
+        ORDER BY file_name
+    """,
+)
+def q_scan_metadata(spark, d):
+    """Hidden file-metadata columns (`_metadata.file_name`) — the
+    lineage/debugging surface a lake pipeline uses to trace rows back
+    to their source files (which ingest batch produced this row?
+    which file is corrupt?). The metadata struct is populated by the
+    scan itself at zero IO cost; grouping by file gives the per-file
+    row-count/key-range audit that validates a compaction or backfill.
+    One scan, one combinable agg on the (tiny) file-name key space."""
+    li = spark.read.parquet(f"{d}/lineitem.parquet")
+    return (
+        li.select(F.col("_metadata.file_name").alias("file_name"), "l_orderkey")
+        .groupBy("file_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_orderkey").alias("min_key"),
+            F.max("l_orderkey").alias("max_key"),
+        )
+        .orderBy("file_name")
+    )

@@ -217,3 +217,4 @@ def q_stream_foreach_upsert(spark, d):
     from ..streaming.jobs import foreach_batch_upsert
 
     return foreach_batch_upsert(spark, d)
+

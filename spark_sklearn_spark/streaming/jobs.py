@@ -20,6 +20,14 @@ downstream of the source (window agg, watermark state store,
 dropDuplicatesWithinWatermark, applyInPandasWithState) is the real
 distributed streaming operator with per-key state partitioned by the
 shuffle — nothing here is driver-local.
+
+Note: Spark 4's transformWithStateInPandas (typed state handles) is
+the successor API, but its driver worker hard-requires the protobuf
+package, which this environment does not ship — verified by running
+it (STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE on `import
+google.protobuf`). applyInPandasWithState remains the arbitrary-state
+operator of record here; the two APIs share the per-key state-store
+execution model, so the scale posture is identical.
 """
 
 from __future__ import annotations
@@ -294,3 +302,4 @@ def foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
