@@ -335,3 +335,76 @@ def q_agg_mode(spark, d):
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "q_agg_moments",
+    oracle="""
+        WITH s AS (
+          SELECT l_returnflag,
+                 count(*) AS n,
+                 CAST(sum(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE) AS s1,
+                 CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(30,10)))
+                      AS DOUBLE) AS s2,
+                 CAST(sum(CAST(l_quantity * l_quantity * l_quantity
+                               AS DECIMAL(30,10))) AS DOUBLE) AS s3,
+                 CAST(sum(CAST(l_quantity * l_quantity * l_quantity
+                               * l_quantity AS DECIMAL(30,10))) AS DOUBLE)
+                     AS s4
+          FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag,
+               n,
+               ROUND(s1 / n, 6) AS mean,
+               ROUND(s2 / n - (s1/n) * (s1/n), 6) AS var_pop,
+               ROUND((s3/n - 3 * (s1/n) * (s2/n) + 2 * (s1/n) * (s1/n)
+                      * (s1/n))
+                     / pow(s2 / n - (s1/n) * (s1/n), 1.5), 6) AS skewness,
+               ROUND((s4/n - 4 * (s1/n) * (s3/n) + 6 * (s1/n) * (s1/n)
+                      * (s2/n) - 3 * (s1/n) * (s1/n) * (s1/n) * (s1/n))
+                     / ((s2/n - (s1/n)*(s1/n)) * (s2/n - (s1/n)*(s1/n)))
+                     - 3.0, 6) AS kurtosis
+        FROM s
+        ORDER BY l_returnflag
+    """,
+)
+def q_agg_moments(spark, d):
+    """Higher-moment statistics (population skewness, excess
+    kurtosis) per group — computed from EXACT decimal raw-moment sums
+    (Σx..Σx⁴) rather than the engines' built-in skewness()/kurtosis()
+    whose one-pass update formulas and sample corrections differ and
+    can never hash-match. The four moment sums travel through one
+    combinable hash agg (map-side partials merge exactly — decimal
+    addition is associative), then the central-moment algebra runs
+    the same double expression tree on both engines (pow is the one
+    libm-dependent call; ROUND(6) absorbs its ≤1-ulp spread — the
+    repo-wide rule for libm outputs). l_quantity⁴ ≤ 50⁴ keeps Σx⁴ far
+    inside DECIMAL(30,10) range at any fixture scale."""
+    li = load(spark, d, "lineitem")
+    q = F.col("l_quantity")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q.cast("decimal(30,10)")).cast("double").alias("s1"),
+        F.sum((q * q).cast("decimal(30,10)")).cast("double").alias("s2"),
+        F.sum((q * q * q).cast("decimal(30,10)")).cast("double").alias("s3"),
+        F.sum((q * q * q * q).cast("decimal(30,10)"))
+        .cast("double")
+        .alias("s4"),
+    )
+    m1 = F.col("s1") / F.col("n")
+    m2 = F.col("s2") / F.col("n")
+    m3 = F.col("s3") / F.col("n")
+    m4 = F.col("s4") / F.col("n")
+    var_pop = m2 - m1 * m1
+    skew = (m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1) / F.pow(var_pop, 1.5)
+    kurt = (
+        m4 - 4 * m1 * m3 + 6 * m1 * m1 * m2 - 3 * m1 * m1 * m1 * m1
+    ) / (var_pop * var_pop) - 3.0
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(m1, 6).alias("mean"),
+        F.round(var_pop, 6).alias("var_pop"),
+        F.round(skew, 6).alias("skewness"),
+        F.round(kurt, 6).alias("kurtosis"),
+    ).orderBy("l_returnflag")
