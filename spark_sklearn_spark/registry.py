@@ -33,8 +33,16 @@ ORACLES: dict[str, str] = {}
 # r6), and 11 r3-last events-table queries, highest-risk because the
 # fixture's ts column changed ns->us this round and sources/io.load grew a
 # schema dispatch. Every key here re-verified green at sf0.01 by this
-# round's full tools/check.py sweep. The 37 remaining r3-last keys rotate
-# into r6's prefix.
+# round's full tools/check.py sweep. Rotating into r6's prefix: the 37
+# remaining r3-last keys, q_set_union(_distinct), and the 24 queries added
+# AFTER this order was pinned (never driver-checked, all green in r5's
+# sf0.01 + sf0.001 local sweeps): q_agg_incremental, q_layout_zorder,
+# q_profile_table, q_split_train, q_behavior_transitions,
+# q_stream_foreach_upsert, q_agg_approx_percentile, q_fn_variant,
+# q_sim_mmr_rerank, q_udf_iter, q_udtf_python, q_ts_interpolate,
+# q_ml_keyed_cluster, q_behavior_rfm, q_graph_triangles, q_join_null_safe,
+# q_fn_interval, q_agg_mode, q_url_canonical, q_dedup_url,
+# q_text_boilerplate, q_corpus_health, q_scan_metadata, q_agg_moments.
 # tests/test_queries_smoke.py asserts every name here is registered.
 DRIVER_PRIORITY: list[str] = [
     # never driver-checked: pipeline4.py (quality gate / decontamination /
