@@ -408,3 +408,42 @@ def q_agg_moments(spark, d):
         F.round(skew, 6).alias("skewness"),
         F.round(kurt, 6).alias("kurtosis"),
     ).orderBy("l_returnflag")
+
+
+@query(
+    "q_agg_boolean",
+    oracle="""
+        SELECT event_type,
+               CAST(count(CASE WHEN value > 500 THEN 1 END) AS BIGINT)
+                   AS n_high,
+               bool_and(value >= 0) AS all_nonneg,
+               bool_or(value > 990) AS any_extreme,
+               ROUND(CAST(count(CASE WHEN value > 500 THEN 1 END) AS DOUBLE)
+                     / count(*), 6) AS frac_high
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+)
+def q_agg_boolean(spark, d):
+    """Boolean/conditional aggregates — count_if, every (bool_and),
+    some (bool_or), and a conditional fraction: the predicates-as-
+    metrics idiom behind SLO dashboards ("% of requests over
+    threshold"). All four are plain combinable aggregates (booleans
+    merge with AND/OR — associative), one hash agg, map-side
+    partials doing nearly all the work on low-cardinality keys."""
+    ev = load(spark, d, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count_if(F.col("value") > 500).alias("n_high"),
+            F.every(F.col("value") >= 0).alias("all_nonneg"),
+            F.some(F.col("value") > 990).alias("any_extreme"),
+            F.round(
+                F.count_if(F.col("value") > 500).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("frac_high"),
+        )
+        .orderBy("event_type")
+    )

@@ -527,3 +527,50 @@ def q_join_null_safe(spark, d):
         )
         .orderBy(F.asc_nulls_first("pri"), F.asc("o_orderstatus"))
     )
+
+
+@query(
+    "q_join_lateral",
+    oracle="""
+        SELECT n.n_name,
+               t.c_name AS top_customer,
+               ROUND(t.c_acctbal, 2) AS top_acctbal
+        FROM nation n,
+             LATERAL (
+               SELECT c_name, c_acctbal
+               FROM customer c
+               WHERE c.c_nationkey = n.n_nationkey
+               ORDER BY c_acctbal DESC, c_name
+               LIMIT 1
+             ) t
+        ORDER BY n_name
+    """,
+)
+def q_join_lateral(spark, d):
+    """Correlated LATERAL subquery join: for each nation, the top
+    customer by balance — the SQL form of a per-row dependent
+    subquery. Catalyst DECORRELATES it (DomainJoin rewrite) into a
+    join against a ranked/aggregated right side rather than
+    re-executing the subquery per outer row, so the physical plan is
+    the same shape as a top-1-per-group window + join — per-row
+    re-execution would be a disguised nested loop at 100 TB. LIMIT
+    carries the (acctbal DESC, name) tie-break on both engines."""
+    from ..sources.io import register_views
+
+    register_views(spark, d, tables=["nation", "customer"])
+    return spark.sql(
+        """
+        SELECT n.n_name,
+               t.c_name AS top_customer,
+               ROUND(t.c_acctbal, 2) AS top_acctbal
+        FROM nation n,
+             LATERAL (
+               SELECT c_name, c_acctbal
+               FROM customer c
+               WHERE c.c_nationkey = n.n_nationkey
+               ORDER BY c_acctbal DESC, c_name
+               LIMIT 1
+             ) t
+        ORDER BY n_name
+        """
+    )

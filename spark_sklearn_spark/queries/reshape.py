@@ -271,3 +271,48 @@ def q_sample_stratified(spark, d):
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "q_pivot_dynamic",
+    oracle="""
+        SELECT event_type,
+               COUNT(CASE WHEN dow = 0 THEN 1 END) AS dow_0,
+               COUNT(CASE WHEN dow = 1 THEN 1 END) AS dow_1,
+               COUNT(CASE WHEN dow = 2 THEN 1 END) AS dow_2,
+               COUNT(CASE WHEN dow = 3 THEN 1 END) AS dow_3,
+               COUNT(CASE WHEN dow = 4 THEN 1 END) AS dow_4,
+               COUNT(CASE WHEN dow = 5 THEN 1 END) AS dow_5,
+               COUNT(CASE WHEN dow = 6 THEN 1 END) AS dow_6
+        FROM (SELECT event_type, dayofweek(ts) AS dow FROM events)
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+)
+def q_pivot_dynamic(spark, d):
+    """Pivot with INFERRED spread values: when the value list isn't
+    known at plan time, Spark runs a distinct pre-pass (bounded by
+    the spread column's cardinality — fine for enum-like columns,
+    a plan-time failure waiting to happen for unbounded ones, which
+    is why q_pivot_wide's explicit-list form is the default here).
+    The pre-pass result is sorted so the output column order is
+    deterministic. Day-of-week bases differ across engines — Spark
+    dayofweek is 1=Sunday..7=Saturday, DuckDB's is 0=Sunday..6 — so
+    the Spark side subtracts 1 to match (the CLAUDE.md dayofweek
+    trap)."""
+    ev = load(spark, d, "events").select(
+        "event_type", (F.dayofweek("ts") - 1).alias("dow")
+    )
+    wide = ev.groupBy("event_type").pivot("dow").count()
+    # inferred columns arrive as strings of the dow ints, sorted
+    cols = sorted((c for c in wide.columns if c != "event_type"), key=int)
+    return (
+        wide.select(
+            "event_type",
+            *[
+                F.coalesce(F.col(f"`{c}`"), F.lit(0)).alias(f"dow_{c}")
+                for c in cols
+            ],
+        )
+        .orderBy("event_type")
+    )

@@ -309,3 +309,44 @@ def q_fn_interval(spark, d):
         .alias("days_since_epoch_ref"),
         months_approx.alias("months_approx"),
     ).orderBy("o_orderkey")
+
+
+@query(
+    "q_fn_try_arith",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               CASE WHEN l_discount = 0 THEN NULL
+                    ELSE ROUND(l_extendedprice / l_discount, 6) END
+                   AS price_per_disc,
+               TRY_CAST(l_returnflag AS BIGINT) AS flag_as_int,
+               CASE WHEN l_quantity = 0 THEN NULL
+                    ELSE CAST(floor(l_extendedprice / l_quantity) AS BIGINT)
+                    END AS unit_price_int
+        FROM lineitem
+        WHERE l_orderkey % 200 = 0
+        ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def q_fn_try_arith(spark, d):
+    """Error-safe expressions: try_divide (NULL on divide-by-zero
+    instead of a job-killing ANSI error), try_cast (NULL on
+    unparseable input). On a 100 TB corpus a handful of bad rows is a
+    certainty — try_* keeps the scan streaming instead of failing the
+    stage, and the NULLs flow to downstream quality filters. The
+    oracle mirrors with explicit CASE guards (DuckDB division returns
+    inf rather than erroring, so the guard IS the portable form).
+    Pure codegen projection."""
+    li = load(spark, d, "lineitem").filter(F.col("l_orderkey") % 200 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            F.try_divide(F.col("l_extendedprice"), F.col("l_discount")), 6
+        ).alias("price_per_disc"),
+        F.col("l_returnflag").try_cast("bigint").alias("flag_as_int"),
+        # floor() both sides: a bare double→bigint cast TRUNCATES in
+        # Spark but ROUNDS in DuckDB — floor is the portable form
+        F.floor(F.try_divide(F.col("l_extendedprice"), F.col("l_quantity")))
+        .try_cast("bigint")
+        .alias("unit_price_int"),
+    ).orderBy("l_orderkey", "l_linenumber")

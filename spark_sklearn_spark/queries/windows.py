@@ -174,3 +174,44 @@ def q_win_distribution(spark, d):
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+@query(
+    "q_win_range_interval",
+    oracle="""
+        SELECT event_id, user_id, ts,
+               CAST(count(*) OVER w AS BIGINT) AS n_last_2h,
+               ROUND(CAST(sum(CAST(value AS DECIMAL(30,10))) OVER w
+                          AS DOUBLE), 2) AS sum_last_2h
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 2 HOUR PRECEDING
+                               AND CURRENT ROW)
+        ORDER BY event_id
+    """,
+)
+def q_win_range_interval(spark, d):
+    """TIME-based sliding frame: RANGE BETWEEN INTERVAL 2 HOURS
+    PRECEDING — the rolling-window aggregate keyed by event TIME, not
+    row count (a user with bursty traffic gets a wide frame, a sparse
+    one a narrow frame; ROWS frames can't express this). One shuffle
+    on user_id, sorted range-frame scan per partition; sums ride the
+    exact decimal path inside the frame. Identical frame semantics on
+    both engines: RANGE over timestamps with an INTERVAL bound
+    includes ties on ts."""
+    from ..sources.io import register_views
+
+    register_views(spark, d, tables=["events"])
+    return spark.sql(
+        """
+        SELECT event_id, user_id, ts,
+               count(*) OVER w AS n_last_2h,
+               ROUND(CAST(sum(CAST(value AS DECIMAL(30,10))) OVER w
+                          AS DOUBLE), 2) AS sum_last_2h
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 2 HOURS PRECEDING
+                               AND CURRENT ROW)
+        ORDER BY event_id
+        """
+    )
