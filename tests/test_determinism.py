@@ -29,6 +29,10 @@ SENSITIVE = [
     "q_behavior_rfm",
     "q_win_ntile",
     "q_sample_temperature",
+    "q_agg_moments",
+    "q_ts_interpolate",
+    "q_text_bm25",
+    "q_corpus_health",
 ]
 
 
