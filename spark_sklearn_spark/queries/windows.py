@@ -215,3 +215,44 @@ def q_win_range_interval(spark, d):
         ORDER BY event_id
         """
     )
+
+
+@query(
+    "q_win_nth",
+    oracle="""
+        SELECT DISTINCT user_id,
+               nth_value(event_id, 2) OVER w AS second_event,
+               last_value(event_id) OVER w AS last_event,
+               CAST(count(*) OVER w AS BIGINT) AS n_events
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND UNBOUNDED FOLLOWING)
+        ORDER BY user_id
+    """,
+)
+def q_win_nth(spark, d):
+    """nth_value / last_value over an UNBOUNDED-to-UNBOUNDED frame —
+    the per-entity "second touchpoint / final touchpoint" attribution
+    view. The full frame matters: with the default frame (unbounded
+    preceding → current row) last_value degenerates to the current
+    row, a classic silent-wrong-answer; both engines here declare the
+    whole-partition frame explicitly. DISTINCT collapses the
+    per-event duplication to one row per user JVM-side; ordering
+    carries the (ts, event_id) total-order tie-break."""
+    from ..sources.io import register_views
+
+    register_views(spark, d, tables=["events"])
+    return spark.sql(
+        """
+        SELECT DISTINCT user_id,
+               nth_value(event_id, 2) OVER w AS second_event,
+               last_value(event_id) OVER w AS last_event,
+               count(*) OVER w AS n_events
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND UNBOUNDED FOLLOWING)
+        ORDER BY user_id
+        """
+    )
