@@ -223,7 +223,13 @@ def cosine_batch_topk(
             X = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
             X /= np.linalg.norm(X, axis=1, keepdims=True)
             ids = pdf[id_col].to_numpy(dtype=np.int64)
-            S = np.round(X @ Qt, rt)  # (n, q) — one BLAS call per batch
+            S = X @ Qt  # (n, q) — one BLAS call per batch
+            # round half-AWAY-from-zero to match the oracle's ROUND and
+            # the repo decimal policy (np.round is banker's half-to-even:
+            # a cosine landing exactly on a 0.5e-6 midpoint would round
+            # differently across engines and perturb the k-boundary rank)
+            scale = 10.0**rt
+            S = np.sign(S) * np.floor(np.abs(S) * scale + 0.5) / scale
             out_q, out_n, out_c = [], [], []
             for j in range(len(qids)):
                 col = S[:, j]

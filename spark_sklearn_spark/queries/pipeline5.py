@@ -130,7 +130,7 @@ MIX_TARGET = 200  # target sample size across all sources
                CAST(sum(d.doc_id) AS BIGINT) AS sum_ids
         FROM documents d JOIN rates r ON d.source = r.source
         WHERE (d.doc_id * 2654435761) % 4294967296 <
-              CAST(r.rate * 4294967296 AS BIGINT)
+              CAST(floor(r.rate * 4294967296) AS BIGINT)
         GROUP BY d.source
         ORDER BY d.source
     """,
@@ -146,8 +146,10 @@ def q_sample_temperature(spark, d):
     same Knuth key-hash predicate as q_sample_hash, i.e. one scan,
     one combinable agg, zero corpus-keyed shuffles beyond the final
     per-source rollup. Determinism: sqrt (correctly rounded) instead
-    of pow, decimal-path sum of weights, rate rounded to 6 before the
-    integer threshold compare — both engines pick identical rows."""
+    of pow, decimal-path sum of weights, rate rounded to 6 then
+    FLOORED to the integer threshold (Spark's cast-to-long truncates
+    while DuckDB's rounds — floor on both sides removes the
+    divergence) — both engines pick identical rows."""
     docs = load(spark, d, "documents")
     counts = docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -170,7 +172,7 @@ def q_sample_temperature(spark, d):
     h = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
     return (
         docs.join(F.broadcast(rates), "source")
-        .filter(h < (F.col("rate") * F.lit(4294967296.0)).cast("long"))
+        .filter(h < F.floor(F.col("rate") * F.lit(4294967296.0)).cast("long"))
         .groupBy("source")
         .agg(
             F.max("n_docs").alias("n_docs"),

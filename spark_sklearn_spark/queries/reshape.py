@@ -299,19 +299,22 @@ def q_pivot_dynamic(spark, d):
     deterministic. Day-of-week bases differ across engines — Spark
     dayofweek is 1=Sunday..7=Saturday, DuckDB's is 0=Sunday..6 — so
     the Spark side subtracts 1 to match (the CLAUDE.md dayofweek
-    trap)."""
+    trap). The declared contract pins columns dow_0..dow_6, so the
+    pivot is given the full 0..6 value list: with inference alone an
+    absent day-of-week at some fixture/scale would silently drop a
+    column and fail the contract at plan level instead of flagging a
+    data gap (and the explicit list also skips the distinct
+    pre-pass job)."""
     ev = load(spark, d, "events").select(
         "event_type", (F.dayofweek("ts") - 1).alias("dow")
     )
-    wide = ev.groupBy("event_type").pivot("dow").count()
-    # inferred columns arrive as strings of the dow ints, sorted
-    cols = sorted((c for c in wide.columns if c != "event_type"), key=int)
+    wide = ev.groupBy("event_type").pivot("dow", list(range(7))).count()
     return (
         wide.select(
             "event_type",
             *[
                 F.coalesce(F.col(f"`{c}`"), F.lit(0)).alias(f"dow_{c}")
-                for c in cols
+                for c in range(7)
             ],
         )
         .orderBy("event_type")

@@ -26,84 +26,80 @@ ORACLES: dict[str, str] = {}
 # The driver's differential harness checks the FIRST 50 keys of ``queries()``
 # in iteration order. With >50 registered queries the tail is invisible to the
 # hard gate, so we pin an explicit priority order and ROTATE it each round so
-# no key goes more than two rounds without a driver re-check. Round-5 order:
-# the 13 pipeline4/pipeline5 additions (never driver-checked), 26 of the 28
-# keys whose last driver-green row is CORRECTNESS_r02.json (q_set_union and
-# q_set_union_distinct — trivial, pytest- and local-sweep-covered — rotate to
-# r6), and 11 r3-last events-table queries, highest-risk because the
-# fixture's ts column changed ns->us this round and sources/io.load grew a
-# schema dispatch. Every key here re-verified green at sf0.01 by this
-# round's full tools/check.py sweep. Rotating into r6's prefix: the 37
-# remaining r3-last keys, q_set_union(_distinct), and the 24 queries added
-# AFTER this order was pinned (never driver-checked, all green in r5's
-# sf0.01 + sf0.001 local sweeps): q_agg_incremental, q_layout_zorder,
-# q_profile_table, q_split_train, q_behavior_transitions,
-# q_stream_foreach_upsert, q_agg_approx_percentile, q_fn_variant,
-# q_sim_mmr_rerank, q_udf_iter, q_udtf_python, q_ts_interpolate,
-# q_ml_keyed_cluster, q_behavior_rfm, q_graph_triangles, q_join_null_safe,
-# q_fn_interval, q_agg_mode, q_url_canonical, q_dedup_url,
-# q_text_boilerplate, q_corpus_health, q_scan_metadata, q_agg_moments.
-# tests/test_queries_smoke.py asserts every name here is registered.
+# no key goes more than two rounds without a driver re-check. Round-6 order
+# (executing the rotation promised in the round-5 comment): the 26 declared
+# keys with no driver row in any CORRECTNESS_r*.json, q_dedup_simhash
+# (promoted rows-only -> declared this round), the 4 never-checked rows-only
+# keys, q_set_union(_distinct) (r2-stale, deferred from r5), the 4 queries
+# whose implementation changed this round (dedup-cluster memoization,
+# temperature-sampling floor cast, kNN-batch rounding), then the oldest
+# r3-green keys with preference to the dedup/similarity families the round's
+# code changes touch. Rotating into r7's prefix: the remaining r3-green keys
+# (q_ml_*, q_multimodal_decode, q_project_expr, q_scan_parquet/projection/
+# pushdown, q_text_langid/quality/tfidf/tokens/stats, q_topk_per_group,
+# q_tpch_q3/q5/q6/q10, q_udf_scalar, q_udtf_split, q_win_ntile) plus
+# whatever r6 leaves stale. tests/test_queries_smoke.py asserts every name
+# here is registered.
 DRIVER_PRIORITY: list[str] = [
-    # never driver-checked: pipeline4.py (quality gate / decontamination /
-    # PII / anomaly / batched kNN / dim stats / PCA)
-    "q_quality_gate",
-    "q_decontaminate",
-    "q_pii_redact",
-    "q_ts_anomaly",
-    "q_sim_knn_batch",
-    "q_emb_dimstats",
-    "q_emb_pca",
-    # last driver-checked in r2 (three rounds stale — due now)
-    "q_filter_like",
-    "q_join_multiway",
-    "q_join_outer",
-    "q_join_outer_right",
-    "q_join_cross",
-    "q_agg_distinct",
-    "q_agg_approx_distinct",
-    "q_agg_rollup",
-    "q_agg_cube",
-    "q_agg_stats",
-    "q_win_rank",
-    "q_win_analytic",
-    "q_win_frame_rows",
-    "q_win_frame_range",
-    "q_sort_multi",
-    "q_topk_limit",
-    "q_set_intersect",
-    "q_set_except",
-    "q_fn_string",
-    "q_fn_date",
-    "q_fn_math",
-    "q_fn_map",
-    "q_fn_json",
-    "q_stream_sliding",
-    "q_stream_watermark",
-    "q_stream_dedup",
-    # r3-last events-table queries (fixture ts ns->us + io.load dispatch
-    # change this round make these the highest-risk r3 keys)
-    "q_source_json_props",
-    "q_join_outer_full",
-    "q_join_theta",
-    "q_join_range_ts",
-    "q_join_asof",
-    "q_join_skew",
-    "q_stream_tumbling",
-    "q_stream_session",
-    "q_stream_stateful",
-    "q_udaf_grouped",
-    "q_gapply_norm",
-    # never driver-checked: pipeline5.py (packing / temperature mix /
-    # repetition / embedding outliers / BM25 / PMI). q_set_union and
-    # q_set_union_distinct (r2-stale, trivial, pytest- and local-sweep-
-    # covered) rotate to r6 to make room.
-    "q_pack_sequences",
+    # declared keys never seen by the driver (added after the r5 order was
+    # pinned; all green in local tools/check.py sweeps, 10 spot-checked by
+    # the r5 judge)
+    "q_scan_metadata",
+    "q_join_null_safe",
+    "q_join_lateral",
+    "q_agg_mode",
+    "q_agg_moments",
+    "q_agg_boolean",
+    "q_win_range_interval",
+    "q_win_nth",
+    "q_fn_variant",
+    "q_fn_interval",
+    "q_fn_try_arith",
+    "q_udf_iter",
+    "q_udtf_python",
+    "q_behavior_transitions",
+    "q_ts_interpolate",
+    "q_behavior_rfm",
+    "q_graph_triangles",
+    "q_url_canonical",
+    "q_text_boilerplate",
+    "q_dedup_url",
+    "q_corpus_health",
+    "q_agg_incremental",
+    "q_layout_zorder",
+    "q_profile_table",
+    "q_split_train",
+    "q_pivot_dynamic",
+    # promoted rows-only -> declared this round
+    "q_dedup_simhash",
+    # rows-only keys never seen by the driver (rows>0 check)
+    "q_agg_approx_percentile",
+    "q_stream_foreach_upsert",
+    "q_ml_keyed_cluster",
+    "q_sim_mmr_rerank",
+    # r2-stale, deferred from the r5 prefix
+    "q_set_union",
+    "q_set_union_distinct",
+    # implementation changed this round — re-verify even though r4/r5-green
+    "q_dedup_clusters",
+    "q_dedup_canonical",
     "q_sample_temperature",
-    "q_text_repetition",
-    "q_emb_outliers",
-    "q_text_bm25",
-    "q_text_pmi",
+    "q_sim_knn_batch",
+    # oldest (r3) driver-green keys, dedup/similarity families first since
+    # this round touches operators/components.py and operators/similarity.py
+    "q_text_stats",
+    "q_dedup_minhash",
+    "q_dedup_exact",
+    "q_dedup_fingerprint",
+    "q_dedup_embedding",
+    "q_dedup_embedding_lsh",
+    "q_sim_pairs_threshold",
+    "q_sim_knn_brute",
+    "q_agg_collect",
+    "q_agg_grouping_sets",
+    "q_agg_hash",
+    "q_filter_pred",
+    "q_fn_array",
 ]
 
 
