@@ -49,6 +49,52 @@ import time
 MAX_REPS = 3
 REPEAT_BUDGET_SEC = 2.0
 
+# Per-query regression gate (VERDICT r5 item 6): totals hide per-query
+# signal under host variance, so each run is also diffed against
+# BASELINE.md's latest per-query table. A query regresses when it runs
+# >REGRESSION_RATIO slower than its baseline AND the absolute delta
+# exceeds REGRESSION_MIN_DELTA_SEC (a 0.05->0.12 s blip is codegen/GC
+# noise, not signal).
+REGRESSION_RATIO = 2.0
+REGRESSION_MIN_DELTA_SEC = 0.2
+
+
+def baseline_walls() -> dict[str, float]:
+    """Per-query walls from BASELINE.md's latest table (| key | sf | sec |)."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE.md")
+    walls: dict[str, float] = {}
+    try:
+        with open(path) as fh:
+            for line in fh:
+                m = re.match(
+                    r"\|\s*(q_\w+)\s*\|\s*[0-9.]+\s*\|\s*([0-9.]+)\s*\|", line
+                )
+                if m:
+                    walls[m.group(1)] = float(m.group(2))
+    except OSError:
+        pass
+    return walls
+
+
+def find_regressions(timings: dict[str, float]) -> list[dict]:
+    base = baseline_walls()
+    out = []
+    for name, wall in timings.items():
+        b = base.get(name)
+        if b is None or b <= 0 or wall < 0:
+            continue
+        if wall > b * REGRESSION_RATIO and wall - b > REGRESSION_MIN_DELTA_SEC:
+            out.append(
+                {
+                    "query": name,
+                    "baseline": b,
+                    "now": wall,
+                    "ratio": round(wall / b, 2),
+                }
+            )
+    out.sort(key=lambda r: r["ratio"], reverse=True)
+    return out
+
 
 def main() -> None:
     sf_dir = (
@@ -138,6 +184,13 @@ def main() -> None:
         "reps": MAX_REPS,
     }
 
+    # Per-query regression gate vs BASELINE.md's table. Capped to the
+    # 10 worst so the one-line JSON stays inside the driver's 2000-char
+    # stdout budget; the full list is in BENCH_DETAIL.json.
+    regressions = find_regressions(timings)
+    meta["n_regressions"] = len(regressions)
+    meta["regressions"] = regressions[:10]
+
     # The driver keeps only the LAST 2000 chars of stdout and parses the
     # final line as JSON. 126 queries serialize to ~4 KB, so a full
     # per-query dict on stdout has never parsed (BENCH_r01-r04 all show
@@ -149,7 +202,12 @@ def main() -> None:
     )
     if not only:  # partial runs must not clobber the full-sweep record
         with open(detail_path, "w") as fh:
-            json.dump({**meta, "queries": timings}, fh, indent=1, sort_keys=True)
+            json.dump(
+                {**meta, "regressions": regressions, "queries": timings},
+                fh,
+                indent=1,
+                sort_keys=True,
+            )
 
     budget = 1800
     ranked = sorted(timings.items(), key=lambda kv: kv[1], reverse=True)

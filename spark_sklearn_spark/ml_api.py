@@ -282,8 +282,10 @@ class Converter:
       (the sklearn linear-model protocol, A7) → a LinearPredictor
       that scores DataFrames JVM-side (dot product as columnar
       arithmetic; no Python in the scoring path).
-    - ``toSKLearn``: not supported here — sklearn is not installed
-      (SURVEY §0); raises with that explanation.
+    - ``toSKLearn``: optional-import path (A8) — materializes MLlib
+      linear-model coefficients onto a sklearn estimator when sklearn
+      is importable; raises NotImplementedError with an explanation
+      when it is not (the SURVEY §0 environment).
     """
 
     def toPandas(self, df: DataFrame) -> pd.DataFrame:
@@ -317,11 +319,46 @@ class Converter:
         return LinearPredictor(coef, intercept)
 
     def toSKLearn(self, model):
-        """A8 surface — unsupported here by design (sklearn absent)."""
-        raise NotImplementedError(
-            "sklearn is not available in this environment; export "
-            "coefficients via model.coefficients / model.intercept instead"
-        )
+        """A8 surface (``converter.py#Converter.toSKLearn``): MLlib
+        linear model → fitted sklearn estimator, when sklearn is
+        importable. The coefficient/intercept arrays are materialized
+        onto ``LinearRegression`` / ``LogisticRegression`` shells
+        (fit-free: attributes set directly, the documented sklearn
+        escape hatch for pre-computed models). Without sklearn on the
+        box the documented raise is preserved (SURVEY §0)."""
+        try:
+            import sklearn.linear_model as skl
+        except ImportError:
+            raise NotImplementedError(
+                "sklearn is not available in this environment; export "
+                "coefficients via model.coefficients / model.intercept "
+                "instead"
+            ) from None
+
+        coef = np.asarray(model.coefficients.toArray())
+        intercept = float(model.intercept)
+        name = type(model).__name__
+        if "LogisticRegression" in name:
+            if getattr(model, "numClasses", 2) != 2:
+                raise NotImplementedError(
+                    "toSKLearn supports binary logistic models only; "
+                    f"got numClasses={model.numClasses}"
+                )
+            out = skl.LogisticRegression()
+            out.coef_ = coef.reshape(1, -1)
+            out.intercept_ = np.array([intercept])
+            out.classes_ = np.array([0.0, 1.0])
+        elif "LinearRegression" in name:
+            out = skl.LinearRegression()
+            out.coef_ = coef
+            out.intercept_ = intercept
+        else:
+            raise NotImplementedError(
+                f"toSKLearn supports LinearRegressionModel / binary "
+                f"LogisticRegressionModel; got {name}"
+            )
+        out.n_features_in_ = coef.size if coef.ndim == 1 else coef.shape[1]
+        return out
 
 
 class LinearPredictor:

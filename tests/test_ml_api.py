@@ -101,9 +101,34 @@ def test_converter_to_spark_linear_predictor(spark):
     assert got == [2.5, 2.5]
 
 
-def test_converter_to_sklearn_raises(spark):
+def test_converter_to_sklearn_raises_without_sklearn(spark):
+    """The documented A8 raise is preserved when sklearn is absent."""
+    try:
+        import sklearn  # noqa: F401
+    except ImportError:
+        pass
+    else:
+        pytest.skip("sklearn installed — raise path not reachable")
     with pytest.raises(NotImplementedError, match="sklearn"):
         Converter().toSKLearn(object())
+
+
+def test_converter_to_sklearn_materializes_linear_model(spark):
+    """Optional-import A8 path: an MLlib LinearRegressionModel maps to
+    a fitted sklearn LinearRegression with identical predictions."""
+    pytest.importorskip("sklearn")
+    from pyspark.ml.linalg import Vectors
+    from pyspark.ml.regression import LinearRegression
+
+    df = spark.createDataFrame(
+        [(float(2 * a + 3 * b + 1), Vectors.dense([a, b]))
+         for a, b in [(0, 0), (1, 0), (0, 1), (1, 1), (2, 3)]],
+        ["label", "features"],
+    )
+    model = LinearRegression(regParam=0.0).fit(df)
+    sk = Converter().toSKLearn(model)
+    got = sk.predict(np.array([[1.0, 2.0]]))[0]
+    assert abs(got - (2 * 1 + 3 * 2 + 1)) < 1e-6
 
 
 def test_grid_search_respects_metric_direction(spark):

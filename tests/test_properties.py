@@ -152,3 +152,49 @@ def test_sample_temperature_rates_and_expectation(spark, sf_dir):
         expected = r["rate"] * r["n_docs"]
         sd = (r["n_docs"] * r["rate"] * (1 - r["rate"])) ** 0.5
         assert abs(r["n_sample"] - expected) <= 5 * sd + 3, r
+
+
+def test_emb_pca_matches_numpy_and_invariants(spark, sf_dir):
+    """q_emb_pca is rows-only for the driver (eig isn't SQL-
+    expressible); give the path teeth here (VERDICT r5 item 9):
+    (1) projections match a from-scratch numpy PCA with the same
+    sign convention, (2) explained-variance ratios are ordered and
+    in (0, 1], (3) sample variance of pc1/pc2 equals the top two
+    eigenvalues and the components are empirically uncorrelated —
+    i.e. the distributed gramian really computed the covariance."""
+    import __spark_entry__ as entry
+
+    from spark_sklearn_spark.sources.io import load
+
+    rows = entry.queries()["q_emb_pca"](spark, sf_dir).collect()
+    assert rows
+    emb = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in load(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    X = np.vstack([emb[r["vec_id"]] for r in rows])
+    mu = X.mean(axis=0)
+    cov = (X - mu).T @ (X - mu) / (len(X) - 1)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1]
+    evals, evecs = evals[order], evecs[:, order]
+    for j, col in enumerate(["pc1", "pc2"]):
+        v = evecs[:, j]
+        if v[int(np.argmax(np.abs(v)))] < 0:
+            v = -v
+        want = (X - mu) @ v
+        got = np.array([r[col] for r in rows])
+        assert np.allclose(got, np.round(want, 6), atol=2e-5), col
+    # explained-variance ratios: ordered, positive, consistent
+    evr1, evr2 = rows[0]["evr1"], rows[0]["evr2"]
+    assert 0 < evr2 <= evr1 <= 1
+    assert abs(evr1 - evals[0] / evals.sum()) < 1e-4
+    # the projections realize the eigenvalues and are uncorrelated
+    p1 = np.array([r["pc1"] for r in rows])
+    p2 = np.array([r["pc2"] for r in rows])
+    assert abs(p1.var(ddof=1) - evals[0]) < 1e-3 * max(1.0, evals[0])
+    assert abs(p2.var(ddof=1) - evals[1]) < 1e-3 * max(1.0, evals[1])
+    denom = np.sqrt(p1.var(ddof=1) * p2.var(ddof=1))
+    assert abs(np.cov(p1, p2, ddof=1)[0, 1]) / denom < 1e-3
