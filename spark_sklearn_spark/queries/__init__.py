@@ -24,6 +24,7 @@ from . import (  # noqa: F401
     pipeline3,
     pipeline4,
     pipeline5,
+    pipeline6,
     layout,
     profiling,
     reshape,

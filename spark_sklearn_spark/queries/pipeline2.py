@@ -40,11 +40,12 @@ _BIGRAMS_SQL = f"""
 """
 
 
-def rare_bigram_pairs(spark, d):
-    """Exact word-bigram Jaccard pairs (doc_a < doc_b, jacc >= 0.4)
-    over DF-capped grams — the shared edge set for q_dedup_ngram and
-    the graph analytics built on the near-dup graph
-    (q_graph_triangles)."""
+def bigram_overlap(spark, d):
+    """Per-pair gram-overlap table (doc_a < doc_b, c = |A∩B|, na, nb)
+    over DF-capped word bigrams — the shared postings-join core under
+    q_dedup_ngram / q_graph_triangles (Jaccard) and
+    q_text_containment (asymmetric ratio). Never doc×doc: the join is
+    on the gram, fan-out bounded by DF_CAP."""
     docs = load(spark, d, "documents")
     # Tokenize ONCE into a column (an embedded split() inside the
     # interpreted transform re-runs per element — O(n²)/doc), and
@@ -82,12 +83,19 @@ def rare_bigram_pairs(spark, d):
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return inter.join(sa, "doc_a").join(sb, "doc_b")
+
+
+def rare_bigram_pairs(spark, d):
+    """Exact word-bigram Jaccard pairs (doc_a < doc_b, jacc >= 0.4)
+    over DF-capped grams — the shared edge set for q_dedup_ngram and
+    the graph analytics built on the near-dup graph
+    (q_graph_triangles)."""
     jacc = F.round(
         F.col("c") / (F.col("na") + F.col("nb") - F.col("c")), 6
     )
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        bigram_overlap(spark, d)
         .withColumn("jacc", jacc)
         .filter(F.col("jacc") >= 0.4)
         .select("doc_a", "doc_b", "jacc")
