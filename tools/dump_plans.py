@@ -80,6 +80,23 @@ NOTES = {
         "before the bounded per-bucket stats agg; production rewrite is "
         "repartitionByRange(zkey) + sortWithinPartitions."
     ),
+    "q_dedup_simhash": (
+        "Portable 56-bit md5-head signatures; the wide majority agg "
+        "feeds a 7-byte band self-join whose exchange Catalyst REUSES "
+        "(no persist — an explicit cache breaks the reuse and measured "
+        "2.3× slower); exact bit_count verify on candidates only."
+    ),
+    "q_behavior_sessionize": (
+        "Gap sessionization in ONE user-partitioned window shuffle: lag "
+        "and the running boundary sum share (user_id; ts, event_id); the "
+        "per-session rollup aggs on a refinement of the same key."
+    ),
+    "q_ts_ohlc": (
+        "First/last via two row_number orderings over the SAME "
+        "(event_type, hour) partitioning — one exchange, a sort per "
+        "direction — then a calendar-bounded hash agg: 100 TB in, KBs "
+        "out."
+    ),
 }
 
 
