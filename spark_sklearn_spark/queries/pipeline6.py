@@ -367,3 +367,174 @@ def q_text_containment(spark, d):
         .filter(F.greatest("cont_a", "cont_b") >= CONTAIN_TAU)
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --------------------------------------------------------------------------
+# Ordered string aggregation (LISTAGG / string_agg)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_agg_listagg",
+    oracle="""
+        SELECT r.r_name AS region,
+               COUNT(*) AS n_nations,
+               string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations_csv
+        FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+        ORDER BY region
+    """,
+)
+def q_agg_listagg(spark, d):
+    """Ordered-set string aggregation — LISTAGG ... WITHIN GROUP
+    (Spark 4) vs DuckDB string_agg(... ORDER BY): the report-building
+    aggregate that needs a DETERMINISTIC element order inside the
+    concatenated value (an unordered collect_list + array_join varies
+    with partitioning). Broadcast dim⋈dim join, one hash agg; the
+    explicit ORDER BY inside the aggregate is what makes the string
+    hash-stable across engines and shuffle layouts."""
+    region = load(spark, d, "region")
+    nation = load(spark, d, "nation")
+    joined = nation.join(
+        F.broadcast(region),
+        nation.n_regionkey == region.r_regionkey,
+    )
+    return (
+        joined.groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.expr(
+                "listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)"
+            ).alias("nations_csv"),
+        )
+        .orderBy("region")
+    )
+
+
+# --------------------------------------------------------------------------
+# Readability scoring (syllable-proxy Flesch)
+# --------------------------------------------------------------------------
+
+WORDS_PER_SENT = 20  # pseudo-sentence length (fixture text is unpunctuated)
+
+
+@query(
+    "q_text_readability",
+    oracle=f"""
+        WITH m AS (
+          SELECT doc_id,
+                 len(string_split(text, ' ')) AS n_words,
+                 len(regexp_extract_all(text, '[aeiouAEIOU]+')) AS n_syll
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(n_words AS BIGINT) AS n_words,
+               CAST(n_syll AS BIGINT) AS n_syllables,
+               ROUND(n_syll * 1.0 / n_words, 6) AS syll_per_word,
+               ROUND(206.835
+                     - 1.015 * (n_words * 1.0
+                                / ceil(n_words * 1.0 / {WORDS_PER_SENT}))
+                     - 84.6 * (n_syll * 1.0 / n_words), 6) AS flesch_proxy
+        FROM m
+        ORDER BY doc_id
+    """,
+)
+def q_text_readability(spark, d):
+    """Flesch-style readability proxy — the classic text-quality
+    signal, adapted to the fixture's unpunctuated text: syllables are
+    approximated by vowel-group count (regexp_count, identical
+    `[aeiouAEIOU]+` semantics in Java regex and RE2), sentences by
+    fixed WORDS_PER_SENT-word pseudo-sentences (documented proxy;
+    real corpora use punctuation splits). Pure codegen projection — two regex/split
+    passes per row, zero shuffles, zero Python; all arithmetic is
+    count-ratio based so both engines agree at round-6."""
+    docs = load(spark, d, "documents")
+    m = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_words"),
+        F.regexp_count(F.col("text"), F.lit("[aeiouAEIOU]+"))
+        .cast("long")
+        .alias("n_syllables"),
+    )
+    sents = F.ceil(F.col("n_words") / F.lit(float(WORDS_PER_SENT)))
+    return m.select(
+        "doc_id",
+        "n_words",
+        "n_syllables",
+        F.round(F.col("n_syllables") / F.col("n_words"), 6).alias(
+            "syll_per_word"
+        ),
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015) * (F.col("n_words") / sents)
+            - F.lit(84.6) * (F.col("n_syllables") / F.col("n_words")),
+            6,
+        ).alias("flesch_proxy"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# CSV sink/source round-trip (declared IO determinism check)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_source_csv_roundtrip",
+    oracle="""
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,10)))
+                          AS DOUBLE), 2) AS sum_price,
+               MIN(l_shipdate) AS min_ship,
+               MAX(l_shipdate) AS max_ship
+        FROM lineitem
+        WHERE l_orderkey % 100 = 0
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+)
+def q_source_csv_roundtrip(spark, d):
+    """CSV sink → source round-trip, hash-declared: a deterministic
+    lineitem slice is written to CSV (µs-pinned timestampFormat — the
+    default format silently truncates to milliseconds) and read back
+    with the writer's explicit schema (schema-on-read; inferSchema
+    would be a second scan AND can guess differently between runs),
+    then aggregated. The oracle computes the same aggregate from the
+    parquet source directly, so the hash proves the text round-trip
+    is LOSSLESS for bigint/double/string/timestamp — the declared-
+    contract twin of tests/test_sources.py's format matrix."""
+    import os
+    import re
+
+    from ..sources.io import read_table, write_table
+
+    tag = re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(d.rstrip("/")))
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    path = os.path.join(
+        repo_root, "spark-warehouse", "csv_roundtrip", tag
+    )
+    li = load(spark, d, "lineitem").filter(
+        F.col("l_orderkey") % 100 == 0
+    ).select("l_orderkey", "l_returnflag", "l_extendedprice", "l_shipdate")
+    write_table(li, path, fmt="csv")
+    back = read_table(
+        spark,
+        path,
+        fmt="csv",
+        schema="l_orderkey bigint, l_returnflag string, "
+        "l_extendedprice double, l_shipdate timestamp_ntz",
+    )
+    return (
+        back.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast(DEC)).cast("double"), 2
+            ).alias("sum_price"),
+            F.min("l_shipdate").alias("min_ship"),
+            F.max("l_shipdate").alias("max_ship"),
+        )
+        .orderBy("l_returnflag")
+    )

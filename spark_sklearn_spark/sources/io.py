@@ -165,14 +165,19 @@ _BUILTIN_FORMATS = ("parquet", "orc", "json", "csv", "text")
 
 # Spark's default csv/json timestampFormat carries milliseconds only —
 # a silent 3-digit truncation of µs event times. Both sides of the
-# text-format round-trip pin a microsecond pattern instead.
+# text-format round-trip pin a microsecond pattern instead. NTZ
+# columns are formatted by the SEPARATE timestampNTZFormat option
+# (no zone suffix — the type is naive), which defaults to
+# milliseconds too and silently ignores timestampFormat.
 _TEXTUAL_TS_FORMAT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+_TEXTUAL_TS_NTZ_FORMAT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
 
 
 def _textual_options(fmt: str, options: dict | None) -> dict:
     merged = dict(options or {})
     if fmt in ("csv", "json"):
         merged.setdefault("timestampFormat", _TEXTUAL_TS_FORMAT)
+        merged.setdefault("timestampNTZFormat", _TEXTUAL_TS_NTZ_FORMAT)
     if fmt == "csv":
         merged.setdefault("header", "true")
     return merged
