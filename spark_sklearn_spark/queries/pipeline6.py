@@ -538,3 +538,69 @@ def q_source_csv_roundtrip(spark, d):
         )
         .orderBy("l_returnflag")
     )
+
+
+# --------------------------------------------------------------------------
+# EWMA smoothing (exact power-of-two weights)
+# --------------------------------------------------------------------------
+
+EWMA_LAGS = 8  # window depth; alpha = 0.5 so weights are 2^-j, exact
+
+
+def _ewma_terms(lag_fn) -> tuple[str, str]:
+    """(numerator, denominator) expression strings: lag_fn(j) renders
+    the j-th lag of value; weights 2^-j are exact binary doubles and
+    the chained left-associative + gives both engines the IDENTICAL
+    rounding sequence."""
+    num = " + ".join(
+        f"coalesce({lag_fn(j)} * {2.0 ** -j!r}, 0.0)"
+        for j in range(EWMA_LAGS)
+    )
+    den = " + ".join(
+        f"(CASE WHEN {lag_fn(j)} IS NOT NULL THEN {2.0 ** -j!r} "
+        "ELSE 0.0 END)"
+        for j in range(EWMA_LAGS)
+    )
+    return num, den
+
+
+@query(
+    "q_ts_ewma",
+    oracle=(
+        lambda num_den: f"""
+        SELECT user_id, event_id, ts, value,
+               ROUND(({num_den[0]}) / ({num_den[1]}), 6) AS ewma
+        FROM events
+        WHERE user_id % 50 = 0
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ORDER BY user_id, ts, event_id
+    """
+    )(_ewma_terms(lambda j: "value" if j == 0 else f"lag(value, {j}) OVER w")),
+)
+def q_ts_ewma(spark, d):
+    """Exponentially weighted moving average per user (α = 0.5, last
+    8 observations) — the smoothing pass behind anomaly baselines and
+    trend features. α = 0.5 is chosen deliberately: the weights 2^-j
+    are EXACT binary doubles and each value·2^-j is a pure exponent
+    shift, so the only rounding is the chained addition — which both
+    engines perform in the identical left-associative order, making
+    the result deterministic WITHOUT the decimal detour (ln/pow never
+    appear). Head-of-series lags are excluded and the weight mass
+    renormalized (partial-window semantics). ONE user-partitioned
+    window shuffle evaluates all 8 lags; the deterministic user slice
+    bounds the declared output."""
+    ev = (
+        load(spark, d, "events")
+        .filter(F.col("user_id") % 50 == 0)
+        .select("user_id", "event_id", "ts", "value")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = ev
+    for j in range(1, EWMA_LAGS):
+        lagged = lagged.withColumn(f"l{j}", F.lag("value", j).over(w))
+    num, den = _ewma_terms(lambda j: "value" if j == 0 else f"l{j}")
+    return (
+        lagged.withColumn("ewma", F.round(F.expr(num) / F.expr(den), 6))
+        .select("user_id", "event_id", "ts", "value", "ewma")
+        .orderBy("user_id", "ts", "event_id")
+    )

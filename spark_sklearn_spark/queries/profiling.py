@@ -151,3 +151,96 @@ def q_split_train(spark, d):
         )
         .orderBy("split")
     )
+
+
+# --------------------------------------------------------------------------
+# Pairwise correlation matrix (exact-moment Pearson)
+# --------------------------------------------------------------------------
+
+_CORR_PAIRS = [
+    ("l_quantity", "l_extendedprice"),
+    ("l_quantity", "l_discount"),
+    ("l_quantity", "l_tax"),
+    ("l_extendedprice", "l_discount"),
+    ("l_extendedprice", "l_tax"),
+    ("l_discount", "l_tax"),
+]
+
+
+def _corr_oracle() -> str:
+    cols = sorted({c for p in _CORR_PAIRS for c in p})
+    moments = ["COUNT(*) AS n"]
+    for c in cols:
+        moments.append(
+            f"CAST(SUM(CAST({c} AS DECIMAL(30,10))) AS DOUBLE) AS s_{c}"
+        )
+        moments.append(
+            f"CAST(SUM(CAST({c} * {c} AS DECIMAL(30,10))) AS DOUBLE) AS q_{c}"
+        )
+    for a, b in _CORR_PAIRS:
+        moments.append(
+            f"CAST(SUM(CAST({a} * {b} AS DECIMAL(30,10))) AS DOUBLE)"
+            f" AS p_{a}_{b}"
+        )
+    selects = []
+    for a, b in _CORR_PAIRS:
+        selects.append(
+            f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+            f"ROUND((n * p_{a}_{b} - s_{a} * s_{b}) / "
+            f"sqrt((n * q_{a} - s_{a} * s_{a}) * (n * q_{b} - s_{b} * s_{b})), 6)"
+            f" AS corr, n FROM m"
+        )
+    return (
+        "WITH m AS (SELECT "
+        + ", ".join(moments)
+        + " FROM lineitem) "
+        + " UNION ALL ".join(selects)
+        + " ORDER BY col_a, col_b"
+    )
+
+
+@query("q_profile_corr", oracle=_corr_oracle())
+def q_profile_corr(spark, d):
+    """Pairwise Pearson correlation matrix over the numeric lineitem
+    measures — the profiling pass that decides feature redundancy
+    before training. Built-in corr() is a float aggregation whose
+    partial-merge order differs between engines, so this computes
+    corr from EXACT decimal raw-moment sums instead (n, Σx, Σx²,
+    Σxy — the same trick as q_agg_moments): products are IEEE-
+    deterministic per row, the decimal sums are order-independent,
+    and the closing formula is an identical double expression on both
+    sides, rounded to 6. ONE scan + ONE combinable hash aggregate
+    produces all 15 moments (map-side partials; the shuffle carries a
+    single row of decimals); the 6-pair matrix is then a stack over
+    that one row — at 100 TB this is a full-scan → KB reduction."""
+    cols = sorted({c for p in _CORR_PAIRS for c in p})
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).cast(DEC)).cast("double").alias(f"s_{c}"))
+        aggs.append(
+            F.sum((F.col(c) * F.col(c)).cast(DEC))
+            .cast("double")
+            .alias(f"q_{c}")
+        )
+    for a, b in _CORR_PAIRS:
+        aggs.append(
+            F.sum((F.col(a) * F.col(b)).cast(DEC))
+            .cast("double")
+            .alias(f"p_{a}_{b}")
+        )
+    m = load(spark, d, "lineitem").agg(*aggs)
+    stack_args = ", ".join(
+        f"'{a}', '{b}', round((n * p_{a}_{b} - s_{a} * s_{b}) / "
+        f"sqrt((n * q_{a} - s_{a} * s_{a}) * (n * q_{b} - s_{b} * s_{b})), 6)"
+        for a, b in _CORR_PAIRS
+    )
+    return (
+        m.select(
+            F.expr(
+                f"stack({len(_CORR_PAIRS)}, {stack_args}) "
+                "AS (col_a, col_b, corr)"
+            ),
+            "n",
+        )
+        .orderBy("col_a", "col_b")
+    )

@@ -37,13 +37,13 @@ ORACLES: dict[str, str] = {}
 # code changes touch. Rotating into r7's prefix: the remaining r3-green keys
 # (q_ml_*, q_multimodal_decode, q_project_expr, q_scan_parquet/projection/
 # pushdown, q_text_langid/quality/tfidf/tokens/stats, q_topk_per_group,
-# q_tpch_q3/q5/q6/q10, q_udf_scalar, q_udtf_split, q_win_ntile), the eight
-# pipeline6 queries added this round AFTER this order was pinned
+# q_tpch_q3/q5/q6/q10, q_udf_scalar, q_udtf_split, q_win_ntile), the ten
+# queries added this round AFTER this order was pinned
 # (q_behavior_sessionize, q_ts_ohlc, q_cdc_scd2, q_text_entropy,
 # q_text_containment, q_agg_listagg, q_text_readability,
-# q_source_csv_roundtrip — all green in the r6 local sf0.01+sf0.001
-# sweeps), plus whatever r6 leaves stale. tests/test_queries_smoke.py
-# asserts every name here is registered.
+# q_source_csv_roundtrip, q_profile_corr, q_ts_ewma — all green in the
+# r6 local sf0.01+sf0.001 sweeps), plus whatever r6 leaves stale.
+# tests/test_queries_smoke.py asserts every name here is registered.
 DRIVER_PRIORITY: list[str] = [
     # declared keys never seen by the driver (added after the r5 order was
     # pinned; all green in local tools/check.py sweeps, 10 spot-checked by
