@@ -326,3 +326,114 @@ def q_ml_keyed_cluster(spark, d):
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# KeyedEstimator TRANSFORMER role (per-key standard scaler)
+# --------------------------------------------------------------------------
+
+
+class _DecimalScaler:
+    """Per-key standard scaler whose fit mirrors the DuckDB decimal
+    policy EXACTLY (module-level: pickled into the models DataFrame,
+    the CLAUDE.md pickling rule). predict() is the transformer-role
+    output: z = (x − μ)/σ with μ, σ frozen at fit time."""
+
+    def __init__(self, mu: float, sigma: float):
+        self.mu = mu
+        self.sigma = sigma
+
+    def predict(self, X):
+        return (X[:, 0] - self.mu) / self.sigma
+
+
+def _round6_half_away(x: float) -> float:
+    import math
+
+    return math.floor(x * 1e6 + 0.5) / 1e6 if x >= 0 else -math.floor(-x * 1e6 + 0.5) / 1e6
+
+
+def _scaler_fit(X, y):
+    """Fit μ/σ on the oracle's exact arithmetic path: each double (and
+    each double square) quantized to DECIMAL(30,10) half-away — the
+    same cast both engines apply — summed exactly, converted to double,
+    then the identical double expression as the SQL side. This is what
+    makes a PYTHON-fitted model hash-match a SQL oracle."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q10 = Decimal(1).scaleb(-10)
+    vals = [float(v) for v in X[:, 0]]
+    s1 = sum(Decimal(v).quantize(q10, ROUND_HALF_UP) for v in vals)
+    q = sum(Decimal(v * v).quantize(q10, ROUND_HALF_UP) for v in vals)
+    n = len(vals)
+    mu_raw = float(s1) / n
+    sigma_raw = math.sqrt(float(q) / n - (float(s1) / n) * (float(s1) / n))
+    return _DecimalScaler(
+        _round6_half_away(mu_raw), _round6_half_away(sigma_raw)
+    )
+
+
+@query(
+    "q_ml_keyed_scale",
+    oracle="""
+        WITH s AS (
+          SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice
+          FROM lineitem WHERE l_orderkey % 10 = 0
+        ), m AS (
+          SELECT l_returnflag,
+                 ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,10)))
+                            AS DOUBLE) / COUNT(*), 6) AS mu,
+                 ROUND(sqrt(
+                   CAST(SUM(CAST(l_extendedprice * l_extendedprice
+                                 AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*)
+                   - (CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,10)))
+                           AS DOUBLE) / COUNT(*))
+                     * (CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,10)))
+                             AS DOUBLE) / COUNT(*))), 6) AS sigma
+          FROM s GROUP BY l_returnflag
+        )
+        SELECT s.l_orderkey, s.l_linenumber, s.l_returnflag,
+               s.l_extendedprice AS value,
+               ROUND((s.l_extendedprice - m.mu) / m.sigma, 6) AS z
+        FROM s JOIN m USING (l_returnflag)
+        ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def q_ml_keyed_scale(spark, d):
+    """KeyedEstimator's TRANSFORMER role (the reference's third
+    estimator role next to predictor/clusterer — keyed_models.py
+    role-typed output), hash-declared: a per-key standard scaler fits
+    inside applyInPandas, lands as a pickled model in the models-as-
+    DataFrame, broadcast-joins back, and emits z-scores per row via
+    the Arrow predict path — the full A5→A6 machinery exercised for a
+    transformer. Declared (unlike clusterer) because the scaler's fit
+    follows the oracle's decimal arithmetic step for step
+    (_scaler_fit), so a Python-fitted, pickled, re-hydrated model
+    produces bit-identical output to a pure-SQL oracle."""
+    from ..ml_api import KeyedEstimator
+
+    li = (
+        load(spark, d, "lineitem")
+        .filter(F.col("l_orderkey") % 10 == 0)
+        .select(
+            "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
+        )
+    )
+    model = KeyedEstimator(
+        key_cols=["l_returnflag"],
+        x_cols=["l_extendedprice"],
+        output_col="z_raw",
+        fit_fn=_scaler_fit,
+    ).fit(li)
+    return (
+        model.transform(li)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            F.col("l_extendedprice").alias("value"),
+            F.round("z_raw", 6).alias("z"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
