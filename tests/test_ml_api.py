@@ -214,3 +214,40 @@ def test_keyed_estimator_clusterer_role_mechanism(spark, sf_dir):
     m = pickle.loads(rows[0]["__model"])
     assert m.c0 <= m.c1
     assert m.predict(m.c0) == 0 and m.predict(m.c1) in (0, 1)
+
+
+def test_csr_vector_udt_roundtrip(spark):
+    """A10: CSRVectorUDT round-trips a sparse row through a DataFrame
+    column. Without scipy, deserialize yields a SparseVector with the
+    same (size, indices, values)."""
+    from pyspark.sql.types import StructField, StructType
+
+    from spark_sklearn_spark.udt import CSRVector, CSRVectorUDT
+
+    udt = CSRVectorUDT()
+    vec = CSRVector(5, [1, 3], [2.0, -4.5])
+    schema = StructType([StructField("v", udt)])
+    df = spark.createDataFrame([(vec,)], schema)
+    got = df.collect()[0]["v"]
+    try:
+        import scipy.sparse as sp
+
+        assert sp.issparse(got)
+        assert got.shape == (1, 5)
+        assert list(got.indices) == [1, 3]
+        assert list(got.data) == [2.0, -4.5]
+    except ImportError:
+        from pyspark.ml.linalg import SparseVector
+
+        assert got == SparseVector(5, [1, 3], [2.0, -4.5])
+
+
+def test_csr_vector_udt_accepts_sparse_vector(spark):
+    from pyspark.ml.linalg import SparseVector
+
+    from spark_sklearn_spark.udt import CSRVectorUDT
+
+    udt = CSRVectorUDT()
+    assert udt.serialize(SparseVector(4, [0, 2], [1.0, 3.0])) == (
+        4, [0, 2], [1.0, 3.0],
+    )
