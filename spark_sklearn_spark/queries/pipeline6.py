@@ -604,3 +604,211 @@ def q_ts_ewma(spark, d):
         .select("user_id", "event_id", "ts", "value", "ewma")
         .orderBy("user_id", "ts", "event_id")
     )
+
+
+# --------------------------------------------------------------------------
+# PageRank over the near-dup graph
+# --------------------------------------------------------------------------
+
+
+@query("q_graph_pagerank")  # rows-only: iterative float propagation
+def q_graph_pagerank(spark, d):
+    """PageRank importance over the exact-Jaccard near-dup graph (the
+    same edge set as q_graph_triangles) — the 'which document is the
+    hub of this duplication neighborhood' signal a curation pipeline
+    uses to pick what to inspect first. Edges are symmetrized (the
+    graph is undirected); isolated docs are dangling and their mass
+    redistributes, so Σrank stays 1 (pinned by tests/test_properties).
+    5 fixed iterations of join + combinable hash agg
+    (operators/pagerank.py); rows-only because iterative float
+    propagation is order-sensitive at the ulp level and has no SQL
+    oracle. Output: top-20 hubs by rank (rounded AFTER ordering by
+    the raw value, degree tie-break)."""
+    from ..operators.pagerank import pagerank
+    from .pipeline2 import near_dup_edges
+
+    docs = load(spark, d, "documents")
+    pairs = near_dup_edges(spark, d).select("doc_a", "doc_b")
+    sym = pairs.unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).distinct()
+    pr = pagerank(docs.select("doc_id"), sym, "doc_id", "doc_a", "doc_b")
+    return (
+        pr.orderBy(F.col("rank").desc(), F.col("doc_id"))
+        .limit(20)
+        .select(
+            "doc_id",
+            F.round("rank", 6).alias("rank"),
+            F.col("out_degree").cast("long").alias("degree"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Gaps-and-islands: longest consecutive-day activity streaks
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_behavior_streaks",
+    oracle="""
+        WITH days AS (
+          SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+          FROM events
+        ), isl AS (
+          SELECT user_id, d,
+                 d - CAST(row_number() OVER (PARTITION BY user_id
+                                             ORDER BY d) AS INTEGER)
+                     AS island
+          FROM days
+        ), streaks AS (
+          SELECT user_id, island, COUNT(*) AS len,
+                 MIN(d) AS streak_start, MAX(d) AS streak_end
+          FROM isl GROUP BY user_id, island
+        ), ranked AS (
+          SELECT user_id, len, streak_start, streak_end,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY len DESC, streak_start)
+                     AS rk,
+                 COUNT(*) OVER (PARTITION BY user_id) AS n_streaks
+          FROM streaks
+        )
+        SELECT user_id, CAST(len AS BIGINT) AS longest_streak,
+               streak_start, streak_end,
+               CAST(n_streaks AS BIGINT) AS n_streaks
+        FROM ranked WHERE rk = 1
+        ORDER BY user_id
+    """,
+)
+def q_behavior_streaks(spark, d):
+    """Longest consecutive-day activity streak per user — the classic
+    gaps-and-islands idiom (retention / habit metrics): distinct
+    activity days, island id = day − row_number (constant within a
+    consecutive run), then per-island length and a per-user top-1.
+    Complements q_behavior_sessionize: sessions split on a TIME gap
+    threshold, streaks on CALENDAR-day continuity. All three windows
+    and both aggregations share the user_id partitioning, so the
+    whole query is one shuffle on user_id after the distinct-days
+    pre-agg (itself combinable). Tie between equal-length streaks
+    breaks to the earliest start on both engines."""
+    days = (
+        load(spark, d, "events")
+        .select("user_id", F.to_date(F.date_trunc("day", "ts")).alias("dd"))
+        .distinct()
+    )
+    wi = Window.partitionBy("user_id").orderBy("dd")
+    isl = days.withColumn(
+        "island", F.date_sub("dd", F.row_number().over(wi))
+    )
+    streaks = isl.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("len"),
+        F.min("dd").alias("streak_start"),
+        F.max("dd").alias("streak_end"),
+    )
+    wr = Window.partitionBy("user_id").orderBy(
+        F.col("len").desc(), F.col("streak_start")
+    )
+    wc = Window.partitionBy("user_id")
+    return (
+        streaks.withColumn("rk", F.row_number().over(wr))
+        .withColumn("n_streaks", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            F.col("len").alias("longest_streak"),
+            "streak_start",
+            "streak_end",
+            "n_streaks",
+        )
+        .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Market-basket pair lift (co-occurrence mining)
+# --------------------------------------------------------------------------
+
+BASKET_MIN_SUPPORT = 3
+
+
+@query(
+    "q_basket_lift",
+    oracle=f"""
+        WITH items AS (
+          SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+          FROM lineitem
+        ), n AS (SELECT COUNT(DISTINCT basket) AS n_baskets FROM items),
+        item_n AS (
+          SELECT item, COUNT(*) AS cnt FROM items GROUP BY item
+        ), pair_n AS (
+          SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS both_n
+          FROM items a JOIN items b
+            ON a.basket = b.basket AND a.item < b.item
+          GROUP BY item_a, item_b
+          HAVING COUNT(*) >= {BASKET_MIN_SUPPORT}
+        )
+        SELECT p.item_a, p.item_b, CAST(p.both_n AS BIGINT) AS both_n,
+               ROUND(p.both_n * 1.0 / ia.cnt, 6) AS conf_a_b,
+               ROUND(p.both_n * 1.0 * n.n_baskets
+                     / (ia.cnt * ib.cnt), 6) AS lift
+        FROM pair_n p
+        JOIN item_n ia ON ia.item = p.item_a
+        JOIN item_n ib ON ib.item = p.item_b
+        CROSS JOIN n
+        ORDER BY item_a, item_b
+    """,
+)
+def q_basket_lift(spark, d):
+    """Market-basket pair mining: support, confidence, and lift for
+    part pairs co-occurring in an order — the co-occurrence analytics
+    primitive (recommendation seeds, complement detection). The pair
+    join is on the BASKET key, so fan-out per order is C(items, 2)
+    with items bounded by order size (~7 lines) — a postings join on
+    the basket, never item×item; the min-support HAVING prunes before
+    the stats joins, and the per-item count and basket-total sides of
+    lift are small aggregates (item vocabulary, one scalar). Ratios
+    rounded to 6 on both engines; integer-ratio arithmetic only."""
+    # persisted: the relation feeds the scalar basket count, the item
+    # counts, and BOTH sides of the pair join — unpersisted, the
+    # distinct pre-agg would run four times (measured 6.8 s vs 2.4 s
+    # at sf0.1)
+    items = (
+        load(spark, d, "lineitem")
+        .select(
+            F.col("l_orderkey").alias("basket"),
+            F.col("l_partkey").alias("item"),
+        )
+        .distinct()
+        .persist()
+    )
+    n_baskets = items.select("basket").distinct().count()
+    item_n = items.groupBy("item").agg(F.count(F.lit(1)).alias("cnt"))
+    a = items.select("basket", F.col("item").alias("item_a"))
+    b = items.select("basket", F.col("item").alias("item_b"))
+    pair_n = (
+        a.join(b, "basket")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("both_n"))
+        .filter(F.col("both_n") >= BASKET_MIN_SUPPORT)
+    )
+    ia = item_n.select(F.col("item").alias("item_a"), F.col("cnt").alias("cnt_a"))
+    ib = item_n.select(F.col("item").alias("item_b"), F.col("cnt").alias("cnt_b"))
+    return (
+        pair_n.join(ia, "item_a")
+        .join(ib, "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "both_n",
+            F.round(F.col("both_n") / F.col("cnt_a"), 6).alias("conf_a_b"),
+            F.round(
+                F.col("both_n") * F.lit(float(n_baskets))
+                / (F.col("cnt_a") * F.col("cnt_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy("item_a", "item_b")
+    )

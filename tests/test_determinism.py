@@ -33,6 +33,15 @@ SENSITIVE = [
     "q_ts_interpolate",
     "q_text_bm25",
     "q_corpus_health",
+    # r6 additions: decimal-path sums (sessionize/entropy/corr), the
+    # majority-vote bit agg (simhash), the Python-side decimal fit
+    # (keyed scaler), and the chained-float EWMA
+    "q_behavior_sessionize",
+    "q_text_entropy",
+    "q_profile_corr",
+    "q_dedup_simhash",
+    "q_ml_keyed_scale",
+    "q_ts_ewma",
 ]
 
 

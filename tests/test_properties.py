@@ -226,3 +226,36 @@ def test_emb_pca_matches_numpy_and_invariants(spark, sf_dir):
     assert abs(p2.var(ddof=1) - evals[1]) < 1e-3 * max(1.0, evals[1])
     denom = np.sqrt(p1.var(ddof=1) * p2.var(ddof=1))
     assert abs(np.cov(p1, p2, ddof=1)[0, 1]) / denom < 1e-3
+
+
+def test_pagerank_invariants(spark, sf_dir):
+    """q_graph_pagerank is rows-only; pin the operator here: over the
+    full rank vector (not just the top-20 the query returns), Σrank =
+    1 (dangling mass redistributed, nothing leaks), every rank ≥ the
+    teleport floor (1-d)/n, and isolated docs sit exactly AT the
+    floor-plus-dangling base while connected hubs sit above it."""
+    from pyspark.sql import functions as F
+
+    from spark_sklearn_spark.operators.pagerank import pagerank
+    from spark_sklearn_spark.queries.pipeline2 import rare_bigram_pairs
+    from spark_sklearn_spark.sources.io import load
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = rare_bigram_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    sym = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).distinct()
+    pr = pagerank(docs.select("doc_id"), sym, "doc_id", "doc_a", "doc_b")
+    rows = pr.collect()
+    n = len(rows)
+    assert n == docs.count()
+    total = sum(r["rank"] for r in rows)
+    assert abs(total - 1.0) < 1e-9, total
+    floor = (1.0 - 0.85) / n
+    assert all(r["rank"] >= floor - 1e-12 for r in rows)
+    isolated = [r["rank"] for r in rows if r["out_degree"] == 0]
+    connected = [r["rank"] for r in rows if r["out_degree"] > 0]
+    if isolated and connected:
+        # isolated docs all share one base rank; hubs exceed it
+        assert max(isolated) - min(isolated) < 1e-12
+        assert max(connected) > max(isolated)

@@ -1,0 +1,129 @@
+"""Scale probe — measure how headline operators scale with data size.
+
+Replicates the sf0.1 fixture K× (default 5×) into
+``spark-warehouse/scale/sf0.1xK/`` with key-space offsets that
+preserve the fixture's statistical shape (per-user event densities,
+per-order line counts, near-dup cluster sizes), then times a
+representative query per family at 1× and K× and prints one JSON line
+with walls and the wall ratio per query.
+
+A scalable operator should show ratio ≈ K (linear scan/shuffle work)
+or lower (calendar/vocabulary-bounded outputs); a superlinear ratio
+flags a hidden quadratic. Record the result in BASELINE.md.
+
+Usage: python tools/scale_probe.py [K] [query ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BASE_SF = "/root/testdata/sf0.1"
+
+# One representative per family: scan+agg, 3-way join, window,
+# LSH dedup, Arrow block-matmul kNN, sessionization, postings join.
+PROBE_QUERIES = [
+    "q_agg_hash",
+    "q_tpch_q3",
+    "q_win_rank",
+    "q_dedup_minhash",
+    "q_sim_knn_batch",
+    "q_behavior_sessionize",
+    "q_dedup_ngram",
+]
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def build_replica(spark, k: int) -> str:
+    from pyspark.sql import functions as F
+
+    out = os.path.join(REPO, "spark-warehouse", "scale", f"sf0.1x{k}")
+    if all(
+        os.path.exists(os.path.join(out, f"{t}.parquet")) for t in TABLES
+    ):
+        return out
+    os.makedirs(out, exist_ok=True)
+    from spark_sklearn_spark.sources.io import load
+
+    # Key offsets per replica r>0; dims (region/nation/customer/
+    # supplier/part) are NOT replicated — a bigger fact table joins
+    # the same dimensions, like production.
+    for t in ("region", "nation", "customer", "supplier", "part"):
+        load(spark, BASE_SF, t).write.mode("overwrite").parquet(
+            os.path.join(out, f"{t}.parquet")
+        )
+
+    def replicate(name, offsets):
+        base = load(spark, BASE_SF, name)
+        parts = [base]
+        for r in range(1, k):
+            rep = base
+            for col, off in offsets.items():
+                rep = rep.withColumn(col, F.col(col) + F.lit(r * off))
+            parts.append(rep)
+        dfu = parts[0]
+        for p in parts[1:]:
+            dfu = dfu.unionByName(p)
+        dfu.write.mode("overwrite").parquet(os.path.join(out, f"{name}.parquet"))
+
+    replicate("orders", {"o_orderkey": 1_000_000_000})
+    replicate("lineitem", {"l_orderkey": 1_000_000_000})
+    # events: new users + new ids per replica, time range unchanged —
+    # per-user session/window sizes stay fixture-like
+    replicate("events", {"event_id": 1_000_000_000, "user_id": 1_000_000})
+    # documents: new doc ids; text untouched, so each replica carries
+    # the same internal near-dup structure and CROSS-replica exact
+    # dups too (the hard case for LSH banding: bigger clusters)
+    replicate("documents", {"doc_id": 1_000_000_000})
+    replicate("embeddings", {"vec_id": 1_000_000_000})
+    return out
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+    only = set(sys.argv[2:])
+    sys.path.insert(0, REPO)
+    import __spark_entry__ as entry
+    from spark_sklearn_spark.session import createLocalSparkSession
+
+    spark = createLocalSparkSession("scale-probe")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    replica = build_replica(spark, k)
+
+    qs = entry.queries()
+
+    def run(name, sf_dir):
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        wall = time.perf_counter() - t0
+        spark.catalog.clearCache()
+        return wall
+
+    results = {}
+    for name in PROBE_QUERIES:
+        if only and name not in only:
+            continue
+        run(name, BASE_SF)  # codegen warm-up rep
+        w1 = min(run(name, BASE_SF), run(name, BASE_SF))
+        wk = min(run(name, replica), run(name, replica))
+        results[name] = {
+            "x1_sec": round(w1, 3),
+            f"x{k}_sec": round(wk, 3),
+            "ratio": round(wk / w1, 2),
+        }
+        print(f"# {name}: {w1:.2f}s -> {wk:.2f}s  ratio {wk / w1:.2f}",
+              file=sys.stderr)
+
+    print(json.dumps({"k": k, "base": BASE_SF, "queries": results}))
+
+
+if __name__ == "__main__":
+    main()
