@@ -266,3 +266,44 @@ def test_mmr_rerank_is_more_diverse_than_topk(spark, sf_dir):
     mmr_div = avg_pairwise([r["vec_id"] for r in mmr])
     topk_div = avg_pairwise([r[0] for r in top[:MMR_K]])
     assert mmr_div < topk_div, (mmr_div, topk_div)
+
+
+def test_ivf_probe_is_exact_within_probed_lists(spark, sf_dir):
+    """q_sim_ann_ivf is rows-only; pin the probe machinery here: the
+    ANN result must EQUAL the exact cosine top-k computed over the
+    members of the probed inverted lists (approximation comes ONLY
+    from restricting to nprobe lists, never from the scoring/ranking
+    inside them), and every returned id must belong to a probed
+    cluster."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from spark_sklearn_spark.operators.ivf import ivf_build, ivf_probe
+    from spark_sklearn_spark.sources.io import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    assigned, centers = ivf_build(
+        spark, emb, "vec_id", "embedding", cache_key=sf_dir, k=16
+    )
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    q = np.asarray(qrow["embedding"], dtype="float64")
+    q /= np.linalg.norm(q)
+    got = ivf_probe(assigned, centers, qrow["embedding"], nprobe=4, topk=10).collect()
+
+    probe = set(int(i) for i in np.argsort(-(centers @ q))[:4])
+    members = assigned.filter(F.col("cluster").isin(list(probe))).collect()
+    member_ids = {r["vid"] for r in members}
+    assert all(r["vec_id"] in member_ids for r in got)
+    # exact within-candidate ranking, same (cos desc, id) rule
+    exact = sorted(
+        (
+            (round(float(np.dot(np.asarray(r["u"]), q)), 6), -r["vid"])
+            for r in members
+        ),
+        reverse=True,
+    )[:10]
+    want = [(-vid_neg, cos) for cos, vid_neg in exact]
+    assert [(r["vec_id"], r["cos"]) for r in got] == [
+        (vid, cos) for vid, cos in want
+    ]

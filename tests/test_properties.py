@@ -259,3 +259,49 @@ def test_pagerank_invariants(spark, sf_dir):
         # isolated docs all share one base rank; hubs exceed it
         assert max(isolated) - min(isolated) < 1e-12
         assert max(connected) > max(isolated)
+
+
+def test_stream_foreach_upsert_equals_batch_aggregate(spark, sf_dir):
+    """q_stream_foreach_upsert is rows-only; pin its semantics here:
+    the versioned per-batch MERGE must converge to EXACTLY the
+    from-scratch batch aggregate (the algebraic-merge invariant —
+    count/sum partial states absorb deltas losslessly)."""
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+
+    from spark_sklearn_spark.queries._helpers import DEC
+    from spark_sklearn_spark.sources.io import load
+
+    got = {
+        r["event_type"]: (r["n"], r["sum_value"])
+        for r in entry.queries()["q_stream_foreach_upsert"](spark, sf_dir).collect()
+    }
+    want = {
+        r["event_type"]: (r["n"], r["sum_value"])
+        for r in load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast(DEC)).cast("double"), 2).alias(
+                "sum_value"
+            ),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_stream_dedup_equals_batch_distinct(spark, sf_dir):
+    """q_stream_dedup (dropDuplicatesWithinWatermark on event_id) over
+    a bounded replay must keep exactly one row per event_id — the
+    batch-distinct cardinality."""
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+
+    from spark_sklearn_spark.sources.io import load
+
+    rows = entry.queries()["q_stream_dedup"](spark, sf_dir).collect()
+    n_distinct = (
+        load(spark, sf_dir, "events").select("event_id").distinct().count()
+    )
+    assert len(rows) == n_distinct
