@@ -812,3 +812,217 @@ def q_basket_lift(spark, d):
         )
         .orderBy("item_a", "item_b")
     )
+
+
+# --------------------------------------------------------------------------
+# Weighted aggregates
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_agg_weighted",
+    oracle="""
+        SELECT l_returnflag,
+               ROUND(CAST(SUM(CAST(l_extendedprice * l_quantity
+                                   AS DECIMAL(30,10))) AS DOUBLE)
+                     / CAST(SUM(CAST(l_quantity AS DECIMAL(30,10)))
+                            AS DOUBLE), 6) AS wavg_price,
+               ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(30,10))) AS DOUBLE)
+                     / COUNT(*), 6) AS avg_net_price,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(30,10))) AS BIGINT)
+                   AS total_qty
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+)
+def q_agg_weighted(spark, d):
+    """Weighted aggregates: quantity-weighted mean price and mean
+    net-of-discount price per return flag — the weighted-average
+    surface plain AVG can't express. Both the weighted numerator
+    (Σ price·qty) and the weight mass (Σ qty) run on the exact
+    decimal path (per-row products are IEEE-deterministic; the sums
+    are order-independent), so the ratio is identical on both engines
+    before the round-6. One combinable hash agg, one shuffle carrying
+    three decimals per group."""
+    li = load(spark, d, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * F.col("l_quantity")).cast(DEC)
+                ).cast("double")
+                / F.sum(F.col("l_quantity").cast(DEC)).cast("double"),
+                6,
+            ).alias("wavg_price"),
+            F.round(
+                F.sum(
+                    (
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    ).cast(DEC)
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_net_price"),
+            F.sum(F.col("l_quantity").cast(DEC))
+            .cast("long")
+            .alias("total_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# Funnel step latency percentiles
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_funnel_latency",
+    oracle="""
+        WITH firsts AS (
+          SELECT user_id,
+                 MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+                 MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+                     AS t_purchase
+          FROM events GROUP BY user_id
+        ), lat AS (
+          SELECT user_id,
+                 date_diff('microseconds', t_view, t_purchase) / 1000000.0
+                     AS sec_to_convert
+          FROM firsts
+          WHERE t_view IS NOT NULL AND t_purchase IS NOT NULL
+            AND t_purchase > t_view
+        )
+        SELECT COUNT(*) AS n_converted,
+               ROUND(quantile_cont(sec_to_convert, 0.50), 6) AS p50_sec,
+               ROUND(quantile_cont(sec_to_convert, 0.90), 6) AS p90_sec,
+               ROUND(MIN(sec_to_convert), 6) AS min_sec,
+               ROUND(MAX(sec_to_convert), 6) AS max_sec
+        FROM lat
+    """,
+)
+def q_funnel_latency(spark, d):
+    """Time-to-convert distribution for the view→purchase funnel:
+    per-user first-view and first-purchase (strictly after) and exact
+    latency percentiles — the 'how long does conversion take' twin of
+    q_funnel_ordered's 'how many convert'. One combinable per-user
+    min-agg (conditional MIN, no window), then a single-group exact
+    percentile over the converted users — the µs-integer diff divides
+    by the literal 1e6 identically on both engines, so the seconds
+    agree bitwise before round-6."""
+    ev = load(spark, d, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "t_view"
+        ),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("t_purchase"),
+    )
+    lat = firsts.filter(
+        F.col("t_view").isNotNull()
+        & F.col("t_purchase").isNotNull()
+        & (F.col("t_purchase") > F.col("t_view"))
+    ).select(
+        (
+            (
+                F.unix_micros("t_purchase") - F.unix_micros("t_view")
+            )
+            / F.lit(1000000.0)
+        ).alias("sec_to_convert")
+    )
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.percentile("sec_to_convert", F.lit(0.50)), 6).alias(
+            "p50_sec"
+        ),
+        F.round(F.percentile("sec_to_convert", F.lit(0.90)), 6).alias(
+            "p90_sec"
+        ),
+        F.round(F.min("sec_to_convert"), 6).alias("min_sec"),
+        F.round(F.max("sec_to_convert"), 6).alias("max_sec"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Pareto cumulative revenue share
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_win_pareto",
+    oracle="""
+        WITH cust AS (
+          SELECT o_custkey,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE)
+                     AS revenue
+          FROM orders GROUP BY o_custkey
+        ), tot AS (
+          SELECT CAST(SUM(CAST(revenue AS DECIMAL(30,10))) AS DOUBLE) AS t
+          FROM cust
+        ), ranked AS (
+          SELECT o_custkey, revenue,
+                 row_number() OVER (ORDER BY revenue DESC, o_custkey)
+                     AS rk,
+                 CAST(SUM(CAST(revenue AS DECIMAL(30,10)))
+                      OVER (ORDER BY revenue DESC, o_custkey
+                            ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                     AS cum_rev
+          FROM cust
+        )
+        SELECT rk AS rank,
+               o_custkey,
+               ROUND(revenue, 2) AS revenue,
+               ROUND(cum_rev / tot.t, 6) AS cum_share
+        FROM ranked, tot
+        WHERE rk <= 100
+        ORDER BY rank
+    """,
+)
+def q_win_pareto(spark, d):
+    """Pareto / cumulative-share analysis: top-100 customers by
+    revenue with their running share of total — the 80/20
+    concentration curve. The running sum is a DECIMAL window sum
+    under a total order (revenue desc, custkey), so every prefix is
+    exact and order-independent. Scale shape: the per-customer
+    rollup is the combinable heavy step; the top-100 cut happens via
+    orderBy+limit (TakeOrderedAndProject — per-partition top-100,
+    merge at the driver, NO global sort and no full-relation window),
+    and only the resulting 100-row relation enters the ordered
+    window, so the unavoidable single-partition window runs on a
+    bounded input regardless of corpus size. The top-100 prefix sums
+    equal the global prefix sums because the limit takes exactly the
+    order's head."""
+    cust = (
+        load(spark, d, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast(DEC))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    tot = cust.agg(
+        F.sum(F.col("revenue").cast(DEC)).cast("double").alias("t")
+    )
+    top = cust.orderBy(F.col("revenue").desc(), F.col("o_custkey")).limit(100)
+    w = Window.orderBy(F.col("revenue").desc(), F.col("o_custkey"))
+    ranked = top.withColumn("rank", F.row_number().over(w)).withColumn(
+        "cum_rev",
+        F.sum(F.col("revenue").cast(DEC))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("double"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(
+            "rank",
+            "o_custkey",
+            F.round("revenue", 2).alias("revenue"),
+            F.round(F.col("cum_rev") / F.col("t"), 6).alias("cum_share"),
+        )
+        .orderBy("rank")
+    )
