@@ -54,11 +54,25 @@ def connected_components(
     pairs (either orientation). Output: (node_col, cluster_id).
     """
     global LAST_ITERATIONS
+    # Symmetrize with ONE Generate, not a self-union: a union's two
+    # branches each re-evaluate the caller's (possibly expensive, e.g.
+    # LSH-pipeline) edge DataFrame inside the persist-fill job —
+    # measured 2× the whole SRP pair build for the semantic-cluster
+    # caller. explode keeps it a single pass.
     sym = (
-        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
-        .unionByName(
-            edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+                    ),
+                    F.struct(
+                        F.col(dst_col).alias("a"), F.col(src_col).alias("b")
+                    ),
+                )
+            ).alias("e")
         )
+        .select("e.a", "e.b")
         .distinct()
         .persist()
     )

@@ -1026,3 +1026,112 @@ def q_win_pareto(spark, d):
         )
         .orderBy("rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Semantic-tier dedup clusters (components over embedding-LSH pairs)
+# --------------------------------------------------------------------------
+
+_SEMANTIC_COMP_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _semantic_components(spark, d):
+    """(vec_id, cluster_id) over the planted SRP-LSH pair set,
+    memoized to parquet per (application, sf_dir) — same posture as
+    pipeline.dup_components."""
+    import os
+    import re
+
+    from ..operators.components import connected_components
+    from ..operators.srp import srp_near_dup_pairs
+
+    key = (spark.sparkContext.applicationId, d)
+    path = _SEMANTIC_COMP_CACHE.get(key)
+    if path is None:
+        emb = load(spark, d, "embeddings")
+        base = emb.select("vec_id", "embedding")
+        copies = emb.filter(F.col("vec_id") % 20 == 0).select(
+            (F.col("vec_id") + 1000000).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: x.cast("double") * 2.0
+            ).alias("embedding"),
+        )
+        planted = base.unionByName(copies)
+        pairs = srp_near_dup_pairs(
+            planted, "vec_id", "embedding", threshold=0.98
+        ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        comp = connected_components(
+            planted.select("vec_id"), pairs, "vec_id", "src", "dst"
+        )
+        tag = re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(d.rstrip("/")))
+        repo_root = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+        path = os.path.join(
+            repo_root, "spark-warehouse", "semantic_components", tag
+        )
+        comp.write.mode("overwrite").parquet(path)
+        _SEMANTIC_COMP_CACHE[key] = path
+    return spark.read.parquet(path)
+
+
+@query(
+    "q_dedup_semantic_cluster",
+    oracle="""
+        WITH RECURSIVE e AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ), planted AS (
+          SELECT vec_id, v FROM e
+          UNION ALL
+          SELECT vec_id + 1000000 AS vec_id,
+                 list_transform(v, x -> x * 2.0) AS v
+          FROM e WHERE vec_id % 20 = 0
+        ), pairs AS (
+          SELECT a.vec_id AS src, b.vec_id AS dst
+          FROM planted a, planted b
+          WHERE a.vec_id < b.vec_id
+            AND ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.98
+        ), edges AS (
+          SELECT src, dst FROM pairs
+          UNION SELECT dst, src FROM pairs
+          UNION SELECT vec_id, vec_id FROM planted
+        ), reach(src, dst) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src
+        ), comp AS (
+          SELECT src AS vec_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+        )
+        SELECT cluster_id,
+               MIN(vec_id) AS canonical_vec,
+               COUNT(*) AS n_members
+        FROM comp GROUP BY cluster_id
+        HAVING COUNT(*) > 1
+        ORDER BY cluster_id
+    """,
+)
+def q_dedup_semantic_cluster(spark, d):
+    """Semantic-tier dedup clusters: the SRP-LSH embedding pair set
+    (the same planted relation q_dedup_embedding_lsh verifies) closed
+    into components via the pointer-jumping operator, canonical = the
+    minimum member id — ties the embedding dedup tier to the same
+    transitive-closure machinery the MinHash tier uses
+    (q_dedup_clusters), proving the components operator is edge-set
+    agnostic. Declared against DuckDB's recursive-CTE closure over
+    the exact O(n²) cosine pair set; the Spark side never goes
+    all-pairs (banded SRP candidates + exact verify only on
+    survivors). The (vec_id, cluster_id) assignment is snapshotted to
+    parquet per (application, sf_dir) — the same corpus-version memo
+    posture as pipeline.dup_components."""
+    comp = _semantic_components(spark, d)
+    return (
+        comp.groupBy("cluster_id")
+        .agg(
+            F.min("vec_id").alias("canonical_vec"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .filter(F.col("n_members") > 1)
+        .orderBy("cluster_id")
+    )
