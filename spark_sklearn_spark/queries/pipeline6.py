@@ -1135,3 +1135,179 @@ def q_dedup_semantic_cluster(spark, d):
         .filter(F.col("n_members") > 1)
         .orderBy("cluster_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Last-touch attribution (as-of composition + tolerance)
+# --------------------------------------------------------------------------
+
+ATTRIB_WINDOW_US = 24 * 3600 * 1_000_000  # 1-day lookback
+N_CHANNELS = 5
+
+
+@query(
+    "q_behavior_attribution",
+    oracle=f"""
+        WITH p AS (
+          SELECT event_id AS p_id, user_id, ts, value FROM events
+          WHERE event_type = 'purchase'
+        ), c AS (
+          SELECT event_id AS c_id, user_id, ts,
+                 CAST(json_extract(props, '$.k') AS BIGINT) % {N_CHANNELS}
+                     AS channel
+          FROM events WHERE event_type = 'click'
+        ), j AS (
+          SELECT p.p_id, p.value, p.ts AS p_ts, c.channel, c.ts AS c_ts,
+                 row_number() OVER (PARTITION BY p.p_id
+                                    ORDER BY c.ts DESC, c.c_id DESC) AS rn
+          FROM p LEFT JOIN c
+            ON p.user_id = c.user_id AND c.ts <= p.ts
+        ), attributed AS (
+          SELECT CASE WHEN c_ts IS NOT NULL
+                        AND date_diff('microseconds', c_ts, p_ts)
+                            <= {ATTRIB_WINDOW_US}
+                      THEN channel ELSE -1 END AS channel,
+                 value
+          FROM j WHERE rn = 1
+        )
+        SELECT channel,
+               COUNT(*) AS n_purchases,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(30,10))) AS DOUBLE), 2)
+                   AS revenue
+        FROM attributed
+        GROUP BY channel
+        ORDER BY channel
+    """,
+)
+def q_behavior_attribution(spark, d):
+    """Last-touch marketing attribution: each purchase credits the
+    LATEST prior click within a 1-day window, rolled up to revenue
+    per channel (clicks outside the window, or users with no prior
+    click, fall into channel -1). Composition of the single-shuffle
+    as-of operator (operators/asof.py — union + one user-partitioned
+    window, never the quadratic emulation the oracle uses) with a
+    post-hoc tolerance filter on the carried match timestamp and a
+    combinable channel rollup. The channel is derived from the click
+    props JSON (k mod {N_CHANNELS}) identically on both engines."""
+    from ..operators.asof import asof_join
+
+    ev = load(spark, d, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id",
+        "user_id",
+        "ts",
+        (
+            F.get_json_object("props", "$.k").cast("long")
+            % F.lit(N_CHANNELS)
+        ).alias("channel"),
+        F.col("ts").alias("c_ts"),
+    )
+    j = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        ts="ts",
+        value_cols=["channel", "c_ts"],
+        tiebreak="event_id",
+    )
+    attributed = j.select(
+        F.when(
+            F.col("asof_c_ts").isNotNull()
+            & (
+                F.unix_micros("ts") - F.unix_micros("asof_c_ts")
+                <= ATTRIB_WINDOW_US
+            ),
+            F.col("asof_channel"),
+        )
+        .otherwise(F.lit(-1))
+        .alias("channel"),
+        "value",
+    )
+    return (
+        attributed.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(
+                F.sum(F.col("value").cast(DEC)).cast("double"), 2
+            ).alias("revenue"),
+        )
+        .orderBy("channel")
+    )
+
+
+# --------------------------------------------------------------------------
+# Partition-pruned source (hive-style partitioning + pruning)
+# --------------------------------------------------------------------------
+
+_PARTITIONED_EVENTS_CACHE: dict[tuple[str, str], str] = {}
+
+
+def partitioned_events(spark, d) -> str:
+    """Events written ONCE per (application, sf_dir) as a hive-style
+    event_type-partitioned parquet layout; returns the path."""
+    import os
+    import re
+
+    from ..sources.io import write_parquet
+
+    key = (spark.sparkContext.applicationId, d)
+    path = _PARTITIONED_EVENTS_CACHE.get(key)
+    if path is None:
+        tag = re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(d.rstrip("/")))
+        repo_root = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+        path = os.path.join(
+            repo_root, "spark-warehouse", "events_by_type", tag
+        )
+        write_parquet(
+            load(spark, d, "events"), path, partition_by=["event_type"]
+        )
+        _PARTITIONED_EVENTS_CACHE[key] = path
+    return path
+
+
+@query(
+    "q_source_partitioned_prune",
+    oracle="""
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               COUNT(*) AS n,
+               COUNT(DISTINCT user_id) AS n_users,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(30,10))) AS DOUBLE), 2)
+                   AS sum_value
+        FROM events
+        WHERE event_type = 'purchase'
+        GROUP BY day
+        ORDER BY day
+    """,
+)
+def q_source_partitioned_prune(spark, d):
+    """Partition-pruned scan over a hive-style layout: events are
+    materialized once partitioned by event_type (the low-cardinality
+    column the partitioning guide calls for), and the query's
+    event_type predicate then prunes to ONE directory at PLAN time —
+    the scan never opens the other partitions' files
+    (tests/test_plans.py asserts the PartitionFilters entry). The
+    oracle computes the same rollup from the unpartitioned source, so
+    the hash ALSO proves the partitioned write/read round-trip is
+    lossless, including the partition column that parquet stores in
+    directory names rather than file data. The daily rollup output is
+    calendar-bounded."""
+    path = partitioned_events(spark, d)
+    ev = spark.read.parquet(path).filter(F.col("event_type") == "purchase")
+    # dir-partition values come back as strings; ts column round-trips
+    # as written (µs) because it stays in the parquet data pages
+    return (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(
+                F.sum(F.col("value").cast(DEC)).cast("double"), 2
+            ).alias("sum_value"),
+        )
+        .orderBy("day")
+    )

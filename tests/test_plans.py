@@ -27,6 +27,15 @@ def test_scan_pushdown_reaches_parquet(spark, sf_dir):
     assert "IsNotNull(l_shipdate)" in plan or "GreaterThanOrEqual" in plan
 
 
+def test_partitioned_source_prunes_at_plan_time(spark, sf_dir):
+    """q_source_partitioned_prune must carry its event_type predicate
+    as a PartitionFilters entry on the scan (directory pruning), not
+    a post-scan Filter over all partitions."""
+    plan = _plan(spark, sf_dir, "q_source_partitioned_prune")
+    pf = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "event_type" in pf, pf
+
+
 def test_scan_projection_prunes_columns(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_scan_projection")
     # ReadSchema must carry only the two projected columns
