@@ -97,6 +97,22 @@ NOTES = {
         "direction — then a calendar-bounded hash agg: 100 TB in, KBs "
         "out."
     ),
+    "q_win_pareto": (
+        "Top-100 via TakeOrderedAndProject (per-partition heads, no "
+        "global sort); the ordered prefix-sum window then runs on the "
+        "BOUNDED 100-row relation, so its single partition is scale-"
+        "safe."
+    ),
+    "q_basket_lift": (
+        "Basket-keyed postings self-join: fan-out C(order size, 2) per "
+        "basket, min-support HAVING prunes before the per-item stats "
+        "joins; never item×item."
+    ),
+    "q_source_partitioned_prune": (
+        "event_type predicate lands in PartitionFilters — one "
+        "directory scanned at plan time; the other partitions' files "
+        "are never opened."
+    ),
 }
 
 
