@@ -447,3 +447,85 @@ def q_agg_boolean(spark, d):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_agg_bitmap",
+    oracle="""
+        SELECT event_type,
+               COUNT(DISTINCT user_id) AS n_users,
+               COUNT(*) AS n_events
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+)
+def q_agg_bitmap(spark, d):
+    """Exact distinct counting via Spark 4's bitmap aggregates — the
+    warehouse bitmap-index recipe: bucket each user_id
+    (bitmap_bucket_number), OR the per-bucket position bitmaps
+    (bitmap_construct_agg, a combinable binary aggregate whose
+    partial state is a fixed 4 KB bitmap), count bits per bucket,
+    sum counts per group. Shuffles carry bitmaps, not ids — the
+    mergeable-exact alternative to both COUNT(DISTINCT)'s id shuffle
+    and HLL's approximation. The oracle checks the VALUE with a plain
+    COUNT(DISTINCT): the bitmap representation is engine-side but
+    the count it produces is not."""
+    ev = load(spark, d, "events")
+    per_bucket = (
+        ev.select(
+            "event_type",
+            F.expr("bitmap_bucket_number(user_id)").alias("bucket"),
+            F.expr("bitmap_bit_position(user_id)").alias("pos"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.expr("bitmap_count(bitmap_construct_agg(pos))").alias("cnt")
+        )
+    )
+    counts = per_bucket.groupBy("event_type").agg(
+        F.sum("cnt").alias("n_users")
+    )
+    totals = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return counts.join(totals, "event_type").orderBy("event_type")
+
+
+@query(
+    "q_agg_bitwise",
+    oracle="""
+        SELECT event_type,
+               bit_and(CAST(json_extract(props, '$.k') AS BIGINT))
+                   AS mask_and,
+               bit_or(CAST(json_extract(props, '$.k') AS BIGINT))
+                   AS mask_or,
+               bit_xor(CAST(json_extract(props, '$.k') AS BIGINT))
+                   AS mask_xor,
+               COUNT(*) AS n
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+)
+def q_agg_bitwise(spark, d):
+    """Bitwise aggregates (bit_and / bit_or / bit_xor) over a
+    JSON-extracted feature mask — the flag-column analytics surface
+    (capability intersections, union masks, parity checks). All three
+    are commutative+associative integer folds, so they partial-
+    aggregate map-side and are order-independent by construction:
+    no decimal detour needed, exact on both engines."""
+    ev = load(spark, d, "events").select(
+        "event_type",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.bit_and("k").alias("mask_and"),
+            F.bit_or("k").alias("mask_or"),
+            F.bit_xor("k").alias("mask_xor"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )

@@ -350,3 +350,55 @@ def q_fn_try_arith(spark, d):
         .try_cast("bigint")
         .alias("unit_price_int"),
     ).orderBy("l_orderkey", "l_linenumber")
+
+
+@query(
+    "q_fn_surrogate_key",
+    oracle="""
+        WITH keyed AS (
+          SELECT o_orderkey,
+                 CAST(('0x' || substr(md5('ord|' || CAST(o_orderkey
+                      AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)),
+                      1, 14)) AS BIGINT) AS sk
+          FROM orders
+        )
+        SELECT COUNT(*) AS n_rows,
+               COUNT(DISTINCT sk) AS n_keys,
+               CAST(MIN(sk) AS BIGINT) AS min_sk,
+               CAST(MAX(sk) AS BIGINT) AS max_sk,
+               CAST(SUM(CASE WHEN o_orderkey % 10000 = 0 THEN sk
+                             ELSE 0 END) AS BIGINT) AS sample_sum
+        FROM keyed
+    """,
+)
+def q_fn_surrogate_key(spark, d):
+    """Deterministic surrogate-key minting: a 56-bit key from the md5
+    of the delimited natural key — the reproducible alternative to
+    monotonically_increasing_id (whose values depend on partition
+    layout and rerun, so they can never be joined across snapshots or
+    engines). Same md5-head portability trick as q_dedup_simhash
+    (digest identical everywhere; 14 hex chars can't overflow int64);
+    the delimiter prevents ('ab','c') / ('a','bc') collisions. The
+    declared check pins zero collisions over the order table
+    (n_keys == n_rows), the key range, and a deterministic sample of
+    the actual key VALUES — proving cross-engine joinability, not
+    just cardinality. Pure codegen projection + one combinable agg."""
+    orders = load(spark, d, "orders")
+    keyed = orders.select(
+        "o_orderkey",
+        F.expr(
+            "cast(conv(substr(md5(concat('ord|', cast(o_orderkey as string),"
+            " '|', cast(o_custkey as string))), 1, 14), 16, 10) as bigint)"
+        ).alias("sk"),
+    )
+    return keyed.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("sk").alias("n_keys"),
+        F.min("sk").alias("min_sk"),
+        F.max("sk").alias("max_sk"),
+        F.sum(
+            F.when(F.col("o_orderkey") % 10000 == 0, F.col("sk")).otherwise(
+                F.lit(0)
+            )
+        ).alias("sample_sum"),
+    )
