@@ -1311,3 +1311,61 @@ def q_source_partitioned_prune(spark, d):
         )
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------------
+# Calendar dimension generator
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_ts_calendar_dim",
+    oracle="""
+        WITH bounds AS (
+          SELECT CAST(date_trunc('day', MIN(ts)) AS DATE) AS lo,
+                 CAST(date_trunc('day', MAX(ts)) AS DATE) AS hi
+          FROM events
+        ), days AS (
+          SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS d
+          FROM bounds
+        )
+        SELECT CAST(d AS DATE) AS day,
+               CAST(isodow(d) AS BIGINT) AS iso_dow,
+               CAST(CASE WHEN isodow(d) >= 6 THEN 1 ELSE 0 END AS BIGINT)
+                   AS is_weekend,
+               CAST(EXTRACT(month FROM d) AS BIGINT) AS month,
+               CAST(EXTRACT(quarter FROM d) AS BIGINT) AS quarter,
+               CAST(EXTRACT(doy FROM d) AS BIGINT) AS day_of_year
+        FROM days
+        ORDER BY day
+    """,
+)
+def q_ts_calendar_dim(spark, d):
+    """Calendar-dimension generation spanning the event table's day
+    range — the date dim every star schema joins (the densify step
+    q_ts_gapfill embeds, exposed as its own generator). One tiny
+    bounds aggregate, then sequence + explode builds the rows with
+    ZERO input-table scans beyond the bounds — at any corpus size
+    this emits |days| rows. Engine traps normalized explicitly:
+    ISO day-of-week via dayofweek's Sunday-based value remapped to
+    Monday=1 (Spark has no isodow), quarter/doy via extract on both
+    sides."""
+    ev = load(spark, d, "events")
+    bounds = ev.agg(
+        F.to_date(F.date_trunc("day", F.min("ts"))).alias("lo"),
+        F.to_date(F.date_trunc("day", F.max("ts"))).alias("hi"),
+    )
+    days = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 1 day"))
+        ).alias("day")
+    )
+    iso_dow = ((F.dayofweek("day") + 5) % 7) + 1  # Sun=1.. -> Mon=1..
+    return days.select(
+        "day",
+        iso_dow.cast("long").alias("iso_dow"),
+        F.when(iso_dow >= 6, 1).otherwise(0).cast("long").alias("is_weekend"),
+        F.month("day").cast("long").alias("month"),
+        F.quarter("day").cast("long").alias("quarter"),
+        F.dayofyear("day").cast("long").alias("day_of_year"),
+    ).orderBy("day")
