@@ -1369,3 +1369,122 @@ def q_ts_calendar_dim(spark, d):
         F.quarter("day").cast("long").alias("quarter"),
         F.dayofyear("day").cast("long").alias("day_of_year"),
     ).orderBy("day")
+
+
+# --------------------------------------------------------------------------
+# Matryoshka prefix-dimension retrieval evaluation
+# --------------------------------------------------------------------------
+
+PREFIX_DIMS = 16
+PREFIX_TOPK = 10
+PREFIX_PROBES = 20  # fixed probe set (vec_id < 20): bounded at ANY scale
+
+
+@query(
+    "q_emb_prefix_eval",
+    oracle=f"""
+        WITH e AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ), q AS (
+          SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {PREFIX_PROBES}
+        ), scored AS (
+          SELECT q.qid, e.vec_id AS cid,
+                 ROUND(list_cosine_similarity(e.v, q.qv), 6) AS cos_full,
+                 ROUND(list_cosine_similarity(
+                     e.v[1:{PREFIX_DIMS}], q.qv[1:{PREFIX_DIMS}]), 6)
+                     AS cos_pre
+          FROM e JOIN q ON e.vec_id <> q.qid
+        ), ranked AS (
+          SELECT qid, cid,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY cos_full DESC, cid) AS rk_full,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY cos_pre DESC, cid) AS rk_pre
+          FROM scored
+        )
+        SELECT qid,
+               COUNT(CASE WHEN rk_full <= {PREFIX_TOPK}
+                           AND rk_pre <= {PREFIX_TOPK} THEN 1 END)
+                   AS overlap10,
+               CAST(MAX(CASE WHEN rk_full = 1 THEN cid END) AS BIGINT)
+                   AS top1_full,
+               CAST(MAX(CASE WHEN rk_pre = 1 THEN cid END) AS BIGINT)
+                   AS top1_pre
+        FROM ranked
+        GROUP BY qid
+        ORDER BY qid
+    """,
+)
+def q_emb_prefix_eval(spark, d):
+    """Matryoshka-style prefix-dimension retrieval evaluation: for a
+    FIXED 20-vector probe set, compare full-dimension cosine top-10
+    against top-10 using only the first {P} dimensions — the overlap
+    answers 'can the cheap prefix index serve first-stage retrieval'.
+    The probe set is a constant-size broadcast (bounded at any corpus
+    scale, unlike a modulus slice); both metrics score in ONE corpus
+    pass (two O(d) JVM folds per pair), and both row_number rankings
+    share the qid partitioning so one exchange serves them. Cosines
+    round to 6 BEFORE ranking with cid tie-breaks — the rank, and
+    therefore the overlap count, is engine-identical."""
+    from ..functions.vectors import as_double_array, cosine, sq_norm, unit
+
+    emb = load(spark, d, "embeddings")
+    probes = F.broadcast(
+        emb.filter(F.col("vec_id") < PREFIX_PROBES).select(
+            F.col("vec_id").alias("qid"),
+            unit(F.col("embedding")).alias("qunit_full"),
+            unit(F.slice(as_double_array(F.col("embedding")), 1, PREFIX_DIMS)).alias(
+                "qunit_pre"
+            ),
+        )
+    )
+    v = as_double_array(F.col("embedding"))
+    v_pre = F.slice(v, 1, PREFIX_DIMS)
+    scored = (
+        emb.crossJoin(probes)
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("cid"),
+            F.round(
+                cosine(v, F.col("qunit_full"))
+                / F.sqrt(sq_norm(F.col("embedding"))),
+                6,
+            ).alias("cos_full"),
+            F.round(
+                cosine(v_pre, F.col("qunit_pre"))
+                / F.sqrt(
+                    F.aggregate(
+                        v_pre, F.lit(0.0), lambda a, x: a + x * x
+                    )
+                ),
+                6,
+            ).alias("cos_pre"),
+        )
+    )
+    wf = Window.partitionBy("qid").orderBy(F.col("cos_full").desc(), "cid")
+    wp = Window.partitionBy("qid").orderBy(F.col("cos_pre").desc(), "cid")
+    ranked = scored.withColumn("rk_full", F.row_number().over(wf)).withColumn(
+        "rk_pre", F.row_number().over(wp)
+    )
+    return (
+        ranked.groupBy("qid")
+        .agg(
+            F.count(
+                F.when(
+                    (F.col("rk_full") <= PREFIX_TOPK)
+                    & (F.col("rk_pre") <= PREFIX_TOPK),
+                    1,
+                )
+            ).alias("overlap10"),
+            F.max(F.when(F.col("rk_full") == 1, F.col("cid"))).alias(
+                "top1_full"
+            ),
+            F.max(F.when(F.col("rk_pre") == 1, F.col("cid"))).alias(
+                "top1_pre"
+            ),
+        )
+        .orderBy("qid")
+    )

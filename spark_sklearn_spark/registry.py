@@ -45,9 +45,10 @@ ORACLES: dict[str, str] = {}
 # q_graph_pagerank, q_behavior_streaks, q_basket_lift, q_agg_weighted,
 # q_funnel_latency, q_win_pareto, q_dedup_semantic_cluster,
 # q_behavior_attribution, q_source_partitioned_prune, q_agg_bitmap,
-# q_agg_bitwise, q_fn_surrogate_key, q_ts_calendar_dim — all green in
-# the r6 local sf0.01+sf0.001 sweeps), plus whatever r6 leaves stale.
-# tests/test_queries_smoke.py asserts every name here is registered.
+# q_agg_bitwise, q_fn_surrogate_key, q_ts_calendar_dim,
+# q_emb_prefix_eval — all green in the r6 local sf0.01+sf0.001
+# sweeps), plus whatever r6 leaves stale. tests/test_queries_smoke.py
+# asserts every name here is registered.
 DRIVER_PRIORITY: list[str] = [
     # declared keys never seen by the driver (added after the r5 order was
     # pinned; all green in local tools/check.py sweeps, 10 spot-checked by
