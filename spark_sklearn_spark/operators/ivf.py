@@ -109,7 +109,10 @@ def ivf_probe(
 
     from ..functions.vectors import cosine
 
-    q = np.asarray(query_unit, dtype="float64")
+    # np.array (copying), not asarray: asarray returns the CALLER'S
+    # array when dtype already matches, and the in-place /= would then
+    # silently rescale the caller's vector
+    q = np.array(query_unit, dtype="float64")
     q /= np.linalg.norm(q)
     probe = [int(i) for i in np.argsort(-(centers @ q))[:nprobe]]
     qlit = F.array(*[F.lit(float(x)) for x in q])

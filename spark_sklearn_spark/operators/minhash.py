@@ -134,10 +134,15 @@ def minhash_candidate_pairs(
     )
     # Only (doc, band_idx, band_hash) triples shuffle through the band
     # join — the heavy hash arrays stay out of the candidate phase and
-    # are re-joined once per *surviving* pair side below.
+    # are re-joined once per *surviving* pair side below. Persisted:
+    # the self-join reads banded on BOTH sides and the aliased selects
+    # sit below the exchange, so without this the k-permutation
+    # signature pass runs twice per invocation (the staging rule
+    # operators/srp.py:111 cites from this module but this module
+    # didn't apply to its own banding stage until r6).
     banded = hashed.mapInPandas(
         to_bands, "doc long, band_idx int, band_hash long"
-    )
+    ).persist()
     a = banded.select(F.col("doc").alias("id_a"), "band_idx", "band_hash")
     b = banded.select(F.col("doc").alias("id_b"), "band_idx", "band_hash")
     pairs = (

@@ -43,14 +43,20 @@ def pagerank(
     dangling and their mass redistributes); edges: DIRECTED pairs
     (symmetrize upstream for an undirected graph).
     """
-    node_set = nodes.select(F.col(node_col).alias("node")).distinct().persist()
-    n = node_set.count()
+    caller_nodes = nodes.select(F.col(node_col).alias("node")).distinct()
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).persist()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     recv = e.select(F.col("dst").alias("node")).distinct()
     endpoints = deg.select(F.col("src").alias("node")).unionByName(recv).distinct()
+    # Propagate over nodes ∪ edge endpoints (the components.py rule):
+    # an endpoint absent from ``nodes`` would otherwise receive
+    # addressed rank mass that the left join silently DROPS, deflating
+    # every rank and breaking Σrank = 1. The output is filtered back
+    # to the caller's node set at the end.
+    node_set = caller_nodes.unionByName(endpoints).distinct().persist()
+    n = node_set.count()
     active = (
         node_set.join(endpoints, "node")
         .join(deg.withColumnRenamed("src", "node"), "node", "left")
@@ -128,6 +134,7 @@ def pagerank(
     return (
         ranks.select("node", "rank", "out_deg")
         .unionByName(isolated)
+        .join(caller_nodes, "node")  # drop phantom endpoints from output
         .select(
             F.col("node").alias(node_col),
             "rank",

@@ -27,7 +27,20 @@ def interval_join(
 
     ``bucket_seconds`` should be ≳ the typical interval width so each
     interval explodes into O(1) buckets.
+
+    Inner only: the residual BETWEEN predicate runs AFTER the bucket
+    join, so an outer ``how`` would null-extend unmatched rows and the
+    filter would then silently drop them — outer semantics corrupted
+    into inner with no error (the same guard posture as
+    salting.py's salted_join). Implementing a true outer needs the
+    residual inside the join condition; raise until someone does.
     """
+    if how != "inner":
+        raise NotImplementedError(
+            "interval_join supports how='inner' only: the residual "
+            "range predicate is applied post-join and would silently "
+            f"drop outer-extended rows (got how={how!r})"
+        )
     b = F.lit(bucket_seconds)
     l_b = left.withColumn(
         "__bucket", F.floor(F.date_trunc("second", F.col(left_ts)).cast("long") / b)

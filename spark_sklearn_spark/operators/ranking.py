@@ -61,11 +61,12 @@ def with_global_row_number(
     # bucket -1 ahead of every value bucket. NaNs sort GREATER than
     # every value in Spark/DuckDB ordering, but floor(NaN) would cast
     # to bucket 0 — route them to a dedicated last bucket instead.
-    dtype = df.schema[value_col].dataType.simpleString()
+    # (dtype0 gates BOTH the NaN-clean above and the NaN bucket here —
+    # one variable so the two branches can't drift.)
     value_bucket = F.least(
         F.lit(buckets - 1), F.floor((F.col(value_col) - lo) / width)
     ).cast("int")
-    if dtype in ("float", "double"):
+    if dtype0 in ("float", "double"):
         value_bucket = F.when(F.isnan(F.col(value_col)), F.lit(buckets)).otherwise(
             value_bucket
         )

@@ -114,8 +114,11 @@ def cosine_pairs(
         ri = rhs.vid.to_numpy()
         # threshold on the ROUNDED value: the oracle sums in a different
         # order, so a pair within last-ulp of tau must not flake the
-        # declared membership (same round-before-compare rule as top-k)
-        sims = np.round(sims, 6)
+        # declared membership (same round-before-compare rule as top-k).
+        # Half-AWAY-from-zero to match DuckDB's ROUND — np.round is
+        # banker's half-to-even, which flips exact .5e-6 midpoints
+        # (same fix as cosine_batch_topk)
+        sims = np.sign(sims) * np.floor(np.abs(sims) * 1e6 + 0.5) / 1e6
         ai, bi = np.nonzero(sims >= tau)
         ia, ib = li[ai], ri[bi]
         if diagonal:
@@ -318,6 +321,10 @@ def mmr_rerank(
             else:
                 div = np.zeros(n)
             mmr = ll * rel - (1.0 - ll) * div
+            # round (half-away) BEFORE the argmax: the repo-wide
+            # round-before-ordering rule — a near-tie must not depend
+            # on ulp-level accumulation order
+            mmr = np.sign(mmr) * np.floor(np.abs(mmr) * 1e6 + 0.5) / 1e6
             mmr_masked = np.where(remaining, mmr, -np.inf)
             # argmax with deterministic (score desc, id asc) tie-break
             best = np.lexsort((ids, -mmr_masked))[0]
@@ -328,8 +335,10 @@ def mmr_rerank(
             {
                 "rank": np.arange(1, len(selected) + 1, dtype=np.int64),
                 "vec_id": ids[selected],
-                "relevance": np.round(rel[selected], 6),
-                "mmr_score": np.round(np.asarray(scores), 6),
+                "relevance": np.sign(rel[selected])
+                * np.floor(np.abs(rel[selected]) * 1e6 + 0.5)
+                / 1e6,
+                "mmr_score": np.asarray(scores),  # already rounded above
             }
         )
 
