@@ -702,10 +702,8 @@ _DUP_COMPONENTS_CACHE: dict[tuple[str, str], str] = {}
 
 def dup_components(spark, d):
     """(doc_id, cluster_id) near-dup component assignment, memoized."""
-    import os
-    import re
-
     from ..operators.components import connected_components
+    from ..sources.io import warehouse_path
 
     key = (spark.sparkContext.applicationId, d)
     path = _DUP_COMPONENTS_CACHE.get(key)
@@ -717,20 +715,12 @@ def dup_components(spark, d):
         comp = connected_components(
             docs.select("doc_id"), pairs, "doc_id", "src", "dst"
         )
-        tag = re.sub(
-            r"[^A-Za-z0-9_]", "_", os.path.basename(d.rstrip("/"))
-        )
-        repo_root = os.path.dirname(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        )
-        # tag-only path (same posture as sources/io.bucketed_doc_emb):
-        # successive processes overwrite instead of accumulating one
-        # snapshot dir per applicationId; the in-memory key still
+        # fixture-keyed path (shared tag rule — sources/io.warehouse_
+        # path): successive processes overwrite instead of accumulating
+        # one snapshot dir per applicationId; the in-memory key still
         # carries the appId so a fresh process always rebuilds rather
         # than trusting another process's file.
-        path = os.path.join(
-            repo_root, "spark-warehouse", "dedup_components", tag
-        )
+        path = warehouse_path("dedup_components", d)
         comp.write.mode("overwrite").parquet(path)
         _DUP_COMPONENTS_CACHE[key] = path
     return spark.read.parquet(path)

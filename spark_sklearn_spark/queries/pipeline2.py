@@ -116,19 +116,12 @@ _EDGE_SNAPSHOT_CACHE: dict[tuple[str, str], str] = {}
 
 def near_dup_edges(spark, d):
     """(doc_a, doc_b, jacc) edge snapshot, memoized via parquet."""
-    import os
-    import re
+    from ..sources.io import warehouse_path
 
     key = (spark.sparkContext.applicationId, d)
     path = _EDGE_SNAPSHOT_CACHE.get(key)
     if path is None:
-        tag = re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(d.rstrip("/")))
-        repo_root = os.path.dirname(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        )
-        path = os.path.join(
-            repo_root, "spark-warehouse", "near_dup_edges", tag
-        )
+        path = warehouse_path("near_dup_edges", d)
         rare_bigram_pairs(spark, d).write.mode("overwrite").parquet(path)
         _EDGE_SNAPSHOT_CACHE[key] = path
     return spark.read.parquet(path)

@@ -503,18 +503,9 @@ def q_source_csv_roundtrip(spark, d):
     parquet source directly, so the hash proves the text round-trip
     is LOSSLESS for bigint/double/string/timestamp — the declared-
     contract twin of tests/test_sources.py's format matrix."""
-    import os
-    import re
+    from ..sources.io import read_table, warehouse_path, write_table
 
-    from ..sources.io import read_table, write_table
-
-    tag = re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(d.rstrip("/")))
-    repo_root = os.path.dirname(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    )
-    path = os.path.join(
-        repo_root, "spark-warehouse", "csv_roundtrip", tag
-    )
+    path = warehouse_path("csv_roundtrip", d)
     li = load(spark, d, "lineitem").filter(
         F.col("l_orderkey") % 100 == 0
     ).select("l_orderkey", "l_returnflag", "l_extendedprice", "l_shipdate")
@@ -1039,11 +1030,9 @@ def _semantic_components(spark, d):
     """(vec_id, cluster_id) over the planted SRP-LSH pair set,
     memoized to parquet per (application, sf_dir) — same posture as
     pipeline.dup_components."""
-    import os
-    import re
-
     from ..operators.components import connected_components
     from ..operators.srp import srp_near_dup_pairs
+    from ..sources.io import warehouse_path
 
     key = (spark.sparkContext.applicationId, d)
     path = _SEMANTIC_COMP_CACHE.get(key)
@@ -1063,13 +1052,7 @@ def _semantic_components(spark, d):
         comp = connected_components(
             planted.select("vec_id"), pairs, "vec_id", "src", "dst"
         )
-        tag = re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(d.rstrip("/")))
-        repo_root = os.path.dirname(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        )
-        path = os.path.join(
-            repo_root, "spark-warehouse", "semantic_components", tag
-        )
+        path = warehouse_path("semantic_components", d)
         comp.write.mode("overwrite").parquet(path)
         _SEMANTIC_COMP_CACHE[key] = path
     return spark.read.parquet(path)
@@ -1248,21 +1231,12 @@ _PARTITIONED_EVENTS_CACHE: dict[tuple[str, str], str] = {}
 def partitioned_events(spark, d) -> str:
     """Events written ONCE per (application, sf_dir) as a hive-style
     event_type-partitioned parquet layout; returns the path."""
-    import os
-    import re
-
-    from ..sources.io import write_parquet
+    from ..sources.io import warehouse_path, write_parquet
 
     key = (spark.sparkContext.applicationId, d)
     path = _PARTITIONED_EVENTS_CACHE.get(key)
     if path is None:
-        tag = re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(d.rstrip("/")))
-        repo_root = os.path.dirname(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        )
-        path = os.path.join(
-            repo_root, "spark-warehouse", "events_by_type", tag
-        )
+        path = warehouse_path("events_by_type", d)
         write_parquet(
             load(spark, d, "events"), path, partition_by=["event_type"]
         )

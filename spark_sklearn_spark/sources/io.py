@@ -51,19 +51,45 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if isinstance(df.schema["ts"].dataType, LongType):
-            df = df.withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000"))
-            )
-        else:
-            # Micros files arrive as TIMESTAMP_NTZ; every consumer (and
-            # unix_micros, which rejects NTZ) was written against the
-            # session-local TIMESTAMP the nanos rebuild produced. The
-            # session timezone is pinned UTC, so this cast relabels the
-            # same instant — no value shift.
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-        return df
+        return rebuild_event_ts(df)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def rebuild_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize the events ``ts`` column to a session-local µs
+    TIMESTAMP regardless of fixture vintage — the ONE place that
+    knows the encoding dispatch (streaming/jobs.events_stream shares
+    it with load; a divergent copy would silently split batch-oracle
+    and streaming semantics on the next encoding change)."""
+    if isinstance(df.schema["ts"].dataType, LongType):
+        # nanos-as-long: rebuild with exact integer division
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    # Micros files arrive as TIMESTAMP_NTZ; every consumer (and
+    # unix_micros, which rejects NTZ) was written against the
+    # session-local TIMESTAMP the nanos rebuild produced. The
+    # session timezone is pinned UTC, so this cast relabels the
+    # same instant — no value shift.
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def warehouse_path(subdir: str, sf_dir: str) -> str:
+    """Repo-local warehouse path for per-(kind, fixture) snapshots —
+    the ONE implementation of the tag rule (basename sanitized + a
+    short full-path hash so two different sf_dirs with the same
+    basename cannot collide on disk)."""
+    import hashlib
+    import re
+
+    base = re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(sf_dir.rstrip("/")))
+    suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:6]
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    return os.path.join(
+        repo_root, "spark-warehouse", subdir, f"{base}_{suffix}"
+    )
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables=None) -> None:
@@ -111,7 +137,7 @@ def write_bucketed(
 # pays its shuffle once; every subsequent bucketed join is exchange-free.
 # In production this is a one-time ETL step into a bucketed table, not a
 # per-query cache (same posture as operators/ivf.py's index memo).
-_BUCKETED_PAIR_CACHE: dict[tuple[str, str], tuple[str, str]] = {}
+_BUCKETED_PAIR_CACHE: dict[tuple[str, str, int], tuple[str, str]] = {}
 
 
 def bucketed_doc_emb(
@@ -124,13 +150,13 @@ def bucketed_doc_emb(
     Broadcasting embeddings instead would ship a table that grows 1:1
     with the corpus to every executor (VERDICT r3 "What's wrong" #2).
     """
-    import re
-
-    key = (spark.sparkContext.applicationId, sf_dir)
+    # key carries num_buckets: a second caller with a different bucket
+    # count must NOT silently receive the first count's tables — equal
+    # bucket counts are the whole point of the zero-exchange join
+    key = (spark.sparkContext.applicationId, sf_dir, num_buckets)
     if key not in _BUCKETED_PAIR_CACHE:
-        tag = re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(sf_dir.rstrip("/")))
-        repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-        base = os.path.join(repo_root, "spark-warehouse", "bucketed", tag)
+        base = warehouse_path("bucketed", sf_dir) + f"_b{num_buckets}"
+        tag = os.path.basename(base)
         d_table, e_table = f"documents_bkt_{tag}", f"embeddings_bkt_{tag}"
         write_bucketed(
             load(spark, sf_dir, "documents"), d_table, ["doc_id"],
@@ -228,8 +254,13 @@ def supported_formats(spark: SparkSession) -> list[str]:
     built-ins, plus avro when the spark-avro package is on the
     classpath (it is a separate jar in stock distributions)."""
     fmts = list(_BUILTIN_FORMATS)
+    # py4j does NOT raise for a missing class — attribute access on a
+    # nonexistent path returns a JavaPackage object — so the probe must
+    # load the class explicitly (Class.forName raises for real)
     try:
-        spark._jvm.org.apache.spark.sql.avro.AvroFileFormat  # noqa: B018
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.avro.AvroFileFormat"
+        )
         fmts.append("avro")
     except Exception:
         pass

@@ -44,10 +44,9 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     has shipped ``ts`` as either TIMESTAMP(NANOS) (read as a raw long
     under the legacy conf, then rebuilt) or TIMESTAMP(MICROS) (passed
     through) — so take the schema from a one-off batch read of the same
-    file and dispatch on what the file actually contains, exactly like
-    ``sources/io.load``."""
-    from pyspark.sql.types import LongType
-
+    file and normalize via the SHARED ``sources/io.rebuild_event_ts``
+    dispatch (one implementation for batch and streaming, so the next
+    encoding change cannot silently split them)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # The streaming file source lists a *directory*; events.parquet is
@@ -57,13 +56,9 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if isinstance(schema["ts"].dataType, LongType):
-        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    else:
-        # NTZ -> session-local timestamp (UTC session: same instant),
-        # matching what the nanos rebuild produced for older fixtures.
-        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
-    return raw
+    from ..sources.io import rebuild_event_ts
+
+    return rebuild_event_ts(raw)
 
 
 def _run_to_memory(
@@ -88,7 +83,23 @@ def _run_to_memory(
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
+# Memory-sink temp views registered by prior jobs in this session: a
+# sink holds its fully-materialized result in driver memory for as
+# long as the view exists, so each new job drops every PREVIOUS sink
+# view (its consumer has finished by then — bench/check materialize
+# the returned DataFrame before running the next query) instead of
+# letting 7 streaming jobs × N reps accumulate results for the
+# session lifetime.
+_SINK_VIEWS: list[str] = []
+
+
+def _drop_stale_sinks(spark: SparkSession) -> None:
+    while _SINK_VIEWS:
+        spark.catalog.dropTempView(_SINK_VIEWS.pop())
+
+
 def _run_to_memory_inner(stream_df: DataFrame, output_mode: str) -> DataFrame:
+    _drop_stale_sinks(stream_df.sparkSession)
     name = f"sink_{uuid.uuid4().hex[:12]}"
     q = (
         stream_df.writeStream.format("memory")
@@ -105,6 +116,7 @@ def _run_to_memory_inner(stream_df: DataFrame, output_mode: str) -> DataFrame:
             f"streaming query {name} still running after 300s; "
             "refusing to return a partial memory sink"
         )
+    _SINK_VIEWS.append(name)
     return stream_df.sparkSession.table(name)
 
 
@@ -257,26 +269,25 @@ def foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     survives high-cardinality merge keys (the r5 VERDICT scale fix).
     On a real lake the version pointer lives in a catalog/Delta log;
     the local-path max-version scan below is that pointer's stand-in.
-    The run directory is keyed by (applicationId, sf tag) and cleared
-    at start, so repeated bench/check invocations cannot leak storage
-    or read a stale longer run's tail version."""
+    The whole stream_upsert area is cleared at start (NOT just this
+    application's dir — an appId-scoped rmtree would leave every
+    previous process's version chain on disk forever), then this run
+    writes under its own appId-keyed dir, so repeated bench/check
+    invocations cannot leak storage or read a stale longer run's tail
+    version."""
     import os
-    import re
     import shutil
 
     from ..queries._helpers import DEC
+    from ..sources.io import warehouse_path
 
-    tag = re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(sf_dir.rstrip("/")))
-    repo_root = os.path.dirname(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    )
+    area = os.path.dirname(warehouse_path("stream_upsert", sf_dir))
+    shutil.rmtree(area, ignore_errors=True)
     base = os.path.join(
-        repo_root,
-        "spark-warehouse",
-        "stream_upsert",
-        f"{spark.sparkContext.applicationId}_{tag}",
+        area,
+        f"{spark.sparkContext.applicationId}_"
+        f"{os.path.basename(warehouse_path('stream_upsert', sf_dir))}",
     )
-    shutil.rmtree(base, ignore_errors=True)
 
     ev = events_stream(spark, sf_dir)
 
