@@ -549,7 +549,6 @@ def q_emb_pca(spark, d):
     )
 
     emb = load(spark, d, "embeddings")
-    dim = len(emb.select("embedding").first()[0])
 
     partial_schema = StructType(
         [
@@ -576,6 +575,9 @@ def q_emb_pca(spark, d):
             )
 
     parts = emb.select("embedding").mapInPandas(moments, partial_schema).collect()
+    # the dimension comes for free from the collected partials — a
+    # dedicated first() job just to read it would add a scan per run
+    dim = len(parts[0]["s"])
     n = sum(r["n"] for r in parts)
     s = np.sum([np.array(r["s"]) for r in parts], axis=0)
     g = np.sum([np.array(r["g"]).reshape(dim, dim) for r in parts], axis=0)

@@ -324,9 +324,9 @@ def q_emb_outliers(spark, d):
     x = emb.select(
         "vec_id",
         "label",
-        F.posexplode_outer(
-            F.transform(F.col("embedding"), lambda v: v.cast("double"))
-        ).alias("dim", "v"),
+        F.posexplode_outer(as_double_array(F.col("embedding"))).alias(
+            "dim", "v"
+        ),
     ).filter(F.col("dim").isNotNull())
     cent = x.groupBy("label", "dim").agg(
         (F.sum(F.col("v").cast(DEC)).cast("double") / F.count(F.lit(1))).alias(
@@ -614,7 +614,8 @@ def q_sim_mmr_rerank(spark, d):
                regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1) AS path,
                regexp_extract(url, 'ref=([0-9]+)', 1) AS ref,
                regexp_replace(
-                 regexp_replace(url, '[?#].*$', ''), ':[0-9]+', '')
+                 regexp_replace(url, '[?#].*$', '', 'g'),
+                 ':[0-9]+', '', 'g')
                  AS canonical_url
         FROM aug
         ORDER BY doc_id
