@@ -84,10 +84,11 @@ class GridSearchCV:
         from pyspark.storagelevel import StorageLevel
 
         grid = self._grid()
+        evaluator = self._evaluator()  # one instance: CV + direction check
         cv = CrossValidator(
             estimator=self.estimator,
             estimatorParamMaps=grid,
-            evaluator=self._evaluator(),
+            evaluator=evaluator,
             numFolds=self.cv,
             parallelism=self.parallelism,
             seed=self.seed,
@@ -115,7 +116,7 @@ class GridSearchCV:
         # Respect the metric direction: argmax only for larger-is-better
         # evaluators (an rmse evaluator must pick argmin or best_params_
         # would disagree with CrossValidator's own bestModel).
-        if self._evaluator().isLargerBetter():
+        if evaluator.isLargerBetter():
             best = int(np.argmax(model.avgMetrics))
         else:
             best = int(np.argmin(model.avgMetrics))
@@ -144,15 +145,33 @@ class RandomizedSearchCV(GridSearchCV):
         self.n_iter = n_iter
 
     def _grid(self):
+        import itertools
         import random
 
         from pyspark.ml.tuning import ParamGridBuilder
 
         rng = random.Random(self.seed)
+        dists = self.param_distributions
+        all_lists = all(not hasattr(d, "rvs") for d in dists.values())
+        if all_lists:
+            # sklearn's ParameterSampler semantics (the reference
+            # wrapped it): with a finite grid, sample WITHOUT
+            # replacement — drawing per-iteration would repeat
+            # candidates and pay duplicate candidate×fold fits
+            names = list(dists)
+            combos = list(itertools.product(*(list(dists[n]) for n in names)))
+            picks = rng.sample(combos, min(self.n_iter, len(combos)))
+            grid = []
+            for combo in picks:
+                b = ParamGridBuilder()
+                for name, v in zip(names, combo):
+                    b = b.addGrid(self.estimator.getParam(name), [v])
+                grid.extend(b.build())
+            return grid
         grid = []
         for _ in range(self.n_iter):
             b = ParamGridBuilder()
-            for name, dist in self.param_distributions.items():
+            for name, dist in dists.items():
                 if hasattr(dist, "rvs"):
                     v = float(dist.rvs(random_state=rng.randrange(2**31)))
                 else:
@@ -200,7 +219,10 @@ class KeyedModel:
     def transform(self, df: DataFrame) -> DataFrame:
         """Score ``df``: broadcast-join the models table on the key
         columns and predict per Arrow batch (KeyedModel.transform
-        parity)."""
+        parity). LEFT join: a key unseen at fit time (or NULL) keeps
+        its rows with a NULL prediction — an inner join would make
+        transform() silently return fewer rows than its input, which
+        is data loss a scoring API must surface, not hide."""
         x_cols, out = self.x_cols, self.output_col
 
         @F.pandas_udf("double")
@@ -208,17 +230,24 @@ class KeyedModel:
             # One model per joined group would be ideal; within a batch
             # models can differ per row, so group rows by model bytes
             # and predict per group (still vectorized per model).
+            # Unseen keys carry a null blob (factorize code -1) and
+            # keep the NaN initializer -> NULL after the Arrow crossing.
             X = np.column_stack([x.to_numpy(dtype="float64") for x in xs])
-            result = np.empty(len(X))
+            result = np.full(len(X), np.nan)
             codes, uniques = pd.factorize(model_bin)
             for code, blob in enumerate(uniques):
+                if blob is None:
+                    continue
                 m = pickle.loads(blob)
                 mask = codes == code
                 result[mask] = m.predict(X[mask])
             return pd.Series(result)
 
-        joined = df.join(F.broadcast(self.model_df), self.key_cols)
-        return joined.withColumn(out, predict("__model", *x_cols)).drop("__model")
+        joined = df.join(F.broadcast(self.model_df), self.key_cols, "left")
+        scored = joined.withColumn(out, predict("__model", *x_cols))
+        return scored.withColumn(
+            out, F.when(~F.isnan(F.col(out)), F.col(out))
+        ).drop("__model")
 
 
 class KeyedEstimator:

@@ -302,11 +302,11 @@ def q_ml_keyed_cluster(spark, d):
 
     @pandas_udf("c0 double, c1 double, n0 bigint, n1 bigint")
     def fit2means(xs: pd.Series) -> pd.DataFrame:
+        import numpy as np  # loop-invariant: once per batch, not per user
+
         rows = []
         for v in xs:
             m = _KMeans1D(v)
-            import numpy as np
-
             a = np.asarray(v, dtype="float64")
             mid = (m.c0 + m.c1) / 2.0
             n1 = int((a > mid).sum())
@@ -344,6 +344,12 @@ class _DecimalScaler:
         self.sigma = sigma
 
     def predict(self, X):
+        import numpy as np
+
+        if self.sigma == 0.0:
+            # constant/singleton group: no scale exists — emit NaN,
+            # mapped to NULL query-side (DuckDB x/0.0 is NULL)
+            return np.full(X.shape[0], np.nan)
         return (X[:, 0] - self.mu) / self.sigma
 
 
@@ -368,7 +374,11 @@ def _scaler_fit(X, y):
     q = sum(Decimal(v * v).quantize(q10, ROUND_HALF_UP) for v in vals)
     n = len(vals)
     mu_raw = float(s1) / n
-    sigma_raw = math.sqrt(float(q) / n - (float(s1) / n) * (float(s1) / n))
+    # clamp: for a single-row or constant group the two independently
+    # quantized terms can differ by a few 1e-10 in EITHER direction, and
+    # sqrt of the tiny negative would crash the Arrow worker
+    var = max(0.0, float(q) / n - (float(s1) / n) * (float(s1) / n))
+    sigma_raw = math.sqrt(var)
     return _DecimalScaler(
         _round6_half_away(mu_raw), _round6_half_away(sigma_raw)
     )
@@ -433,7 +443,9 @@ def q_ml_keyed_scale(spark, d):
             "l_linenumber",
             "l_returnflag",
             F.col("l_extendedprice").alias("value"),
-            F.round("z_raw", 6).alias("z"),
+            # NaN (degenerate group, see _DecimalScaler.predict) maps
+            # to NULL — the oracle's division by zero yields NULL
+            F.when(~F.isnan("z_raw"), F.round("z_raw", 6)).alias("z"),
         )
         .orderBy("l_orderkey", "l_linenumber")
     )

@@ -45,7 +45,10 @@ def q_udf_scalar(spark, d):
 
     @pandas_udf("string")
     def norm(s: pd.Series) -> pd.Series:
-        return s.str.lower().str.replace(r" +", " ", regex=True).str.strip()
+        # strip(' ') — SPACES only: bare .str.strip() removes all
+        # whitespace (\t, \n, unicode) while the oracle's trim()
+        # strips spaces, so text ending in a newline would diverge
+        return s.str.lower().str.replace(r" +", " ", regex=True).str.strip(" ")
 
     docs = load(spark, d, "documents")
     # invoke the UDF ONCE and derive the length from its output column
@@ -89,9 +92,21 @@ def q_udaf_grouped(spark, d):
 
     @pandas_udf("double")
     def trimmed_sum(v: pd.Series) -> float:
+        # mirror the oracle's decimal policy exactly: quantize each
+        # double to DECIMAL(30,10) half-away, sum exactly, round
+        # half-away to 2 (a raw numpy double sum + Python round() is
+        # banker's half-even over an order-dependent float sum — safe
+        # on this fixture only because values are exact 0.01 multiples)
+        import math
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q10 = Decimal(1).scaleb(-10)
         s = v.sort_values().to_numpy()
         k = int(len(s) * 0.1)
-        return float(round(s[k : len(s) - k].sum(), 2))
+        kept = s[k : len(s) - k]
+        total = sum(Decimal(float(x)).quantize(q10, ROUND_HALF_UP) for x in kept)
+        t = float(total)
+        return math.floor(t * 100 + 0.5) / 100 if t >= 0 else -math.floor(-t * 100 + 0.5) / 100
 
     @pandas_udf("long")
     def trimmed_n(v: pd.Series) -> int:
@@ -200,7 +215,11 @@ def q_udf_iter(spark, d):
 
         digest = hashlib.md5  # stands in for a model/tokenizer load
         for s in batches:
-            yield s.map(lambda t: digest(t.encode()).hexdigest())
+            # None propagates as NULL (DuckDB md5(NULL) is NULL);
+            # an unguarded t.encode() would crash the worker instead
+            yield s.map(
+                lambda t: None if t is None else digest(t.encode()).hexdigest()
+            )
 
     docs = load(spark, d, "documents")
     return (
@@ -247,6 +266,8 @@ def q_udtf_python(spark, d):
     @udtf(returnType="chunk_idx bigint, chunk string, n_tokens bigint")
     class Chunker:
         def eval(self, text: str):
+            if text is None:
+                return  # NULL text -> zero rows (unnest(NULL) parity)
             toks = text.split(" ")
             for i in range(0, len(toks), 10):
                 piece = toks[i : i + 10]

@@ -251,3 +251,20 @@ def test_csr_vector_udt_accepts_sparse_vector(spark):
     assert udt.serialize(SparseVector(4, [0, 2], [1.0, 3.0])) == (
         4, [0, 2], [1.0, 3.0],
     )
+
+
+def test_keyed_model_transform_keeps_unseen_keys(spark):
+    """transform() must not silently drop rows whose key was unseen at
+    fit time — they stay, with a NULL prediction."""
+    train = spark.createDataFrame(
+        pd.DataFrame({"k": ["a"] * 10, "x": np.linspace(0, 1, 10),
+                      "y": np.linspace(0, 2, 10)})
+    )
+    model = KeyedEstimator(["k"], ["x"], "y", output_col="pred").fit(train)
+    score = spark.createDataFrame(
+        pd.DataFrame({"k": ["a", "zz"], "x": [0.5, 0.5]})
+    )
+    rows = {r["k"]: r["pred"] for r in model.transform(score).collect()}
+    assert set(rows) == {"a", "zz"}
+    assert rows["a"] is not None and abs(rows["a"] - 1.0) < 1e-6
+    assert rows["zz"] is None
