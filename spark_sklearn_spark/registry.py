@@ -26,89 +26,72 @@ ORACLES: dict[str, str] = {}
 # The driver's differential harness checks the FIRST 50 keys of ``queries()``
 # in iteration order. With >50 registered queries the tail is invisible to the
 # hard gate, so we pin an explicit priority order and ROTATE it each round so
-# no key goes more than two rounds without a driver re-check. Round-6 order
-# (executing the rotation promised in the round-5 comment): the 26 declared
-# keys with no driver row in any CORRECTNESS_r*.json, q_dedup_simhash
-# (promoted rows-only -> declared this round), the 4 never-checked rows-only
-# keys, q_set_union(_distinct) (r2-stale, deferred from r5), the 4 queries
-# whose implementation changed this round (dedup-cluster memoization,
-# temperature-sampling floor cast, kNN-batch rounding), then the oldest
-# r3-green keys with preference to the dedup/similarity families the round's
-# code changes touch. Rotating into r7's prefix: the remaining r3-green keys
-# (q_ml_*, q_multimodal_decode, q_project_expr, q_scan_parquet/projection/
-# pushdown, q_text_langid/quality/tfidf/tokens/stats, q_topk_per_group,
-# q_tpch_q3/q5/q6/q10, q_udf_scalar, q_udtf_split, q_win_ntile), the ten
-# queries added this round AFTER this order was pinned
-# (q_behavior_sessionize, q_ts_ohlc, q_cdc_scd2, q_text_entropy,
-# q_text_containment, q_agg_listagg, q_text_readability,
-# q_source_csv_roundtrip, q_profile_corr, q_ts_ewma, q_ml_keyed_scale,
-# q_graph_pagerank, q_behavior_streaks, q_basket_lift, q_agg_weighted,
-# q_funnel_latency, q_win_pareto, q_dedup_semantic_cluster,
-# q_behavior_attribution, q_source_partitioned_prune, q_agg_bitmap,
-# q_agg_bitwise, q_fn_surrogate_key, q_ts_calendar_dim,
-# q_emb_prefix_eval — all green in the r6 local sf0.01+sf0.001
-# sweeps), plus whatever r6 leaves stale. tests/test_queries_smoke.py
-# asserts every name here is registered.
+# no key goes more than two rounds without a driver re-check. Round-7 order
+# (executing the rotation promised in the round-6 comment): the 25 queries
+# added in r6 AFTER the r6 order was pinned (never seen by the driver; all
+# green in the r6 local sf0.01+sf0.001 sweeps), then queries added THIS round
+# (inserted into the NEW-THIS-ROUND block as they land), then the remaining
+# r3-green keys whose driver rows are the oldest on file. Rotating into r8's
+# prefix: whatever r7 leaves stale — by then every key's newest driver row
+# should be r4+, so the r8 prefix is simply the 50 oldest rows in
+# CORRECTNESS_r*.json. tests/test_queries_smoke.py asserts every name here is
+# registered.
 DRIVER_PRIORITY: list[str] = [
-    # declared keys never seen by the driver (added after the r5 order was
-    # pinned; all green in local tools/check.py sweeps, 10 spot-checked by
-    # the r5 judge)
-    "q_scan_metadata",
-    "q_join_null_safe",
-    "q_join_lateral",
-    "q_agg_mode",
-    "q_agg_moments",
-    "q_agg_boolean",
-    "q_win_range_interval",
-    "q_win_nth",
-    "q_fn_variant",
-    "q_fn_interval",
-    "q_fn_try_arith",
-    "q_udf_iter",
-    "q_udtf_python",
-    "q_behavior_transitions",
-    "q_ts_interpolate",
-    "q_behavior_rfm",
-    "q_graph_triangles",
-    "q_url_canonical",
-    "q_text_boilerplate",
-    "q_dedup_url",
-    "q_corpus_health",
-    "q_agg_incremental",
-    "q_layout_zorder",
-    "q_profile_table",
-    "q_split_train",
-    "q_pivot_dynamic",
-    # promoted rows-only -> declared this round
-    "q_dedup_simhash",
-    # rows-only keys never seen by the driver (rows>0 check)
-    "q_agg_approx_percentile",
-    "q_stream_foreach_upsert",
-    "q_ml_keyed_cluster",
-    "q_sim_mmr_rerank",
-    # r2-stale, deferred from the r5 prefix
-    "q_set_union",
-    "q_set_union_distinct",
-    # implementation changed this round — re-verify even though r4/r5-green
-    "q_dedup_clusters",
-    "q_dedup_canonical",
-    "q_sample_temperature",
-    "q_sim_knn_batch",
-    # oldest (r3) driver-green keys, dedup/similarity families first since
-    # this round touches operators/components.py and operators/similarity.py
-    "q_text_stats",
-    "q_dedup_minhash",
-    "q_dedup_exact",
-    "q_dedup_fingerprint",
-    "q_dedup_embedding",
-    "q_dedup_embedding_lsh",
-    "q_sim_pairs_threshold",
-    "q_sim_knn_brute",
-    "q_agg_collect",
-    "q_agg_grouping_sets",
-    "q_agg_hash",
-    "q_filter_pred",
-    "q_fn_array",
+    # r6 additions never seen by the driver (declared unless noted)
+    "q_behavior_sessionize",
+    "q_ts_ohlc",
+    "q_cdc_scd2",
+    "q_text_entropy",
+    "q_text_containment",
+    "q_agg_listagg",
+    "q_text_readability",
+    "q_source_csv_roundtrip",
+    "q_profile_corr",
+    "q_ts_ewma",
+    "q_ml_keyed_scale",
+    "q_graph_pagerank",  # rows-only
+    "q_behavior_streaks",
+    "q_basket_lift",
+    "q_agg_weighted",
+    "q_funnel_latency",
+    "q_win_pareto",
+    "q_dedup_semantic_cluster",
+    "q_behavior_attribution",
+    "q_source_partitioned_prune",
+    "q_agg_bitmap",
+    "q_agg_bitwise",
+    "q_fn_surrogate_key",
+    "q_ts_calendar_dim",
+    "q_emb_prefix_eval",
+    # NEW-THIS-ROUND (r7): append new query keys here as they land so they
+    # get a driver row in CORRECTNESS_r07
+    # r3-green keys with the oldest driver rows on file
+    "q_ml_keyed_fit",
+    "q_ml_keyed_transform",
+    "q_ml_vector_roundtrip",
+    "q_multimodal_decode",  # rows-only
+    "q_project_expr",
+    "q_scan_parquet",
+    "q_scan_projection",
+    "q_scan_pushdown",
+    "q_text_langid",
+    "q_text_quality",
+    "q_text_tfidf",
+    "q_text_tokens",
+    "q_topk_per_group",
+    "q_tpch_q3",
+    "q_tpch_q5",
+    "q_tpch_q6",
+    "q_tpch_q10",
+    "q_udf_scalar",
+    "q_udtf_split",
+    "q_win_ntile",
+    # r3-green overflow (checked if the prefix window allows)
+    "q_source_json_props",
+    "q_agg_distinct",
+    "q_filter_like",
+    "q_fn_date",
+    "q_fn_string",
 ]
 
 
