@@ -28,4 +28,6 @@ from . import (  # noqa: F401
     layout,
     profiling,
     reshape,
+    sketches,
+    features,
 )

@@ -65,6 +65,13 @@ DRIVER_PRIORITY: list[str] = [
     "q_emb_prefix_eval",
     # NEW-THIS-ROUND (r7): append new query keys here as they land so they
     # get a driver row in CORRECTNESS_r07
+    "q_sketch_countmin",
+    "q_sketch_bloom",
+    "q_sketch_hll",
+    "q_feat_onehot",
+    "q_feat_hashing",
+    "q_feat_target_encode",
+    "q_feat_quantile_bin",
     # r3-green keys with the oldest driver rows on file
     "q_ml_keyed_fit",
     "q_ml_keyed_transform",
