@@ -30,4 +30,5 @@ from . import (  # noqa: F401
     reshape,
     sketches,
     features,
+    pipeline7,
 )

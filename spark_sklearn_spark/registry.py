@@ -72,6 +72,10 @@ DRIVER_PRIORITY: list[str] = [
     "q_feat_hashing",
     "q_feat_target_encode",
     "q_feat_quantile_bin",
+    "q_source_jsonl_roundtrip",
+    "q_source_orc_roundtrip",
+    "q_layout_compaction",
+    "q_graph_degree_dist",
     # r3-green keys with the oldest driver rows on file
     "q_ml_keyed_fit",
     "q_ml_keyed_transform",
