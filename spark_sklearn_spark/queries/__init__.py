@@ -31,4 +31,5 @@ from . import (  # noqa: F401
     sketches,
     features,
     pipeline7,
+    curation,
 )

@@ -1,0 +1,292 @@
+"""Round-7 batch: dataset-curation and data-quality operators —
+referential-integrity audit, schema-evolution reads, deterministic
+weighted sampling (Efraimidis–Spirakis), and robust MAD outlier
+detection.
+
+These are the checks and transforms a training-data pipeline runs on
+every ingest batch: FK orphan counts catch partial loads, the
+mergeSchema read is how a lake survives column additions without a
+migration, weighted sampling implements quality-weighted corpus
+selection, and MAD is the robust outlier gate that survives the very
+outliers a stddev gate is wrecked by.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.io import load, warehouse_path
+
+# --------------------------------------------------------------------------
+# Referential-integrity audit (FK orphan counts)
+# --------------------------------------------------------------------------
+
+_ORPHANS_ORACLE = """
+    SELECT 'customer->nation' AS fk_edge,
+           (SELECT COUNT(*) FROM customer) AS n_child,
+           (SELECT COUNT(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM nation n
+                              WHERE n.n_nationkey = c.c_nationkey))
+               AS n_orphans
+    UNION ALL
+    SELECT 'lineitem->orders',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))
+    UNION ALL
+    SELECT 'lineitem->part',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM part p
+                              WHERE p.p_partkey = l.l_partkey))
+    UNION ALL
+    SELECT 'lineitem->supplier',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                              WHERE s.s_suppkey = l.l_suppkey))
+    UNION ALL
+    SELECT 'orders->customer',
+           (SELECT COUNT(*) FROM orders),
+           (SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+    ORDER BY fk_edge
+"""
+
+
+@query("q_dq_orphans", oracle=_ORPHANS_ORACLE)
+def q_dq_orphans(spark, d):
+    """Referential-integrity audit: orphan counts for every FK edge
+    of the star schema in one result (a partial load shows up as
+    n_orphans > 0 before any downstream join silently drops rows).
+    Each edge is ONE left join + one count-of-unmatched agg (not two
+    passes); the parent side is deduped to its key and broadcast, so
+    the audit costs a broadcast probe per child scan. The five 1-row
+    audits union lazily — no driver-side counting loop."""
+
+    def edge(child, child_key, parent, parent_key, name):
+        pk = parent.select(parent_key).distinct()
+        return (
+            child.join(
+                F.broadcast(pk),
+                child[child_key] == pk[parent_key],
+                "left",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_child"),
+                F.sum(
+                    F.when(pk[parent_key].isNull(), 1).otherwise(0)
+                ).alias("n_orphans"),
+            )
+            .select(F.lit(name).alias("fk_edge"), "n_child", "n_orphans")
+        )
+
+    cust = load(spark, d, "customer")
+    nation = load(spark, d, "nation")
+    li = load(spark, d, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    orders = load(spark, d, "orders").select("o_orderkey", "o_custkey")
+    part = load(spark, d, "part").select("p_partkey")
+    supp = load(spark, d, "supplier").select("s_suppkey")
+    audits = [
+        edge(cust, "c_nationkey", nation, "n_nationkey", "customer->nation"),
+        edge(li, "l_orderkey", orders, "o_orderkey", "lineitem->orders"),
+        edge(li, "l_partkey", part, "p_partkey", "lineitem->part"),
+        edge(li, "l_suppkey", supp, "s_suppkey", "lineitem->supplier"),
+        edge(orders, "o_custkey", cust, "c_custkey", "orders->customer"),
+    ]
+    out = audits[0]
+    for a in audits[1:]:
+        out = out.unionAll(a)
+    return out.orderBy("fk_edge")
+
+
+# --------------------------------------------------------------------------
+# Schema evolution (mergeSchema read over mixed-vintage files)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_source_schema_evolution",
+    oracle="""
+        WITH unioned AS (
+          SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority
+          FROM orders WHERE o_orderkey % 2 = 0
+          UNION ALL
+          SELECT o_orderkey, o_totalprice, o_orderpriority
+          FROM orders WHERE o_orderkey % 2 = 1
+        )
+        SELECT COALESCE(o_orderpriority, '<pre-schema>') AS priority,
+               COUNT(*) AS n,
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10)))
+                          AS DOUBLE), 2) AS sum_price
+        FROM unioned
+        GROUP BY priority
+        ORDER BY priority
+    """,
+)
+def q_source_schema_evolution(spark, d):
+    """Schema evolution: two parquet batches of different vintages —
+    v1 written BEFORE the o_orderpriority column existed, v2 after —
+    read together with mergeSchema=true, which unions the schemas and
+    null-fills the missing column in old files (the lake pattern for
+    surviving column additions without rewriting history). The oracle
+    emulates the same union-by-name with NULLs straight from the
+    source table. mergeSchema costs one footer pass over the file
+    set at planning time — per FILE, not per row — which is why it
+    stays cheap at a million files."""
+    base = warehouse_path("schema_evolution", d)
+    orders = load(spark, d, "orders")
+    v1 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    v2 = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    v1.write.mode("overwrite").parquet(f"{base}/batch=1")
+    v2.write.mode("overwrite").parquet(f"{base}/batch=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{base}/batch=1", f"{base}/batch=2"
+    )
+    return (
+        merged.groupBy(
+            F.coalesce(F.col("o_orderpriority"), F.lit("<pre-schema>"))
+            .alias("priority")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(30,10)"))
+                .cast("double"),
+                2,
+            ).alias("sum_price"),
+        )
+        .orderBy("priority")
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic weighted sampling (Efraimidis–Spirakis)
+# --------------------------------------------------------------------------
+
+WS_K = 50
+
+_TWO56 = float(1 << 56)
+
+_WSAMPLE_ORACLE = f"""
+    WITH keyed AS (
+      SELECT doc_id, lang, n_chars,
+             ROUND(
+               ln((( ('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)),
+                                     1, 14))::BIGINT) + 1) / {_TWO56!r})
+               / n_chars, 6) AS es_key
+      FROM documents
+      WHERE n_chars > 0
+    )
+    SELECT doc_id, lang, n_chars, es_key
+    FROM keyed
+    ORDER BY es_key DESC, doc_id
+    LIMIT {WS_K}
+"""
+
+
+@query("q_sample_weighted", oracle=_WSAMPLE_ORACLE)
+def q_sample_weighted(spark, d):
+    """Weighted sampling without replacement (Efraimidis–Spirakis):
+    key = ln(u)/w with u a deterministic md5-head uniform in (0,1]
+    and w = n_chars; the top-k keys ARE a w-weighted sample. This is
+    the distributed-sampling construction: keys are computed in a
+    stateless map and only a TakeOrdered top-k crosses the network —
+    no global sort, no rejection loop, reproducible across runs and
+    engines because the 'randomness' is a seeded hash of the row key
+    (the same property q_sample_hash uses for uniform sampling).
+    Keys rounded to 6 BEFORE ordering, doc_id tie-break."""
+    docs = load(spark, d, "documents").filter(F.col("n_chars") > 0)
+    h = F.expr(
+        "cast(conv(substr(md5(concat('ws:', cast(doc_id as string))),"
+        " 1, 14), 16, 10) as bigint)"
+    )
+    keyed = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.round(
+            F.log((h + 1).cast("double") / F.lit(_TWO56)) / F.col("n_chars"),
+            6,
+        ).alias("es_key"),
+    )
+    return keyed.orderBy(F.desc("es_key"), "doc_id").limit(WS_K)
+
+
+# --------------------------------------------------------------------------
+# MAD (median absolute deviation) outlier gate
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_ts_outlier_mad",
+    oracle="""
+        WITH med AS (
+          SELECT event_type,
+                 ROUND(quantile_cont(value, 0.5), 6) AS med
+          FROM events GROUP BY event_type
+        ),
+        dev AS (
+          SELECT e.event_type, e.value, m.med,
+                 abs(e.value - m.med) AS adev
+          FROM events e JOIN med m ON e.event_type = m.event_type
+        ),
+        mad AS (
+          SELECT event_type,
+                 ROUND(quantile_cont(adev, 0.5), 6) AS mad
+          FROM dev GROUP BY event_type
+        )
+        SELECT d.event_type,
+               ANY_VALUE(d.med) AS med,
+               ANY_VALUE(m.mad) AS mad,
+               COUNT(*) AS n,
+               SUM(CASE WHEN d.adev > 3 * m.mad THEN 1 ELSE 0 END)
+                   AS n_outliers,
+               ROUND(MAX(d.adev), 6) AS max_adev
+        FROM dev d JOIN mad m ON d.event_type = m.event_type
+        GROUP BY d.event_type
+        ORDER BY d.event_type
+    """,
+)
+def q_ts_outlier_mad(spark, d):
+    """Robust outlier gate: flag |x - median| > 3 * MAD per event
+    type. Unlike a z-score gate, the median/MAD cutoffs don't move
+    when the outliers themselves get bigger — the robust-statistics
+    property that matters when the gate is protecting a training set
+    from corrupted values. Two grouped exact percentiles (each a
+    bounded per-group sort) and two broadcast joins of the tiny
+    per-type cutoff rows; medians rounded to 6 before the deviation
+    compare so both engines gate the identical row set."""
+    ev = load(spark, d, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.round(F.percentile("adev", F.lit(0.5)), 6).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.any_value(F.col("med")).alias("med"),
+            F.any_value(F.col("mad")).alias("mad"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("adev") > 3 * F.col("mad"), 1).otherwise(0)
+            ).alias("n_outliers"),
+            F.round(F.max("adev"), 6).alias("max_adev"),
+        )
+        .orderBy("event_type")
+    )

@@ -271,3 +271,288 @@ def q_graph_degree_dist(spark, d):
         )
         .orderBy("degree")
     )
+
+
+# --------------------------------------------------------------------------
+# Bag-of-words dedup (word-order-insensitive exact tier)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_dedup_bow",
+    oracle="""
+        WITH canon AS (
+          SELECT doc_id, lang,
+                 md5(array_to_string(list_sort(string_split(text, ' ')), ' '))
+                     AS bow_key
+          FROM documents
+        ),
+        grouped AS (
+          SELECT lang, bow_key, COUNT(*) AS n_in_group
+          FROM canon GROUP BY lang, bow_key
+        )
+        SELECT lang,
+               SUM(n_in_group) AS n_docs,
+               COUNT(*) AS n_bow_groups,
+               SUM(CASE WHEN n_in_group > 1 THEN n_in_group ELSE 0 END)
+                   AS n_dup_docs,
+               SUM(CASE WHEN n_in_group > 1 THEN n_in_group - 1 ELSE 0 END)
+                   AS n_removable
+        FROM grouped
+        GROUP BY lang
+        ORDER BY lang
+    """,
+)
+def q_dedup_bow(spark, d):
+    """Bag-of-words dedup audit: canonical form = words sorted and
+    rejoined, so REORDERED copies collapse (the tier between exact
+    byte-hash q_dedup_exact and Jaccard q_dedup_ngram — shuffled
+    template paragraphs hash differently but bag identically).
+    sort_array/list_sort agree on plain-ASCII tokens; md5 of the
+    canonical string is the group key. Output is the per-language
+    dedup ledger (docs, groups, removable count — non-empty at every
+    scale; the fixture plants dup clusters only at sf0.1). Two
+    stacked hash aggs on the digest — at 100 TB identical shape to
+    exact dedup: the sort is per-document (bounded by doc length),
+    never cross-row."""
+    docs = load(spark, d, "documents")
+    canon = docs.select(
+        "lang",
+        F.md5(
+            F.array_join(F.sort_array(F.split("text", " ")), " ")
+        ).alias("bow_key"),
+    )
+    grouped = canon.groupBy("lang", "bow_key").agg(
+        F.count(F.lit(1)).alias("n_in_group")
+    )
+    return (
+        grouped.groupBy("lang")
+        .agg(
+            F.sum("n_in_group").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_bow_groups"),
+            F.sum(
+                F.when(F.col("n_in_group") > 1, F.col("n_in_group"))
+                .otherwise(0)
+            ).alias("n_dup_docs"),
+            F.sum(
+                F.when(F.col("n_in_group") > 1, F.col("n_in_group") - 1)
+                .otherwise(0)
+            ).alias("n_removable"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# BPE pair counts (tokenizer-training step 0)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_text_bpe_pairs",
+    oracle="""
+        WITH words AS (
+          SELECT unnest(string_split(text, ' ')) AS w FROM documents
+        ),
+        pairs AS (
+          SELECT substr(w, i, 2) AS pair
+          FROM words,
+               LATERAL (SELECT unnest(generate_series(1, length(w) - 1))
+                        AS i)
+          WHERE length(w) >= 2
+        )
+        SELECT pair, COUNT(*) AS cnt
+        FROM pairs
+        GROUP BY pair
+        ORDER BY cnt DESC, pair
+        LIMIT 30
+    """,
+)
+def q_text_bpe_pairs(spark, d):
+    """Adjacent-character pair frequencies over the corpus — the
+    inner counting step of BPE tokenizer training (each merge round
+    recounts pairs and fuses the argmax). Words explode once, then
+    each word emits length-1 pairs via ONE fused transform(sequence)
+    (higher-order fns are interpreted with no CSE — the substring is
+    the only per-element work). The count is a partial+final hash agg
+    over a small alphabet-pair key space, so the 100 TB shape is a
+    scan plus a constant-size shuffle; top-30 is
+    TakeOrderedAndProject."""
+    docs = load(spark, d, "documents")
+    words = docs.select(F.explode(F.split("text", " ")).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1),"
+                   " i -> substr(w, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "pair")
+        .limit(30)
+    )
+
+
+# --------------------------------------------------------------------------
+# Hapax / vocabulary statistics
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_text_hapax",
+    oracle="""
+        WITH words AS (
+          SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents
+        ),
+        counts AS (
+          SELECT lang, w, COUNT(*) AS c FROM words GROUP BY lang, w
+        )
+        SELECT lang,
+               SUM(c) AS n_tokens,
+               COUNT(*) AS n_types,
+               SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n_hapax,
+               ROUND(COUNT(*) * 1.0 / SUM(c), 6) AS type_token_ratio,
+               ROUND(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1.0
+                     / COUNT(*), 6) AS hapax_share
+        FROM counts
+        GROUP BY lang
+        ORDER BY lang
+    """,
+)
+def q_text_hapax(spark, d):
+    """Vocabulary-richness profile per language: token count, type
+    count, hapax legomena (frequency-1 types), type-token ratio and
+    hapax share — the corpus-health signals that catch synthetic or
+    templated text (low TTR) and OCR noise (high hapax share). Two
+    stacked combinable hash aggs — (lang, word) then lang — so the
+    heavy key space collapses map-side before the shuffle."""
+    docs = load(spark, d, "documents")
+    words = docs.select(
+        "lang", F.explode(F.split("text", " ")).alias("w")
+    )
+    counts = words.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        counts.groupBy("lang")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("n_hapax"),
+            F.round(
+                F.count(F.lit(1)) / F.sum("c").cast("double"), 6
+            ).alias("type_token_ratio"),
+            F.round(
+                F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("hapax_share"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# Zipf rank-frequency profile
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_text_zipf",
+    oracle="""
+        WITH words AS (
+          SELECT unnest(string_split(text, ' ')) AS w FROM documents
+        ),
+        counts AS (SELECT w, COUNT(*) AS c FROM words GROUP BY w),
+        ranked AS (
+          SELECT w, c,
+                 ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rank
+          FROM counts
+        )
+        SELECT rank, w, c, rank * c AS zipf_product
+        FROM ranked
+        WHERE rank <= 20
+        ORDER BY rank
+    """,
+)
+def q_text_zipf(spark, d):
+    """Zipf rank-frequency head: top-20 words with rank x frequency
+    (roughly constant under Zipf's law — a corpus whose product
+    collapses is templated or deduplicated too hard). The global
+    ROW_NUMBER is computed AFTER the count agg shrinks the data to
+    the vocabulary, and only the top-20 survive — ordering a
+    vocab-sized relation, never the corpus. Ties broken by word on
+    both engines."""
+    docs = load(spark, d, "documents")
+    counts = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = counts.orderBy(F.desc("c"), "w").limit(20)
+    w_rank = Window.orderBy(F.desc("c"), "w")
+    return (
+        top.withColumn("rank", F.row_number().over(w_rank))
+        .select("rank", "w", "c", (F.col("rank") * F.col("c")).alias("zipf_product"))
+        .orderBy("rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# Running distinct count (first-seen flag + cumsum)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_win_running_distinct",
+    oracle="""
+        WITH flagged AS (
+          SELECT user_id, event_id, ts, event_type,
+                 CASE WHEN ROW_NUMBER() OVER (
+                        PARTITION BY user_id, event_type
+                        ORDER BY ts, event_id) = 1
+                      THEN 1 ELSE 0 END AS first_seen
+          FROM events
+        )
+        SELECT user_id, event_id,
+               SUM(first_seen) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING)
+                   AS n_types_so_far
+        FROM flagged
+        ORDER BY user_id, event_id
+    """,
+)
+def q_win_running_distinct(spark, d):
+    """Running COUNT(DISTINCT event_type) per user over time —
+    expressed as first-seen flag (row_number = 1 within (user, type))
+    plus a running sum, because a naive distinct-count window frame
+    re-scans the frame per row. Two window passes over the SAME
+    user-hash partitioning (Catalyst reuses the exchange; only the
+    in-partition sort key changes), so the 100 TB cost is one shuffle
+    + two sorts — the standard trick for any running-distinct metric
+    (unique products seen, unique pages visited)."""
+    ev = load(spark, d, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w_first = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = ev.withColumn(
+        "first_seen",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0),
+    )
+    return (
+        flagged.select(
+            "user_id",
+            "event_id",
+            F.sum("first_seen").over(w_run).alias("n_types_so_far"),
+        )
+        .orderBy("user_id", "event_id")
+    )

@@ -76,6 +76,15 @@ DRIVER_PRIORITY: list[str] = [
     "q_source_orc_roundtrip",
     "q_layout_compaction",
     "q_graph_degree_dist",
+    "q_dedup_bow",
+    "q_text_bpe_pairs",
+    "q_text_hapax",
+    "q_text_zipf",
+    "q_win_running_distinct",
+    "q_dq_orphans",
+    "q_source_schema_evolution",
+    "q_sample_weighted",
+    "q_ts_outlier_mad",
     # r3-green keys with the oldest driver rows on file
     "q_ml_keyed_fit",
     "q_ml_keyed_transform",
