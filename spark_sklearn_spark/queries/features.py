@@ -294,12 +294,17 @@ def q_feat_quantile_bin(spark, d):
     the drop-in at 100 TB where the exact sort is too hot; the
     declared query pins the exact form the oracle can mirror."""
     orders = load(spark, d, "orders").select("o_totalprice")
+    # ONE percentile aggregate evaluating all nine fractions over a
+    # single sorted buffer (nine separate percentile() aggs each
+    # re-buffer the whole column — measured 6.5 s -> ~1 s at sf0.1).
     edges = orders.agg(
+        F.percentile(
+            "o_totalprice", F.array(*[F.lit(q) for q in _DECILES])
+        ).alias("es")
+    ).select(
         *[
-            F.round(F.percentile("o_totalprice", F.lit(q)), 6).alias(
-                f"e{i}"
-            )
-            for i, q in enumerate(_DECILES, start=1)
+            F.round(F.col("es").getItem(i - 1), 6).alias(f"e{i}")
+            for i in range(1, 10)
         ]
     )
     bin_col = sum(
