@@ -323,3 +323,118 @@ def q_ts_outlier_mad(spark, d):
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Training-mix assembly under a per-language token budget
+# --------------------------------------------------------------------------
+
+MIX_MIN_WORDS = 20
+MIX_MIN_TTR = 0.3
+MIX_BUDGET = 10_000  # tokens per language
+
+_MIX_ORACLE = f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             len(string_split(text, ' ')) AS n_words,
+             ROUND(len(list_distinct(string_split(text, ' '))) * 1.0
+                   / len(string_split(text, ' ')), 6) AS score
+      FROM documents
+    ),
+    gated AS (
+      SELECT * FROM scored
+      WHERE n_words >= {MIX_MIN_WORDS} AND score >= {MIX_MIN_TTR}
+    ),
+    keyed AS (
+      SELECT *,
+             ROUND(
+               ln((( ('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)),
+                                     1, 14))::BIGINT) + 1)
+                  / 72057594037927936.0) / score, 6) AS es_key
+      FROM gated
+    ),
+    ordered AS (
+      SELECT *,
+             SUM(n_words) OVER (PARTITION BY lang
+                                ORDER BY es_key DESC, doc_id
+                                ROWS UNBOUNDED PRECEDING) - n_words
+                 AS cum_before
+      FROM keyed
+    ),
+    selected AS (
+      SELECT * FROM ordered WHERE cum_before < {MIX_BUDGET}
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(n_words) AS sum_tokens,
+           ROUND(CAST(SUM(CAST(score AS DECIMAL(30,10))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_score
+    FROM selected
+    GROUP BY lang
+    ORDER BY lang
+"""
+
+
+@query("q_mix_budget", oracle=_MIX_ORACLE)
+def q_mix_budget(spark, d):
+    """Training-mix assembly: quality-gate documents (min length +
+    min type-token ratio), draw a quality-weighted Efraimidis-
+    Spirakis sample order, and admit docs per language until a token
+    budget fills — the gate -> weight -> sample -> cap chain a corpus
+    mix job runs per source. The greedy cap is a running sum WITHIN
+    the language partition (never a global single-partition window),
+    so at 100 TB each language's selection is an independent
+    partition-local sort + cumsum; the final report is a tiny per-
+    lang agg. All scores rounded to 6 before ordering; doc_id
+    tie-break."""
+    from pyspark.sql import Window
+
+    docs = load(spark, d, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).alias("n_words"),
+        F.round(
+            F.size(F.array_distinct(F.split("text", " ")))
+            / F.size(F.split("text", " ")).cast("double"),
+            6,
+        ).alias("score"),
+    )
+    gated = scored.filter(
+        (F.col("n_words") >= MIX_MIN_WORDS)
+        & (F.col("score") >= MIX_MIN_TTR)
+    )
+    h = F.expr(
+        "cast(conv(substr(md5(concat('mix:', cast(doc_id as string))),"
+        " 1, 14), 16, 10) as bigint)"
+    )
+    keyed = gated.withColumn(
+        "es_key",
+        F.round(
+            F.log((h + 1).cast("double") / F.lit(float(1 << 56)))
+            / F.col("score"),
+            6,
+        ),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.desc("es_key"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ordered = keyed.withColumn(
+        "cum_before", F.sum("n_words").over(w) - F.col("n_words")
+    )
+    selected = ordered.filter(F.col("cum_before") < MIX_BUDGET)
+    return (
+        selected.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("sum_tokens"),
+            F.round(
+                F.sum(F.col("score").cast("decimal(30,10)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_score"),
+        )
+        .orderBy("lang")
+    )

@@ -556,3 +556,81 @@ def q_win_running_distinct(spark, d):
         )
         .orderBy("user_id", "event_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Per-document keyword extraction (top TF-IDF terms)
+# --------------------------------------------------------------------------
+
+KW_TOPK = 3
+
+
+@query(
+    "q_text_keywords",
+    oracle=f"""
+        WITH words AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w
+          FROM documents
+        ),
+        tf AS (
+          SELECT doc_id, w, COUNT(*) AS tf FROM words GROUP BY doc_id, w
+        ),
+        df AS (
+          SELECT w, COUNT(*) AS df FROM tf GROUP BY w
+        ),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+          SELECT t.doc_id, t.w,
+                 ROUND(t.tf * ln((n.n_docs + 1.0) / (d.df + 1.0)), 6)
+                     AS tfidf
+          FROM tf t JOIN df d ON t.w = d.w, n
+        ),
+        ranked AS (
+          SELECT doc_id, w, tfidf,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY tfidf DESC, w) AS rnk
+          FROM scored
+        )
+        SELECT doc_id, rnk, w, tfidf
+        FROM ranked
+        WHERE rnk <= {KW_TOPK} AND doc_id % 10 = 0
+        ORDER BY doc_id, rnk
+    """,
+)
+def q_text_keywords(spark, d):
+    """Keyword extraction: top-3 TF-IDF terms per document (smoothed
+    idf = ln((N+1)/(df+1)), scores rounded to 6 BEFORE ranking, word
+    tie-break). The per-doc argmax is a row_number window PARTITIONED
+    by doc_id — thousands of small partitions, never a global sort —
+    over a tf relation the (doc, word) hash agg already shrank. The
+    %10 slice keeps the declared output compact; the plan is
+    identical without it."""
+    docs = load(spark, d, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    tf = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, "w")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "w",
+            F.round(
+                F.col("tf")
+                * F.log(
+                    (F.col("n_docs") + 1.0) / (F.col("df") + 1.0)
+                ),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w_rank = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "w")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w_rank))
+        .filter((F.col("rnk") <= KW_TOPK) & (F.col("doc_id") % 10 == 0))
+        .select("doc_id", "rnk", "w", "tfidf")
+        .orderBy("doc_id", "rnk")
+    )

@@ -218,3 +218,58 @@ def q_stream_foreach_upsert(spark, d):
 
     return foreach_batch_upsert(spark, d)
 
+
+
+@query(
+    "q_stream_topk",
+    oracle="""
+        WITH bucketed AS (
+          SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP)
+                     AS window_start,
+                 user_id,
+                 COUNT(*) AS n_events
+          FROM events
+          GROUP BY 1, 2
+        ),
+        ranked AS (
+          SELECT window_start, user_id, n_events,
+                 ROW_NUMBER() OVER (PARTITION BY window_start
+                                    ORDER BY n_events DESC, user_id)
+                     AS rnk
+          FROM bucketed
+        )
+        SELECT window_start, rnk, user_id, n_events
+        FROM ranked
+        WHERE rnk <= 3
+        ORDER BY window_start, rnk
+    """,
+)
+def q_stream_topk(spark, d):
+    """Windowed top-k: the 3 most active users per tumbling hour —
+    the leaderboard shape a streaming job materializes per window
+    via foreachBatch (rank-within-window is not incrementally
+    updatable, so production emits it at window close; the batch
+    plan here IS that per-window computation). Counts first shrink
+    (window, user) to one row via a combinable agg, then row_number
+    partitions BY WINDOW — many small partitions, no global sort.
+    Deterministic ties by user_id."""
+    ev = load(spark, d, "events")
+    from pyspark.sql import Window as W
+
+    bucketed = ev.groupBy(
+        F.window("ts", "1 hour").alias("win"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w_rank = W.partitionBy("win").orderBy(
+        F.desc("n_events"), "user_id"
+    )
+    return (
+        bucketed.withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            F.col("win.start").alias("window_start"),
+            "rnk",
+            "user_id",
+            "n_events",
+        )
+        .orderBy("window_start", "rnk")
+    )

@@ -85,6 +85,9 @@ DRIVER_PRIORITY: list[str] = [
     "q_source_schema_evolution",
     "q_sample_weighted",
     "q_ts_outlier_mad",
+    "q_mix_budget",
+    "q_text_keywords",
+    "q_stream_topk",
     # r3-green keys with the oldest driver rows on file
     "q_ml_keyed_fit",
     "q_ml_keyed_transform",
