@@ -438,3 +438,87 @@ def q_mix_budget(spark, d):
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# Seasonal baseline + residual profile
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_ts_seasonal",
+    oracle="""
+        WITH base AS (
+          SELECT event_type,
+                 CAST(extract(hour FROM ts) AS INTEGER) AS hod,
+                 value
+          FROM events
+        ),
+        baseline AS (
+          SELECT event_type, hod,
+                 COUNT(*) AS n,
+                 ROUND(CAST(SUM(CAST(value AS DECIMAL(30,10))) AS DOUBLE)
+                       / COUNT(*), 6) AS hod_mean
+          FROM base GROUP BY event_type, hod
+        ),
+        resid AS (
+          SELECT b.event_type, b.hod, bl.hod_mean,
+                 abs(b.value - bl.hod_mean) AS adev
+          FROM base b
+          JOIN baseline bl
+            ON b.event_type = bl.event_type AND b.hod = bl.hod
+        )
+        SELECT event_type,
+               COUNT(DISTINCT hod) AS n_hours,
+               ROUND(MIN(hod_mean), 6) AS min_hod_mean,
+               ROUND(MAX(hod_mean), 6) AS max_hod_mean,
+               ROUND(CAST(SUM(CAST(adev AS DECIMAL(30,10))) AS DOUBLE)
+                     / COUNT(*), 6) AS mean_abs_resid
+        FROM resid
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+)
+def q_ts_seasonal(spark, d):
+    """Seasonal (hour-of-day) baseline and residual profile per event
+    type: the mean per (type, hour) is the seasonal expectation; the
+    mean absolute residual against it says how much signal seasonality
+    explains (flat hod_mean range + large residual = no daily cycle).
+    The baseline is a tiny (type x 24) agg broadcast back onto the
+    stream — the de-seasonalize step every monitoring pipeline runs
+    before anomaly gates like q_ts_anomaly/q_ts_outlier_mad. Means on
+    the decimal path; baseline rounded before the residual so both
+    engines subtract the identical expectation."""
+    ev = load(spark, d, "events").select(
+        "event_type",
+        F.hour("ts").alias("hod"),
+        "value",
+    )
+    baseline = ev.groupBy("event_type", "hod").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(30,10)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("hod_mean"),
+    )
+    resid = ev.join(F.broadcast(baseline), ["event_type", "hod"]).select(
+        "event_type",
+        "hod",
+        "hod_mean",
+        F.abs(F.col("value") - F.col("hod_mean")).alias("adev"),
+    )
+    return (
+        resid.groupBy("event_type")
+        .agg(
+            F.countDistinct("hod").alias("n_hours"),
+            F.round(F.min("hod_mean"), 6).alias("min_hod_mean"),
+            F.round(F.max("hod_mean"), 6).alias("max_hod_mean"),
+            F.round(
+                F.sum(F.col("adev").cast("decimal(30,10)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_abs_resid"),
+        )
+        .orderBy("event_type")
+    )

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..sources.io import load
+from ._helpers import DEC
 
 GRID_REG = [0.01, 0.1]
 GRID_EN = [0.0, 0.5]
@@ -449,3 +450,76 @@ def q_ml_keyed_scale(spark, d):
         )
         .orderBy("l_orderkey", "l_linenumber")
     )
+
+
+# --------------------------------------------------------------------------
+# Declared OLS fit (exact-moment simple regression per group)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_ml_linear_ols",
+    oracle="""
+        WITH sums AS (
+          SELECT l_returnflag,
+                 COUNT(*) AS n,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE)
+                     AS sx,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,10)))
+                      AS DOUBLE) AS sy,
+                 CAST(SUM(CAST(l_quantity * l_extendedprice
+                               AS DECIMAL(30,10))) AS DOUBLE) AS sxy,
+                 CAST(SUM(CAST(l_quantity * l_quantity
+                               AS DECIMAL(30,10))) AS DOUBLE) AS sxx,
+                 CAST(SUM(CAST(l_extendedprice * l_extendedprice
+                               AS DECIMAL(30,10))) AS DOUBLE) AS syy
+          FROM lineitem
+          GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, n,
+               ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+                   AS slope,
+               ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                     / n, 6) AS intercept,
+               ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                     / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+                   AS r2
+        FROM sums
+        ORDER BY l_returnflag
+    """,
+)
+def q_ml_linear_ols(spark, d):
+    """DECLARED simple-OLS fit per group (price ~ quantity per return
+    flag): the five moment sums ride the exact decimal policy, so
+    slope/intercept/r-squared are the identical closed-form double
+    expression on both engines — the _scaler_fit mirroring technique
+    (CLAUDE.md) applied to regression, proving a *trained model* can
+    be hash-verified, not just rows-only. One combinable hash agg
+    (five sums + count in a single pass) per group, then a stateless
+    projection: the distributed-OLS shape — moments shrink map-side,
+    the solve is per-group O(1)."""
+    li = load(spark, d, "lineitem")
+    q = F.col("l_quantity")
+    p = F.col("l_extendedprice")
+    sums = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q.cast(DEC)).cast("double").alias("sx"),
+        F.sum(p.cast(DEC)).cast("double").alias("sy"),
+        F.sum((q * p).cast(DEC)).cast("double").alias("sxy"),
+        F.sum((q * q).cast(DEC)).cast("double").alias("sxx"),
+        F.sum((p * p).cast(DEC)).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return sums.select(
+        "l_returnflag",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(
+            ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("r2"),
+    ).orderBy("l_returnflag")

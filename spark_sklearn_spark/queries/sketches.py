@@ -409,3 +409,121 @@ def q_sketch_hll(spark, d):
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# HLL register merge (distributed sketch union)
+# --------------------------------------------------------------------------
+
+_HLL_MERGE_ORACLE = f"""
+    WITH hashed AS (
+      SELECT source,
+             {_sql_h56("hll", "CAST(doc_id AS VARCHAR)")} AS h
+      FROM documents
+    ),
+    parts AS (
+      SELECT source, h >> 48 AS bucket, h & {_W48} AS w FROM hashed
+    ),
+    per_source AS (
+      SELECT source, bucket,
+             MAX(CASE WHEN w = 0 THEN 49
+                      ELSE 49 - length(bin(w)) END) AS m
+      FROM parts GROUP BY source, bucket
+    ),
+    merged AS (
+      SELECT bucket, MAX(m) AS m FROM per_source GROUP BY bucket
+    ),
+    rollup_ AS (
+      SELECT COUNT(*) AS n_buckets,
+             SUM(1::BIGINT << (49 - m)) AS s_present
+      FROM merged
+    ),
+    est AS (
+      SELECT {HLL_M} - n_buckets AS v,
+             {HLL_NUMER!r}
+               / CAST(s_present
+                      + ({HLL_M} - n_buckets) * {1 << 49} AS DOUBLE)
+                 AS e_raw
+      FROM rollup_
+    ),
+    sketch AS (
+      SELECT CASE WHEN e_raw <= {2.5 * HLL_M} AND v > 0
+                  THEN {HLL_M} * ln({HLL_M} / CAST(v AS DOUBLE))
+                  ELSE e_raw END AS e
+      FROM est
+    ),
+    truth AS (
+      SELECT COUNT(DISTINCT doc_id) AS true_distinct,
+             COUNT(DISTINCT source) AS n_sources
+      FROM documents
+    )
+    SELECT t.n_sources, t.true_distinct,
+           ROUND(s.e, 3) AS merged_est,
+           ROUND((s.e - t.true_distinct) / t.true_distinct, 6) AS rel_err
+    FROM truth t, sketch s
+"""
+
+
+@query("q_sketch_hll_merge", oracle=_HLL_MERGE_ORACLE)
+def q_sketch_hll_merge(spark, d):
+    """HLL MERGEABILITY: per-source register sets union into one
+    global sketch by taking max(register) per bucket — the property
+    that lets 1000 executors each sketch their shard and combine in
+    a 256-row reduce instead of shuffling every key (and lets a
+    warehouse store per-partition sketches and union them at query
+    time). Estimates the global distinct doc count from per-source
+    sketches; the oracle repeats the two-level merge exactly."""
+    docs = load(spark, d, "documents").select(
+        "source", _h56("hll", "cast(doc_id as string)").alias("h")
+    )
+    parts = docs.select(
+        "source",
+        F.shiftright("h", 48).alias("bucket"),
+        F.col("h").bitwiseAND(F.lit(_W48)).alias("w"),
+    )
+    per_source = parts.groupBy("source", "bucket").agg(
+        F.max(
+            F.when(F.col("w") == 0, 49).otherwise(
+                F.lit(49) - F.length(F.bin("w"))
+            )
+        ).alias("m")
+    )
+    merged = per_source.groupBy("bucket").agg(F.max("m").alias("m"))
+    rollup = merged.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(F.expr("shiftleft(cast(1 as bigint), 49 - m)")).alias(
+            "s_present"
+        ),
+    )
+    est = rollup.select(
+        (F.lit(HLL_M) - F.col("n_buckets")).alias("v"),
+        (
+            F.lit(HLL_NUMER)
+            / (
+                F.col("s_present")
+                + (F.lit(HLL_M) - F.col("n_buckets")) * F.lit(1 << 49)
+            ).cast("double")
+        ).alias("e_raw"),
+    )
+    sketch = est.select(
+        F.when(
+            (F.col("e_raw") <= 2.5 * HLL_M) & (F.col("v") > 0),
+            F.lit(HLL_M) * F.log(F.lit(HLL_M) / F.col("v").cast("double")),
+        )
+        .otherwise(F.col("e_raw"))
+        .alias("e")
+    )
+    truth = load(spark, d, "documents").agg(
+        F.countDistinct("doc_id").alias("true_distinct"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+    return truth.crossJoin(F.broadcast(sketch)).select(
+        "n_sources",
+        "true_distinct",
+        F.round(F.col("e"), 3).alias("merged_est"),
+        F.round(
+            (F.col("e") - F.col("true_distinct"))
+            / F.col("true_distinct"),
+            6,
+        ).alias("rel_err"),
+    )

@@ -88,6 +88,9 @@ DRIVER_PRIORITY: list[str] = [
     "q_mix_budget",
     "q_text_keywords",
     "q_stream_topk",
+    "q_sketch_hll_merge",
+    "q_ml_linear_ols",
+    "q_ts_seasonal",
     # r3-green keys with the oldest driver rows on file
     "q_ml_keyed_fit",
     "q_ml_keyed_transform",
