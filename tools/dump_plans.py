@@ -113,6 +113,47 @@ NOTES = {
         "directory scanned at plan time; the other partitions' files "
         "are never opened."
     ),
+    "q_sketch_countmin": (
+        "CMS build collapses to ≤4096 counter cells in a combinable "
+        "agg that becomes the BROADCAST side; the probe (truth agg + "
+        "generate) joins it without shuffling, then min-agg + "
+        "TakeOrderedAndProject."
+    ),
+    "q_sketch_hll_merge": (
+        "Registers are (source, bucket) max-aggs — combinable "
+        "map-side — merged by a second 256-row max-agg; the estimate "
+        "math is a stateless projection on ONE row."
+    ),
+    "q_feat_quantile_bin": (
+        "ONE percentile agg evaluates all nine deciles over a single "
+        "buffer; the 1-row edge relation broadcasts into a stateless "
+        "bin map feeding a 10-cell agg."
+    ),
+    "q_dq_orphans": (
+        "One scan per child table: lineitem left-joins its three "
+        "parents' key sets in a single plan and the agg emits all "
+        "three orphan counts at once (stack to rows after)."
+    ),
+    "q_sample_weighted": (
+        "ES keys are a stateless hash map per row; only the top-k "
+        "crosses the network via TakeOrderedAndProject — no global "
+        "sort, no RNG state."
+    ),
+    "q_mix_budget": (
+        "Gate + ES keys are map-side; ONE exchange on lang feeds the "
+        "partition-local cumsum window, budget filter, and the "
+        "per-lang rollup on the same key."
+    ),
+    "q_win_running_distinct": (
+        "First-seen flag and running sum are two windows over the "
+        "SAME user-hash exchange (only the sort key changes) — one "
+        "shuffle, two in-partition sorts."
+    ),
+    "q_layout_compaction": (
+        "Data rows collapse to a 48-row manifest in a combinable agg; "
+        "the single-partition cumsum window runs over the MANIFEST "
+        "(metadata-sized), never over data rows."
+    ),
 }
 
 
