@@ -34,6 +34,12 @@ PROBE_QUERIES = [
     "q_sim_knn_batch",
     "q_behavior_sessionize",
     "q_dedup_ngram",
+    # round-7 families: constant-cell sketch, stateless feature map,
+    # doc-partitioned keyword window, lang-partitioned mix cumsum
+    "q_sketch_countmin",
+    "q_feat_hashing",
+    "q_text_keywords",
+    "q_mix_budget",
 ]
 
 TABLES = [
