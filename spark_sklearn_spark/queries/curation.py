@@ -522,3 +522,131 @@ def q_ts_seasonal(spark, d):
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Snapshot diff (CDC audit between two table versions)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_cdc_snapshot_diff",
+    oracle="""
+        WITH snap1 AS (
+          SELECT o_orderkey AS k, o_totalprice AS v
+          FROM orders WHERE o_orderkey % 7 <> 0
+        ),
+        snap2 AS (
+          SELECT o_orderkey AS k,
+                 CASE WHEN o_orderkey % 11 = 0
+                      THEN o_totalprice * 1.1
+                      ELSE o_totalprice END AS v
+          FROM orders WHERE o_orderkey % 3 <> 0
+        ),
+        diff AS (
+          SELECT CASE
+                   WHEN s1.k IS NULL THEN 'added'
+                   WHEN s2.k IS NULL THEN 'removed'
+                   WHEN s1.v <> s2.v THEN 'changed'
+                   ELSE 'unchanged'
+                 END AS status,
+                 COALESCE(s2.v, s1.v) AS v
+          FROM snap1 s1 FULL OUTER JOIN snap2 s2 ON s1.k = s2.k
+        )
+        SELECT status, COUNT(*) AS n,
+               ROUND(CAST(SUM(CAST(v AS DECIMAL(30,10))) AS DOUBLE), 2)
+                   AS sum_value
+        FROM diff
+        GROUP BY status
+        ORDER BY status
+    """,
+)
+def q_cdc_snapshot_diff(spark, d):
+    """Snapshot diff: classify every key across two table versions as
+    added / removed / changed / unchanged via ONE full outer join —
+    the audit a CDC pipeline runs to validate an incremental feed
+    against a full refresh (counts per class + value mass). The two
+    snapshots derive deterministically from orders (drop-by-modulus +
+    a price bump), so both engines diff identical inputs. One
+    key-partitioned shuffle join; classification is a stateless
+    projection."""
+    orders = load(spark, d, "orders").select("o_orderkey", "o_totalprice")
+    snap1 = orders.filter(F.col("o_orderkey") % 7 != 0).select(
+        F.col("o_orderkey").alias("k1"), F.col("o_totalprice").alias("v1")
+    )
+    snap2 = orders.filter(F.col("o_orderkey") % 3 != 0).select(
+        F.col("o_orderkey").alias("k2"),
+        F.when(
+            F.col("o_orderkey") % 11 == 0, F.col("o_totalprice") * 1.1
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("v2"),
+    )
+    diff = snap1.join(snap2, snap1.k1 == snap2.k2, "full_outer").select(
+        F.when(F.col("k1").isNull(), "added")
+        .when(F.col("k2").isNull(), "removed")
+        .when(F.col("v1") != F.col("v2"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+        F.coalesce(F.col("v2"), F.col("v1")).alias("v"),
+    )
+    return (
+        diff.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("v").cast("decimal(30,10)")).cast("double"), 2
+            ).alias("sum_value"),
+        )
+        .orderBy("status")
+    )
+
+
+# --------------------------------------------------------------------------
+# Freshness audit
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_dq_freshness",
+    oracle="""
+        WITH gmax AS (SELECT MAX(ts) AS global_max FROM events),
+        per_type AS (
+          SELECT event_type, MAX(ts) AS last_ts, COUNT(*) AS n
+          FROM events GROUP BY event_type
+        )
+        SELECT p.event_type, p.n, p.last_ts,
+               CAST(date_diff('second', p.last_ts, g.global_max)
+                    AS BIGINT) AS lag_seconds,
+               CASE WHEN date_diff('second', p.last_ts, g.global_max)
+                         > 86400 THEN 1 ELSE 0 END AS is_stale
+        FROM per_type p, gmax g
+        ORDER BY p.event_type
+    """,
+)
+def q_dq_freshness(spark, d):
+    """Freshness audit: per-stream last-event timestamp and its lag
+    behind the freshest stream, with a >1-day staleness flag — the
+    ingest-monitor query that catches a dead upstream before the
+    downstream joins silently produce stale features. Two tiny
+    combinable max/count aggs (per type + global) and a broadcast of
+    the single global row; one scan at any scale."""
+    ev = load(spark, d, "events").select("event_type", "ts")
+    glob = ev.agg(F.max("ts").alias("global_max"))
+    per_type = ev.groupBy("event_type").agg(
+        F.max("ts").alias("last_ts"), F.count(F.lit(1)).alias("n")
+    )
+    lag = F.unix_seconds(F.col("global_max")) - F.unix_seconds(
+        F.col("last_ts")
+    )
+    return (
+        per_type.crossJoin(F.broadcast(glob))
+        .select(
+            "event_type",
+            "n",
+            "last_ts",
+            lag.alias("lag_seconds"),
+            F.when(lag > 86400, 1).otherwise(0).alias("is_stale"),
+        )
+        .orderBy("event_type")
+    )

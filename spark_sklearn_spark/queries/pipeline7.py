@@ -634,3 +634,88 @@ def q_text_keywords(spark, d):
         .select("doc_id", "rnk", "w", "tfidf")
         .orderBy("doc_id", "rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# Binary-embedding Hamming retrieval
+# --------------------------------------------------------------------------
+
+HAM_TOPK = 5
+
+
+@query(
+    "q_emb_hamming_knn",
+    oracle=f"""
+        WITH sig AS (
+          SELECT vec_id,
+                 SUM(CASE WHEN i < 32 AND embedding[i + 1] > 0
+                          THEN (1::BIGINT << i) ELSE 0 END) AS lo,
+                 SUM(CASE WHEN i >= 32 AND embedding[i + 1] > 0
+                          THEN (1::BIGINT << (i - 32)) ELSE 0 END) AS hi
+          FROM embeddings,
+               LATERAL (SELECT unnest(generate_series(0, 63)) AS i)
+          GROUP BY vec_id
+        ),
+        probes AS (SELECT * FROM sig WHERE vec_id % 100 = 0),
+        scored AS (
+          SELECT p.vec_id AS probe_id, s.vec_id AS neighbor_id,
+                 bit_count(xor(p.lo, s.lo)) + bit_count(xor(p.hi, s.hi))
+                     AS hamming
+          FROM probes p JOIN sig s ON s.vec_id <> p.vec_id
+        ),
+        ranked AS (
+          SELECT probe_id, neighbor_id, hamming,
+                 ROW_NUMBER() OVER (PARTITION BY probe_id
+                                    ORDER BY hamming, neighbor_id) AS rnk
+          FROM scored
+        )
+        SELECT probe_id, rnk, neighbor_id, hamming
+        FROM ranked WHERE rnk <= {HAM_TOPK}
+        ORDER BY probe_id, rnk
+    """,
+)
+def q_emb_hamming_knn(spark, d):
+    """Binary-embedding retrieval: sign-binarize each vector into two
+    32-bit words (bit i = dim i > 0 — SRP with axis-aligned planes),
+    then rank neighbors by Hamming distance = popcount of the XORs.
+    This is the 64x-compression retrieval tier: signatures are 8
+    bytes/vector instead of 256, distance is two XOR+popcount codegen
+    ops instead of an O(d) float fold, and the signature build is one
+    fused O(d) fold per row. The probe set broadcasts (bounded
+    fan-out, same shape as q_sim_knn_brute); per-probe rank windows
+    partition by probe. Exact Hamming on both engines — no float
+    anywhere past the sign."""
+    emb = load(spark, d, "embeddings")
+
+    def word(lo_bit: int) -> F.Column:
+        return F.expr(
+            f"aggregate(sequence({lo_bit}, {lo_bit + 31}), 0L,"
+            " (a, i) -> a + IF(element_at(embedding, i + 1) > 0,"
+            f" shiftleft(1L, i - {lo_bit}), 0L))"
+        )
+
+    sig = emb.select(
+        "vec_id", word(0).alias("lo"), word(32).alias("hi")
+    )
+    probes = sig.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("lo").alias("p_lo"),
+        F.col("hi").alias("p_hi"),
+    )
+    scored = sig.join(
+        F.broadcast(probes), sig.vec_id != probes.probe_id
+    ).select(
+        "probe_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (
+            F.bit_count(F.col("p_lo").bitwiseXOR(F.col("lo")))
+            + F.bit_count(F.col("p_hi").bitwiseXOR(F.col("hi")))
+        ).alias("hamming"),
+    )
+    w = Window.partitionBy("probe_id").orderBy("hamming", "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= HAM_TOPK)
+        .select("probe_id", "rnk", "neighbor_id", "hamming")
+        .orderBy("probe_id", "rnk")
+    )

@@ -91,6 +91,9 @@ DRIVER_PRIORITY: list[str] = [
     "q_sketch_hll_merge",
     "q_ml_linear_ols",
     "q_ts_seasonal",
+    "q_emb_hamming_knn",
+    "q_cdc_snapshot_diff",
+    "q_dq_freshness",
     # r3-green keys with the oldest driver rows on file
     "q_ml_keyed_fit",
     "q_ml_keyed_transform",
