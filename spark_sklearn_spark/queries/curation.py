@@ -650,3 +650,178 @@ def q_dq_freshness(spark, d):
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Time-weighted average (TWAP)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_ts_twap",
+    oracle="""
+        WITH seq AS (
+          SELECT user_id, value, ts,
+                 lead(ts) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_ts
+          FROM events
+        ),
+        spans AS (
+          SELECT user_id, value,
+                 date_diff('second', ts, next_ts) AS dt
+          FROM seq WHERE next_ts IS NOT NULL
+        )
+        SELECT user_id,
+               COUNT(*) AS n_spans,
+               SUM(dt) AS total_seconds,
+               ROUND(CAST(SUM(CAST(value * dt AS DECIMAL(30,10)))
+                          AS DOUBLE)
+                     / SUM(dt), 6) AS twap
+        FROM spans
+        WHERE user_id % 3 = 0
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+)
+def q_ts_twap(spark, d):
+    """Time-weighted average value per user: each reading holds until
+    the next one, so its weight is the span length (the metric a
+    point-in-time sampler gets wrong when readings are irregular —
+    TWAP is how billing/utilization metrics are actually computed).
+    One user-partitioned window (lead) and one agg on the same key;
+    value x dt products ride the decimal-sum policy. The %3 slice
+    bounds the declared output; the plan is slice-independent."""
+    ev = load(spark, d, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn(
+        "dt",
+        F.unix_seconds(F.lead("ts").over(w)) - F.unix_seconds(F.col("ts")),
+    ).filter(F.col("dt").isNotNull())
+    return (
+        seq.filter(F.col("user_id") % 3 == 0)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum("dt").alias("total_seconds"),
+            F.round(
+                F.sum(
+                    (F.col("value") * F.col("dt")).cast("decimal(30,10)")
+                ).cast("double")
+                / F.sum("dt"),
+                6,
+            ).alias("twap"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Growth accounting (new / retained / resurrected / churned)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_behavior_lifecycle",
+    oracle="""
+        WITH weeks AS (
+          SELECT DISTINCT user_id,
+                 CAST(floor(date_diff('day', DATE '1970-01-01', ts) / 7)
+                      AS BIGINT) AS wk
+          FROM events
+        ),
+        flagged AS (
+          SELECT user_id, wk,
+                 MIN(wk) OVER (PARTITION BY user_id) AS first_wk,
+                 lag(wk) OVER (PARTITION BY user_id ORDER BY wk)
+                     AS prev_wk,
+                 lead(wk) OVER (PARTITION BY user_id ORDER BY wk)
+                     AS next_wk
+          FROM weeks
+        ),
+        status AS (
+          SELECT wk,
+                 CASE WHEN wk = first_wk THEN 1 ELSE 0 END AS is_new,
+                 CASE WHEN prev_wk = wk - 1 THEN 1 ELSE 0 END
+                     AS is_retained,
+                 CASE WHEN wk > first_wk
+                       AND (prev_wk IS NULL OR prev_wk < wk - 1)
+                      THEN 1 ELSE 0 END AS is_resurrected,
+                 CASE WHEN next_wk IS DISTINCT FROM wk + 1
+                      THEN 1 ELSE 0 END AS churns_after
+          FROM flagged
+        )
+        SELECT wk,
+               SUM(is_new) AS n_new,
+               SUM(is_retained) AS n_retained,
+               SUM(is_resurrected) AS n_resurrected,
+               SUM(churns_after) AS n_churning_after,
+               COUNT(*) AS n_active
+        FROM status
+        GROUP BY wk
+        ORDER BY wk
+    """,
+)
+def q_behavior_lifecycle(spark, d):
+    """Growth accounting: classify every active (user, week) as new /
+    retained / resurrected, plus how many of the week's actives churn
+    after it — the standard DAU/WAU decomposition identity
+    (active = new + retained + resurrected). Weeks are integer
+    epoch-day/7 buckets (identical arithmetic in both engines; no ISO
+    week ambiguity). One shuffle to the distinct (user, week) grain,
+    three frames over the SAME user partitioning, then a tiny per-week
+    rollup."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, d, "events")
+    weeks = ev.select(
+        "user_id",
+        F.floor(
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01")) / 7
+        ).cast("long").alias("wk"),
+    ).distinct()
+    w_all = W.partitionBy("user_id")
+    w_ord = W.partitionBy("user_id").orderBy("wk")
+    flagged = weeks.select(
+        "user_id",
+        "wk",
+        F.min("wk").over(w_all).alias("first_wk"),
+        F.lag("wk").over(w_ord).alias("prev_wk"),
+        F.lead("wk").over(w_ord).alias("next_wk"),
+    )
+    status = flagged.select(
+        "wk",
+        F.when(F.col("wk") == F.col("first_wk"), 1).otherwise(0)
+        .alias("is_new"),
+        F.when(F.col("prev_wk") == F.col("wk") - 1, 1).otherwise(0)
+        .alias("is_retained"),
+        F.when(
+            (F.col("wk") > F.col("first_wk"))
+            & (
+                F.col("prev_wk").isNull()
+                | (F.col("prev_wk") < F.col("wk") - 1)
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_resurrected"),
+        F.when(
+            ~F.col("next_wk").eqNullSafe(F.col("wk") + 1), 1
+        )
+        .otherwise(0)
+        .alias("churns_after"),
+    )
+    return (
+        status.groupBy("wk")
+        .agg(
+            F.sum("is_new").alias("n_new"),
+            F.sum("is_retained").alias("n_retained"),
+            F.sum("is_resurrected").alias("n_resurrected"),
+            F.sum("churns_after").alias("n_churning_after"),
+            F.count(F.lit(1)).alias("n_active"),
+        )
+        .orderBy("wk")
+    )

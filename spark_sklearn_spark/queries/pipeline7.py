@@ -719,3 +719,110 @@ def q_emb_hamming_knn(spark, d):
         .select("probe_id", "rnk", "neighbor_id", "hamming")
         .orderBy("probe_id", "rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# Grid-bucketed ANN (fully declared approximate neighbor search)
+# --------------------------------------------------------------------------
+
+GRID_CELL = 0.1
+GRID_TOPK = 5
+
+
+@query(
+    "q_sim_ann_grid",
+    oracle=f"""
+        WITH cells AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                 CAST(floor(CAST(embedding[1] AS DOUBLE) / {GRID_CELL})
+                      AS BIGINT) AS cx,
+                 CAST(floor(CAST(embedding[2] AS DOUBLE) / {GRID_CELL})
+                      AS BIGINT) AS cy
+          FROM embeddings
+        ),
+        probes AS (SELECT * FROM cells WHERE vec_id % 100 = 0),
+        offs AS (SELECT unnest([-1, 0, 1]) AS d),
+        cand AS (
+          SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+                 ROUND(list_cosine_similarity(p.v, c.v), 6) AS cos
+          FROM probes p, offs ox, offs oy
+          JOIN cells c
+            ON c.cx = p.cx + ox.d AND c.cy = p.cy + oy.d
+          WHERE c.vec_id <> p.vec_id
+        ),
+        ranked AS (
+          SELECT probe_id, neighbor_id, cos,
+                 ROW_NUMBER() OVER (PARTITION BY probe_id
+                                    ORDER BY cos DESC, neighbor_id)
+                     AS rnk
+          FROM cand
+        )
+        SELECT probe_id, rnk, neighbor_id, cos
+        FROM ranked WHERE rnk <= {GRID_TOPK}
+        ORDER BY probe_id, rnk
+    """,
+)
+def q_sim_ann_grid(spark, d):
+    """Fully DECLARED approximate neighbor search: vectors bucket into
+    a deterministic 2-D grid on their first two dimensions (cell =
+    floor(dim/0.1)); each probe scores only the 3x3 neighborhood of
+    its cell with exact cosine and keeps top-5. Unlike IVF (kmeans
+    cells — rows-only), the grid quantizer is pure SQL, so the WHOLE
+    ANN path is hash-verified against DuckDB. Scale shape: the probe
+    fan-out is 9 cell keys -> equi-join on (cx, cy) — candidates are
+    cell-population-bounded, never the full corpus; cosine is an O(d)
+    JVM fold on candidates only, rounded to 6 before the per-probe
+    rank window."""
+    from ..functions.vectors import as_double_array, cosine
+
+    emb = load(spark, d, "embeddings")
+    cells = emb.select(
+        "vec_id",
+        as_double_array("embedding").alias("v"),
+        F.floor(
+            F.element_at("embedding", 1).cast("double") / GRID_CELL
+        ).cast("long").alias("cx"),
+        F.floor(
+            F.element_at("embedding", 2).cast("double") / GRID_CELL
+        ).cast("long").alias("cy"),
+    )
+    offs = [-1, 0, 1]
+    probes = (
+        cells.filter(F.col("vec_id") % 100 == 0)
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("v").alias("pv"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            (F.col("cx") + dx).alias("cx"),
+                            (F.col("cy") + dy).alias("cy"),
+                        )
+                        for dx in offs
+                        for dy in offs
+                    ]
+                )
+            ).alias("cell"),
+        )
+        .select("probe_id", "pv", "cell.cx", "cell.cy")
+    )
+    cand = (
+        cells.join(F.broadcast(probes), ["cx", "cy"])
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("pv"), F.col("v")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("cos"), "neighbor_id"
+    )
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= GRID_TOPK)
+        .select("probe_id", "rnk", "neighbor_id", "cos")
+        .orderBy("probe_id", "rnk")
+    )

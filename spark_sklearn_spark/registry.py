@@ -94,6 +94,9 @@ DRIVER_PRIORITY: list[str] = [
     "q_emb_hamming_knn",
     "q_cdc_snapshot_diff",
     "q_dq_freshness",
+    "q_sim_ann_grid",
+    "q_ts_twap",
+    "q_behavior_lifecycle",
     # r3-green keys with the oldest driver rows on file
     "q_ml_keyed_fit",
     "q_ml_keyed_transform",
