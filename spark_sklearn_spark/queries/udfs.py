@@ -283,3 +283,52 @@ def q_udtf_python(spark, d):
         ORDER BY d.doc_id, c.chunk_idx
         """
     )
+
+
+@query(
+    "q_udtf_arrow",
+    oracle="""
+        WITH words AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w
+          FROM documents WHERE doc_id % 50 = 0
+        )
+        SELECT doc_id,
+               CAST(length(w) AS BIGINT) AS wlen,
+               COUNT(*) AS n
+        FROM words
+        GROUP BY doc_id, wlen
+        ORDER BY doc_id, wlen
+    """,
+)
+def q_udtf_arrow(spark, d):
+    """Arrow-optimized Python UDTF (PySpark 4 @udtf(useArrow=True)):
+    per-document word-length histogram — one input row fans out to
+    one row per distinct length. The Arrow path batches rows across
+    the Python boundary instead of pickling one at a time (the same
+    10-100x boundary win as pandas_udf vs F.udf, applied to UDTFs);
+    semantics are identical to the row-mode API, which is exactly
+    what the shared DuckDB oracle pins. Slice pushed below the UDTF
+    so only 1/50 of documents cross into Python."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="wlen bigint, n bigint", useArrow=True)
+    class WordLenHist:
+        def eval(self, text: str):
+            if text is None:
+                return
+            counts: dict[int, int] = {}
+            for w in text.split(" "):
+                counts[len(w)] = counts.get(len(w), 0) + 1
+            for wlen in sorted(counts):
+                yield (wlen, counts[wlen])
+
+    docs = load(spark, d, "documents").filter(F.col("doc_id") % 50 == 0)
+    docs.createOrReplaceTempView("udtf_arrow_docs_in")
+    spark.udtf.register("wlen_hist_udtf", WordLenHist)
+    return spark.sql(
+        """
+        SELECT d.doc_id, h.wlen, h.n
+        FROM udtf_arrow_docs_in d, LATERAL wlen_hist_udtf(d.text) h
+        ORDER BY d.doc_id, h.wlen
+        """
+    )

@@ -256,3 +256,61 @@ def q_win_nth(spark, d):
         ORDER BY user_id
         """
     )
+
+
+@query(
+    "q_win_pct_change",
+    oracle="""
+        WITH daily AS (
+          SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+                 ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10)))
+                            AS DOUBLE), 2) AS revenue
+          FROM orders
+          GROUP BY day
+        )
+        SELECT day, revenue,
+               ROUND((revenue - lag(revenue) OVER (ORDER BY day))
+                     / lag(revenue) OVER (ORDER BY day), 6) AS pct_change,
+               ROUND(CAST(SUM(CAST(revenue AS DECIMAL(30,10)))
+                          OVER (ORDER BY day
+                                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                          AS DOUBLE)
+                     / COUNT(*) OVER (ORDER BY day
+                                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+                     6) AS ma7
+        FROM daily
+        ORDER BY day
+    """,
+)
+def q_win_pct_change(spark, d):
+    """Period-over-period: daily revenue with day-over-day percent
+    change and a 7-day moving average — the BI time-series triple.
+    The fact stream first collapses to the DAY grain (combinable agg:
+    100 TB in, one row per calendar day out), so the ordered window
+    that follows runs on a calendar-BOUNDED relation — the same
+    single-partition-is-safe argument as q_win_pareto's top-100.
+    Daily sums are rounded on the decimal path BEFORE the derived
+    metrics; the moving average re-sums the rounded dailies exactly."""
+    from pyspark.sql import Window as W
+
+    o = load(spark, d, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", "o_orderdate").alias("day")
+    ).agg(
+        F.round(
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double"), 2
+        ).alias("revenue")
+    )
+    w_ord = W.orderBy("day")
+    w_ma = W.orderBy("day").rowsBetween(-6, 0)
+    prev = F.lag("revenue").over(w_ord)
+    return daily.select(
+        "day",
+        "revenue",
+        F.round((F.col("revenue") - prev) / prev, 6).alias("pct_change"),
+        F.round(
+            F.sum(F.col("revenue").cast(DEC)).over(w_ma).cast("double")
+            / F.count(F.lit(1)).over(w_ma),
+            6,
+        ).alias("ma7"),
+    ).orderBy("day")

@@ -97,6 +97,8 @@ DRIVER_PRIORITY: list[str] = [
     "q_sim_ann_grid",
     "q_ts_twap",
     "q_behavior_lifecycle",
+    "q_udtf_arrow",
+    "q_win_pct_change",
     # r3-green keys with the oldest driver rows on file
     "q_ml_keyed_fit",
     "q_ml_keyed_transform",
