@@ -402,3 +402,61 @@ def q_fn_surrogate_key(spark, d):
             )
         ).alias("sample_sum"),
     )
+
+
+@query(
+    "q_sql_recursive",
+    oracle="""
+        WITH RECURSIVE nodes AS (
+          SELECT DISTINCT p_partkey AS k,
+                 CAST(floor(p_partkey / 10) AS BIGINT) AS parent
+          FROM part
+        ),
+        walk AS (
+          SELECT k, parent, 0 AS depth FROM nodes WHERE k = 0
+          UNION ALL
+          SELECT n.k, n.parent, w.depth + 1
+          FROM nodes n JOIN walk w ON n.parent = w.k
+          WHERE n.k <> 0
+        )
+        SELECT depth, COUNT(*) AS n_nodes,
+               MIN(k) AS min_key, MAX(k) AS max_key
+        FROM walk
+        GROUP BY depth
+        ORDER BY depth
+    """,
+)
+def q_sql_recursive(spark, d):
+    """Recursive CTE (Spark 4.1 WITH RECURSIVE / Catalyst UnionLoop)
+    walking a synthetic 10-ary part hierarchy (parent = key/10) from
+    the root and reporting node counts per depth — the org-chart /
+    BOM-rollup shape that previously required driver-side iteration
+    (operators/components.py). Each recursion step is one self-join
+    of the frontier against the node table, so depth bounds the
+    iteration count (4 levels here; log10 of the key space), exactly
+    how the engine executes hierarchical rollups at scale. Same
+    RECURSIVE SQL shape on both engines."""
+    from ..sources.io import register_views
+
+    register_views(spark, d, ["part"])
+    return spark.sql(
+        """
+        WITH RECURSIVE nodes AS (
+          SELECT DISTINCT p_partkey AS k,
+                 CAST(floor(p_partkey / 10) AS BIGINT) AS parent
+          FROM part
+        ),
+        walk AS (
+          SELECT k, parent, 0 AS depth FROM nodes WHERE k = 0
+          UNION ALL
+          SELECT n.k, n.parent, w.depth + 1
+          FROM nodes n JOIN walk w ON n.parent = w.k
+          WHERE n.k <> 0
+        )
+        SELECT depth, COUNT(*) AS n_nodes,
+               MIN(k) AS min_key, MAX(k) AS max_key
+        FROM walk
+        GROUP BY depth
+        ORDER BY depth
+        """
+    )

@@ -99,6 +99,7 @@ DRIVER_PRIORITY: list[str] = [
     "q_behavior_lifecycle",
     "q_udtf_arrow",
     "q_win_pct_change",
+    "q_sql_recursive",
     # r3-green keys with the oldest driver rows on file
     "q_ml_keyed_fit",
     "q_ml_keyed_transform",
