@@ -42,6 +42,16 @@ SENSITIVE = [
     "q_dedup_simhash",
     "q_ml_keyed_scale",
     "q_ts_ewma",
+    # r7 additions: hash-bucketed sketches (merge-order-free by
+    # construction — pin it), ES sampling keys (log of a hash
+    # uniform), exact-moment OLS, decile edges, and the budget cumsum
+    "q_sketch_countmin",
+    "q_sketch_hll",
+    "q_sample_weighted",
+    "q_ml_linear_ols",
+    "q_feat_quantile_bin",
+    "q_mix_budget",
+    "q_ts_outlier_mad",
 ]
 
 
