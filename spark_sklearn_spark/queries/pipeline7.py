@@ -727,6 +727,7 @@ def q_emb_hamming_knn(spark, d):
 
 GRID_CELL = 0.1
 GRID_TOPK = 5
+GRID_Q = 1_000_000  # component quantization: q = floor(x * 1e6)
 
 
 @query(
@@ -734,7 +735,9 @@ GRID_TOPK = 5
     oracle=f"""
         WITH cells AS (
           SELECT vec_id,
-                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                 list_transform(embedding,
+                     x -> CAST(floor(CAST(x AS DOUBLE) * {GRID_Q})
+                               AS BIGINT)) AS q,
                  CAST(floor(CAST(embedding[1] AS DOUBLE) / {GRID_CELL})
                       AS BIGINT) AS cx,
                  CAST(floor(CAST(embedding[2] AS DOUBLE) / {GRID_CELL})
@@ -745,20 +748,20 @@ GRID_TOPK = 5
         offs AS (SELECT unnest([-1, 0, 1]) AS d),
         cand AS (
           SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
-                 ROUND(list_cosine_similarity(p.v, c.v), 6) AS cos
+                 list_sum(list_transform(generate_series(1, 64),
+                     i -> (p.q[i] - c.q[i]) * (p.q[i] - c.q[i]))) AS dist2
           FROM probes p, offs ox, offs oy
           JOIN cells c
             ON c.cx = p.cx + ox.d AND c.cy = p.cy + oy.d
           WHERE c.vec_id <> p.vec_id
         ),
         ranked AS (
-          SELECT probe_id, neighbor_id, cos,
+          SELECT probe_id, neighbor_id, dist2,
                  ROW_NUMBER() OVER (PARTITION BY probe_id
-                                    ORDER BY cos DESC, neighbor_id)
-                     AS rnk
+                                    ORDER BY dist2, neighbor_id) AS rnk
           FROM cand
         )
-        SELECT probe_id, rnk, neighbor_id, cos
+        SELECT probe_id, rnk, neighbor_id, dist2
         FROM ranked WHERE rnk <= {GRID_TOPK}
         ORDER BY probe_id, rnk
     """,
@@ -767,19 +770,25 @@ def q_sim_ann_grid(spark, d):
     """Fully DECLARED approximate neighbor search: vectors bucket into
     a deterministic 2-D grid on their first two dimensions (cell =
     floor(dim/0.1)); each probe scores only the 3x3 neighborhood of
-    its cell with exact cosine and keeps top-5. Unlike IVF (kmeans
-    cells — rows-only), the grid quantizer is pure SQL, so the WHOLE
-    ANN path is hash-verified against DuckDB. Scale shape: the probe
-    fan-out is 9 cell keys -> equi-join on (cx, cy) — candidates are
-    cell-population-bounded, never the full corpus; cosine is an O(d)
-    JVM fold on candidates only, rounded to 6 before the per-probe
-    rank window."""
-    from ..functions.vectors import as_double_array, cosine
-
+    its cell and keeps the 5 nearest. Unlike IVF (kmeans cells —
+    rows-only), the grid quantizer is pure SQL, so the WHOLE ANN path
+    is hash-verified against DuckDB. Distances are EXACT integers:
+    components quantize to floor(x*1e6) and the squared Euclidean
+    distance is a BIGINT fold — a float cosine here hit a last-ulp
+    round-6 boundary at sf0.1 (Spark fold vs DuckDB
+    list_cosine_similarity differ in the final ulp, and ~7.5k rounded
+    candidates made a collision likely), while integer distance can
+    never disagree. Scale shape: probe fan-out is 9 cell keys ->
+    equi-join on (cx, cy) — candidates are cell-population-bounded,
+    never the full corpus; the O(d) integer fold runs on candidates
+    only, feeding a per-probe rank window."""
     emb = load(spark, d, "embeddings")
     cells = emb.select(
         "vec_id",
-        as_double_array("embedding").alias("v"),
+        F.expr(
+            f"transform(embedding, x -> cast(floor(cast(x as double)"
+            f" * {GRID_Q}) as bigint))"
+        ).alias("q"),
         F.floor(
             F.element_at("embedding", 1).cast("double") / GRID_CELL
         ).cast("long").alias("cx"),
@@ -792,7 +801,7 @@ def q_sim_ann_grid(spark, d):
         cells.filter(F.col("vec_id") % 100 == 0)
         .select(
             F.col("vec_id").alias("probe_id"),
-            F.col("v").alias("pv"),
+            F.col("q").alias("pq"),
             F.explode(
                 F.array(
                     *[
@@ -806,7 +815,7 @@ def q_sim_ann_grid(spark, d):
                 )
             ).alias("cell"),
         )
-        .select("probe_id", "pv", "cell.cx", "cell.cy")
+        .select("probe_id", "pq", "cell.cx", "cell.cy")
     )
     cand = (
         cells.join(F.broadcast(probes), ["cx", "cy"])
@@ -814,15 +823,16 @@ def q_sim_ann_grid(spark, d):
         .select(
             "probe_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine(F.col("pv"), F.col("v")), 6).alias("cos"),
+            F.expr(
+                "aggregate(zip_with(pq, q, (a, b) -> (a - b) * (a - b)),"
+                " 0L, (acc, x) -> acc + x)"
+            ).alias("dist2"),
         )
     )
-    w = Window.partitionBy("probe_id").orderBy(
-        F.desc("cos"), "neighbor_id"
-    )
+    w = Window.partitionBy("probe_id").orderBy("dist2", "neighbor_id")
     return (
         cand.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= GRID_TOPK)
-        .select("probe_id", "rnk", "neighbor_id", "cos")
+        .select("probe_id", "rnk", "neighbor_id", "dist2")
         .orderBy("probe_id", "rnk")
     )
