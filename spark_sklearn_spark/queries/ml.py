@@ -523,3 +523,135 @@ def q_ml_linear_ols(spark, d):
             6,
         ).alias("r2"),
     ).orderBy("l_returnflag")
+
+
+# --------------------------------------------------------------------------
+# Exact AUC (Mann-Whitney with midrank ties, integer arithmetic)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_ml_auc",
+    oracle="""
+        WITH labeled AS (
+          SELECT CAST(floor(value * 1000) AS BIGINT) AS s,
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+          FROM events
+        ),
+        grps AS (
+          SELECT s, SUM(y) AS np, SUM(1 - y) AS nn
+          FROM labeled GROUP BY s
+        ),
+        ordered AS (
+          SELECT s, np, nn,
+                 SUM(nn) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) - nn
+                     AS nn_below
+          FROM grps
+        ),
+        agg AS (
+          SELECT SUM(np * (2 * nn_below + nn)) AS contrib2,
+                 SUM(np) AS p, SUM(nn) AS n
+          FROM ordered
+        )
+        SELECT p AS n_pos, n AS n_neg,
+               ROUND(contrib2 / (2.0 * p * n), 6) AS auc,
+               ROUND(contrib2 / (1.0 * p * n) - 1.0, 6) AS gini
+        FROM agg
+    """,
+)
+def q_ml_auc(spark, d):
+    """Exact ROC AUC of 'value predicts purchase' via the
+    Mann-Whitney U statistic with midrank tie handling — the ranking
+    metric every model-eval pipeline needs, computed WITHOUT a global
+    sort of the data: scores quantize to integers (floor(v*1000) —
+    the knob that bounds the group count at 100 TB), one combinable
+    (score -> n_pos, n_neg) agg shrinks the stream, and the ordered
+    cumsum runs over the bounded score-group relation. Doubling the
+    tie term (np*(2*nn_below + nn)) keeps every intermediate a
+    BIGINT, so only the final division is float."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, d, "events").select(
+        F.floor(F.col("value") * 1000).cast("long").alias("s"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    grps = ev.groupBy("s").agg(
+        F.sum("y").alias("np"), F.sum(1 - F.col("y")).alias("nn")
+    )
+    w = W.orderBy("s").rowsBetween(W.unboundedPreceding, 0)
+    ordered = grps.withColumn(
+        "nn_below", F.sum("nn").over(w) - F.col("nn")
+    )
+    agg = ordered.agg(
+        F.sum(
+            F.col("np") * (2 * F.col("nn_below") + F.col("nn"))
+        ).alias("contrib2"),
+        F.sum("np").alias("p"),
+        F.sum("nn").alias("n"),
+    )
+    return agg.select(
+        F.col("p").alias("n_pos"),
+        F.col("n").alias("n_neg"),
+        F.round(
+            F.col("contrib2") / (2.0 * F.col("p") * F.col("n")), 6
+        ).alias("auc"),
+        F.round(
+            F.col("contrib2") / (1.0 * F.col("p") * F.col("n")) - 1.0, 6
+        ).alias("gini"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Confusion matrix + derived metrics
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_ml_confusion",
+    oracle="""
+        WITH scored AS (
+          SELECT CASE WHEN value > 100 THEN 1 ELSE 0 END AS pred,
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+          FROM events
+        ),
+        cm AS (
+          SELECT SUM(CASE WHEN pred = 1 AND y = 1 THEN 1 ELSE 0 END) AS tp,
+                 SUM(CASE WHEN pred = 1 AND y = 0 THEN 1 ELSE 0 END) AS fp,
+                 SUM(CASE WHEN pred = 0 AND y = 1 THEN 1 ELSE 0 END) AS fn,
+                 SUM(CASE WHEN pred = 0 AND y = 0 THEN 1 ELSE 0 END) AS tn
+          FROM scored
+        )
+        SELECT tp, fp, fn, tn,
+               ROUND(tp / (1.0 * (tp + fp)), 6) AS precision_,
+               ROUND(tp / (1.0 * (tp + fn)), 6) AS recall_,
+               ROUND(2.0 * tp / (2.0 * tp + fp + fn), 6) AS f1,
+               ROUND((tp + tn) / (1.0 * (tp + fp + fn + tn)), 6)
+                   AS accuracy
+        FROM cm
+    """,
+)
+def q_ml_confusion(spark, d):
+    """Binary confusion matrix + precision/recall/F1/accuracy for the
+    threshold classifier 'value > 100 => purchase' — the eval rollup
+    that closes the train/predict loop (q_ml_keyed_transform predicts,
+    this scores). ONE combinable agg computes all four cells in a
+    single pass; the derived ratios are a stateless projection on one
+    row. Integer cells; ratios rounded to 6 identically."""
+    ev = load(spark, d, "events").select(
+        F.when(F.col("value") > 100, 1).otherwise(0).alias("pred"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    cm = ev.agg(
+        F.sum(F.when((F.col("pred") == 1) & (F.col("y") == 1), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when((F.col("pred") == 1) & (F.col("y") == 0), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when((F.col("pred") == 0) & (F.col("y") == 1), 1).otherwise(0)).alias("fn"),
+        F.sum(F.when((F.col("pred") == 0) & (F.col("y") == 0), 1).otherwise(0)).alias("tn"),
+    )
+    tp, fp, fn, tn = F.col("tp"), F.col("fp"), F.col("fn"), F.col("tn")
+    return cm.select(
+        "tp", "fp", "fn", "tn",
+        F.round(tp / (1.0 * (tp + fp)), 6).alias("precision_"),
+        F.round(tp / (1.0 * (tp + fn)), 6).alias("recall_"),
+        F.round(2.0 * tp / (2.0 * tp + fp + fn), 6).alias("f1"),
+        F.round((tp + tn) / (1.0 * (tp + fp + fn + tn)), 6).alias("accuracy"),
+    )

@@ -460,3 +460,44 @@ def q_sql_recursive(spark, d):
         ORDER BY depth
         """
     )
+
+
+@query(
+    "q_fn_timezone",
+    oracle="""
+        WITH local_ts AS (
+          SELECT CAST(o_orderdate AS TIMESTAMPTZ)
+                     AT TIME ZONE 'America/New_York' AS lt
+          FROM orders
+        )
+        SELECT CAST(extract(hour FROM lt) AS INTEGER) AS local_hour,
+               COUNT(*) AS n,
+               MIN(lt) AS first_local,
+               MAX(lt) AS last_local
+        FROM local_ts
+        GROUP BY local_hour
+        ORDER BY local_hour
+    """,
+)
+def q_fn_timezone(spark, d):
+    """Timezone conversion parity: UTC-midnight order timestamps
+    rendered in America/New_York split into 19:00 (EST, UTC-5) and
+    20:00 (EDT, UTC-4) local hours — the DST transition itself is the
+    check (both engines consult the same IANA rules; a naive fixed
+    offset would produce one hour). Spark convert_timezone ==
+    DuckDB's AT TIME ZONE under the pinned-UTC session. Conversion
+    is per-row codegen; the rollup is a 2-cell agg."""
+    o = load(spark, d, "orders")
+    lt = F.convert_timezone(
+        F.lit("UTC"), F.lit("America/New_York"), F.col("o_orderdate")
+    )
+    return (
+        o.select(lt.alias("lt"))
+        .groupBy(F.hour("lt").alias("local_hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("lt").alias("first_local"),
+            F.max("lt").alias("last_local"),
+        )
+        .orderBy("local_hour")
+    )

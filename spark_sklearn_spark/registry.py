@@ -100,6 +100,9 @@ DRIVER_PRIORITY: list[str] = [
     "q_udtf_arrow",
     "q_win_pct_change",
     "q_sql_recursive",
+    "q_ml_auc",
+    "q_ml_confusion",
+    "q_fn_timezone",
     # r3-green keys with the oldest driver rows on file
     "q_ml_keyed_fit",
     "q_ml_keyed_transform",
