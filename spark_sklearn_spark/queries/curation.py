@@ -825,3 +825,86 @@ def q_behavior_lifecycle(spark, d):
         )
         .orderBy("wk")
     )
+
+
+# --------------------------------------------------------------------------
+# Lag-k autocorrelation of the daily activity series
+# --------------------------------------------------------------------------
+
+ACF_LAGS = [1, 2, 3, 7]
+
+
+@query(
+    "q_ts_autocorr",
+    oracle=f"""
+        WITH daily AS (
+          SELECT CAST(date_diff('day', DATE '1970-01-01', ts) AS BIGINT)
+                     AS day_idx,
+                 COUNT(*) AS n
+          FROM events GROUP BY day_idx
+        ),
+        lags AS (SELECT unnest([{", ".join(str(k) for k in ACF_LAGS)}]) AS k),
+        pairs AS (
+          SELECT l.k, a.n AS x, b.n AS y
+          FROM daily a
+          JOIN lags l ON true
+          JOIN daily b ON b.day_idx = a.day_idx + l.k
+        ),
+        moments AS (
+          SELECT k, COUNT(*) AS n,
+                 SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+                 SUM(x * x) AS sxx, SUM(y * y) AS syy
+          FROM pairs GROUP BY k
+        )
+        SELECT k, n,
+               ROUND((n * sxy - sx * sy)
+                     / sqrt((n * sxx - sx * sx) * 1.0
+                            * (n * syy - sy * sy)), 6) AS acf
+        FROM moments
+        ORDER BY k
+    """,
+)
+def q_ts_autocorr(spark, d):
+    """Lag-k autocorrelation of the daily event-count series
+    (k = 1,2,3,7) — the seasonality detector (a weekly cycle shows as
+    an acf(7) spike) run the scale-correct way: the corpus collapses
+    to the calendar-bounded daily grain FIRST (combinable agg), the
+    lag alignment is a self-join on day_idx + k over that tiny
+    series, and Pearson comes from exact integer moment sums (counts,
+    so no decimal detour needed — products stay BIGINT). Same
+    closed-form expression on both engines, rounded to 6."""
+    ev = load(spark, d, "events")
+    daily = ev.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("day_idx")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    lags = spark.range(1).select(
+        F.explode(F.array(*[F.lit(k) for k in ACF_LAGS])).alias("k")
+    )
+    a = daily.select(F.col("day_idx").alias("di"), F.col("n").alias("x"))
+    b = daily.select(F.col("day_idx").alias("dj"), F.col("n").alias("y"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("dj") == F.col("di") + F.col("k"))
+        .select("k", "x", "y")
+    )
+    m = pairs.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    return m.select(
+        "k",
+        "n",
+        F.round(
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * 1.0 * (n * syy - sy * sy)),
+            6,
+        ).alias("acf"),
+    ).orderBy("k")

@@ -655,3 +655,85 @@ def q_ml_confusion(spark, d):
         F.round(2.0 * tp / (2.0 * tp + fp + fn), 6).alias("f1"),
         F.round((tp + tn) / (1.0 * (tp + fp + fn + tn)), 6).alias("accuracy"),
     )
+
+
+# --------------------------------------------------------------------------
+# Precision/recall threshold sweep (PR-curve points)
+# --------------------------------------------------------------------------
+
+PR_THRESHOLDS = [50, 100, 150, 200, 250, 300, 350, 400]
+
+
+@query(
+    "q_ml_pr_curve",
+    oracle=f"""
+        WITH labeled AS (
+          SELECT value,
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+          FROM events
+        ),
+        thresholds AS (
+          SELECT unnest([{", ".join(str(t) for t in PR_THRESHOLDS)}]) AS thr
+        ),
+        cells AS (
+          SELECT t.thr,
+                 SUM(CASE WHEN l.value > t.thr AND l.y = 1
+                          THEN 1 ELSE 0 END) AS tp,
+                 SUM(CASE WHEN l.value > t.thr AND l.y = 0
+                          THEN 1 ELSE 0 END) AS fp,
+                 SUM(CASE WHEN l.value <= t.thr AND l.y = 1
+                          THEN 1 ELSE 0 END) AS fn
+          FROM labeled l, thresholds t
+          GROUP BY t.thr
+        )
+        SELECT thr, tp, fp, fn,
+               ROUND(tp / (1.0 * greatest(tp + fp, 1)), 6) AS precision_,
+               ROUND(tp / (1.0 * greatest(tp + fn, 1)), 6) AS recall_
+        FROM cells
+        ORDER BY thr
+    """,
+)
+def q_ml_pr_curve(spark, d):
+    """PR-curve points: precision/recall of 'value > thr => purchase'
+    at 8 thresholds, computed in ONE pass — each row fans out to the
+    (tiny, broadcast) threshold list and a single hash agg fills every
+    threshold's confusion cells simultaneously; no per-threshold
+    rescan. greatest(.,1) guards the empty-prediction edge the ANSI
+    divide-by-zero check would reject. This is the standard
+    multi-operating-point eval sweep done the distributed way."""
+    ev = load(spark, d, "events").select(
+        "value",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    thr = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(t) for t in PR_THRESHOLDS])
+        ).alias("thr")
+    )
+    cells = (
+        ev.crossJoin(F.broadcast(thr))
+        .groupBy("thr")
+        .agg(
+            F.sum(
+                F.when((F.col("value") > F.col("thr")) & (F.col("y") == 1), 1)
+                .otherwise(0)
+            ).alias("tp"),
+            F.sum(
+                F.when((F.col("value") > F.col("thr")) & (F.col("y") == 0), 1)
+                .otherwise(0)
+            ).alias("fp"),
+            F.sum(
+                F.when(
+                    (F.col("value") <= F.col("thr")) & (F.col("y") == 1), 1
+                ).otherwise(0)
+            ).alias("fn"),
+        )
+    )
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    return cells.select(
+        "thr", "tp", "fp", "fn",
+        F.round(tp / (1.0 * F.greatest(tp + fp, F.lit(1))), 6)
+        .alias("precision_"),
+        F.round(tp / (1.0 * F.greatest(tp + fn, F.lit(1))), 6)
+        .alias("recall_"),
+    ).orderBy("thr")

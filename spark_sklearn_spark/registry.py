@@ -103,6 +103,8 @@ DRIVER_PRIORITY: list[str] = [
     "q_ml_auc",
     "q_ml_confusion",
     "q_fn_timezone",
+    "q_ml_pr_curve",
+    "q_ts_autocorr",
     # r3-green keys with the oldest driver rows on file
     "q_ml_keyed_fit",
     "q_ml_keyed_transform",
