@@ -36,12 +36,25 @@ def pagerank(
     damping: float = 0.85,
     iterations: int = 5,
     checkpoint_every: int = 3,
+    exact_contribs: bool = False,
 ) -> DataFrame:
     """(node_col, rank, out_degree) after ``iterations`` rounds.
 
     nodes: one row per node (isolated nodes allowed — they become
     dangling and their mass redistributes); edges: DIRECTED pairs
     (symmetrize upstream for an undirected graph).
+
+    exact_contribs=True quantizes each per-edge contribution to
+    DECIMAL(30,10) and sums decimals exactly, making every rank a
+    deterministic double REGARDLESS of aggregation order — the same
+    mirroring trick as queries/_helpers.dsum, applied per iteration
+    so a SQL oracle can replay the propagation bit-for-bit. Scale 10
+    is deliberate: Spark quantizes via Double.toString (<= 1e-19 off
+    the binary value), so a finer grid (say 1e-18) puts ~10% of
+    quantizations on a boundary the two engines could resolve
+    differently, while at 1e-10 the straddle odds are ~1e-9 and the
+    quantization error stays far below PageRank's own 5-iteration
+    truncation error.
     """
     caller_nodes = nodes.select(F.col(node_col).alias("node")).distinct()
     e = edges.select(
@@ -91,11 +104,14 @@ def pagerank(
                 .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
                 .first()[0]
             )
+        c_expr = F.col("rank") / F.col("out_deg")
+        if exact_contribs:
+            c_expr = c_expr.cast("decimal(30,10)")
         contribs = (
             e.join(ranks, e.src == ranks.node)
-            .select("dst", (F.col("rank") / F.col("out_deg")).alias("c"))
+            .select("dst", c_expr.alias("c"))
             .groupBy("dst")
-            .agg(F.sum("c").alias("contrib"))
+            .agg(F.sum("c").cast("double").alias("contrib"))
         )
         new_ranks = (
             active.join(contribs, active.node == contribs.dst, "left")

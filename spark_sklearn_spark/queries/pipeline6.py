@@ -602,7 +602,85 @@ def q_ts_ewma(spark, d):
 # --------------------------------------------------------------------------
 
 
-@query("q_graph_pagerank")  # rows-only: iterative float propagation
+def _pagerank_oracle(iterations: int = 5) -> str:
+    """Unrolled-iteration SQL mirror of operators/pagerank.pagerank
+    with exact_contribs=True: DuckDB 1.0 can't aggregate inside a
+    recursive CTE, and the iteration count is fixed anyway, so each
+    round is a chained CTE. Every float expression reproduces the
+    operator's Python/Spark arithmetic token for token (teleport =
+    (1.0 - 0.85) / n, dangling = ((n - na) * r_iso) / n, contrib =
+    exact DECIMAL(30,10) sum cast back to double), so the ranks are
+    bit-identical doubles on both engines."""
+    riso = "(1.0 / c.n)"
+    ctes = [
+        """sym AS (
+          SELECT doc_a AS src, doc_b AS dst FROM edges
+          UNION
+          SELECT doc_b AS src, doc_a AS dst FROM edges
+        )""",
+        """active AS (
+          SELECT src AS node, COUNT(*) AS out_deg FROM sym GROUP BY src
+        )""",
+        """counts AS (
+          SELECT (SELECT COUNT(*) FROM documents) AS n,
+                 (SELECT COUNT(*) FROM active) AS na
+        )""",
+        """r0 AS (
+          SELECT a.node, a.out_deg, 1.0 / c.n AS rank
+          FROM active a CROSS JOIN counts c
+        )""",
+    ]
+    for t in range(1, iterations + 1):
+        dang = f"(((c.n - c.na) * {riso}) / c.n)"
+        ctes.append(f"""r{t} AS (
+          SELECT a.node, a.out_deg,
+                 (1.0 - 0.85) / c.n
+                 + 0.85 * (COALESCE(ct.contrib, 0.0) + {dang}) AS rank
+          FROM active a
+          CROSS JOIN counts c
+          LEFT JOIN (
+            SELECT s.dst AS node,
+                   CAST(SUM(CAST(b.rank / b.out_deg AS DECIMAL(30,10)))
+                        AS DOUBLE) AS contrib
+            FROM sym s JOIN r{t - 1} b ON b.node = s.src
+            GROUP BY s.dst
+          ) ct ON ct.node = a.node
+        )""")
+        riso = f"((1.0 - 0.85) / c.n + 0.85 * ({dang}))"
+    ctes.append(f"""final AS (
+          SELECT node, rank, out_deg FROM r{iterations}
+          UNION ALL
+          SELECT doc.doc_id AS node, {riso} AS rank, 0 AS out_deg
+          FROM documents doc CROSS JOIN counts c
+          LEFT JOIN active a ON a.node = doc.doc_id
+          WHERE a.node IS NULL
+        )""")
+    return f"""
+        WITH {_BIGRAMS_SQL},
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM rare GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+            FROM rare a JOIN rare b ON a.g = b.g AND a.doc_id < b.doc_id
+            GROUP BY doc_a, doc_b
+        ),
+        edges AS (
+            SELECT i.doc_a, i.doc_b
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.doc_a
+            JOIN sizes sb ON sb.doc_id = i.doc_b
+            WHERE ROUND(i.c * 1.0 / (sa.n + sb.n - i.c), 6) >= 0.4
+        ),
+        {", ".join(ctes)}
+        SELECT node AS doc_id,
+               ROUND(rank, 6) AS rank,
+               CAST(out_deg AS BIGINT) AS degree
+        FROM final
+        ORDER BY final.rank DESC, node
+        LIMIT 20
+    """
+
+
+@query("q_graph_pagerank", oracle=_pagerank_oracle())
 def q_graph_pagerank(spark, d):
     """PageRank importance over the exact-Jaccard near-dup graph (the
     same edge set as q_graph_triangles) — the 'which document is the
@@ -611,10 +689,14 @@ def q_graph_pagerank(spark, d):
     graph is undirected); isolated docs are dangling and their mass
     redistributes, so Σrank stays 1 (pinned by tests/test_properties).
     5 fixed iterations of join + combinable hash agg
-    (operators/pagerank.py); rows-only because iterative float
-    propagation is order-sensitive at the ulp level and has no SQL
-    oracle. Output: top-20 hubs by rank (rounded AFTER ordering by
-    the raw value, degree tie-break)."""
+    (operators/pagerank.py). DECLARED as of round 7: per-edge
+    contributions quantize to DECIMAL(30,10) and sum exactly
+    (exact_contribs=True), which makes every iteration's ranks
+    order-independent bit-identical doubles, so an unrolled-iteration
+    DuckDB oracle replays the whole propagation — iterative float
+    graph algorithms CAN be hash-verified when messages ride the
+    decimal policy. Output: top-20 hubs by rank (rounded AFTER
+    ordering by the raw value, doc_id tie-break)."""
     from ..operators.pagerank import pagerank
     from .pipeline2 import near_dup_edges
 
@@ -625,7 +707,10 @@ def q_graph_pagerank(spark, d):
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
         )
     ).distinct()
-    pr = pagerank(docs.select("doc_id"), sym, "doc_id", "doc_a", "doc_b")
+    pr = pagerank(
+        docs.select("doc_id"), sym, "doc_id", "doc_a", "doc_b",
+        exact_contribs=True,
+    )
     return (
         pr.orderBy(F.col("rank").desc(), F.col("doc_id"))
         .limit(20)

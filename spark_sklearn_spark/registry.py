@@ -49,7 +49,7 @@ DRIVER_PRIORITY: list[str] = [
     "q_profile_corr",
     "q_ts_ewma",
     "q_ml_keyed_scale",
-    "q_graph_pagerank",  # rows-only
+    "q_graph_pagerank",  # promoted rows-only -> declared in r7
     "q_behavior_streaks",
     "q_basket_lift",
     "q_agg_weighted",
