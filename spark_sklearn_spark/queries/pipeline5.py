@@ -862,3 +862,163 @@ def q_corpus_health(spark, d):
         )
         .orderBy("source", "lang")
     )
+
+
+# --------------------------------------------------------------------------
+# MMR, the hash-verified way (integer-quantized, greedy unrolled in SQL)
+# --------------------------------------------------------------------------
+
+MMRX_CAND = 20
+MMRX_K = 5
+# lambda = 0.7 expressed as integer weights 7:3 — the greedy argmax
+# compares 7*rel - 3*maxsim, all BIGINT, so no float exists anywhere
+_MMRX_QUANT = "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+_MMRX_DOT = "list_sum(list_transform(generate_series(1, 64), i -> {a}[i] * {b}[i]))"
+
+
+def _mmr_exact_oracle() -> str:
+    """Chained-CTE mirror of the unrolled greedy: step t picks the
+    argmax of 7*rel - 3*max_sim_to_selected over the not-yet-selected
+    candidates (ORDER BY ... LIMIT 1, vec_id tie-break)."""
+    steps = []
+    sel_union = "SELECT vec_id, rank_ FROM s1"
+    steps.append("""s1 AS (
+          SELECT vec_id, rel, 7 * rel AS mmr, 1 AS rank_
+          FROM cvec ORDER BY mmr DESC, vec_id LIMIT 1
+        )""")
+    for t in range(2, MMRX_K + 1):
+        prev_sel = f"sel{t - 1}"
+        steps.append(f"""{prev_sel} AS ({sel_union})""")
+        steps.append(f"""s{t} AS (
+          SELECT c.vec_id, c.rel, 7 * c.rel - 3 * m.ms AS mmr,
+                 {t} AS rank_
+          FROM cvec c
+          JOIN (
+            SELECT s.ia, MAX(s.s) AS ms FROM sims s
+            WHERE s.ib IN (SELECT vec_id FROM {prev_sel})
+            GROUP BY s.ia
+          ) m ON m.ia = c.vec_id
+          WHERE c.vec_id NOT IN (SELECT vec_id FROM {prev_sel})
+          ORDER BY mmr DESC, c.vec_id LIMIT 1
+        )""")
+        sel_union += f" UNION ALL SELECT vec_id, rank_ FROM s{t}"
+    picks = " UNION ALL ".join(
+        f"SELECT rank_, vec_id, rel, mmr FROM s{t}"
+        for t in range(1, MMRX_K + 1)
+    )
+    dot_vq = _MMRX_DOT.format(a="v.q", b="qv.q")
+    dot_ab = _MMRX_DOT.format(a="a.q", b="b.q")
+    return f"""
+        WITH qv AS (
+          SELECT {_MMRX_QUANT} AS q FROM embeddings WHERE vec_id = 0
+        ),
+        vecs AS (
+          SELECT vec_id, {_MMRX_QUANT} AS q
+          FROM embeddings WHERE vec_id <> 0
+        ),
+        rel AS (
+          SELECT v.vec_id, v.q, {dot_vq} AS rel FROM vecs v, qv
+        ),
+        cvec AS (
+          SELECT vec_id, q, rel FROM rel
+          ORDER BY rel DESC, vec_id LIMIT {MMRX_CAND}
+        ),
+        sims AS (
+          SELECT a.vec_id AS ia, b.vec_id AS ib, {dot_ab} AS s
+          FROM cvec a JOIN cvec b ON a.vec_id <> b.vec_id
+        ),
+        {", ".join(steps)}
+        SELECT rank_ AS rank, vec_id, rel, mmr
+        FROM ({picks})
+        ORDER BY rank
+    """
+
+
+@query("q_sim_mmr_exact", oracle=_mmr_exact_oracle())
+def q_sim_mmr_exact(spark, d):
+    """MMR diversity re-ranking, hash-verified: the declared twin of
+    q_sim_mmr_rerank (which keeps the Arrow-task form). Everything is
+    integer: components quantize to floor(x*1e6), relevance and
+    pairwise similarity are BIGINT dot folds, and lambda=0.7 becomes
+    the weight pair 7:3 — so the greedy argmax chain has NO float
+    anywhere and both engines select identically by construction.
+    The k=5 greedy steps UNROLL as DataFrame ops (each step = anti
+    join selected + max-sim agg + 1-row TakeOrdered over the
+    20-candidate relation): greedy selection IS SQL-expressible when
+    k is fixed and the candidate set is bounded — the distributed
+    work remains the upstream top-20 scan, exactly as in the Arrow
+    form. Candidate relation and gram matrix persist across the five
+    bounded steps."""
+    emb = load(spark, d, "embeddings")
+    quant = F.expr(
+        "transform(embedding, x -> cast(floor(cast(x as double)"
+        " * 1000000) as bigint))"
+    )
+    qv = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(quant.alias("qq"))
+    )
+    vecs = emb.filter(F.col("vec_id") != 0).select(
+        "vec_id", quant.alias("q")
+    )
+    dot = (
+        "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0L,"
+        " (acc, x) -> acc + x)"
+    )
+    rel = vecs.crossJoin(F.broadcast(qv)).select(
+        "vec_id",
+        "q",
+        F.expr(dot.format(a="q", b="qq")).alias("rel"),
+    )
+    cvec = rel.orderBy(F.desc("rel"), "vec_id").limit(MMRX_CAND).persist()
+    a = cvec.select(
+        F.col("vec_id").alias("ia"), F.col("q").alias("qa")
+    )
+    b = cvec.select(
+        F.col("vec_id").alias("ib"), F.col("q").alias("qb")
+    )
+    sims = (
+        a.join(b, F.col("ia") != F.col("ib"))
+        .select(
+            "ia", "ib", F.expr(dot.format(a="qa", b="qb")).alias("s")
+        )
+        .persist()
+    )
+    # each pick is ONE row; an eager localCheckpoint cuts the O(k^2)
+    # nested-TakeOrdered plan growth (measured 8.2 s -> 2.5 s at sf0.1:
+    # the cost was AQE stage scheduling for the nesting, not data)
+    picks = [
+        cvec.select(
+            "vec_id", "rel", (7 * F.col("rel")).alias("mmr"),
+            F.lit(1).alias("rank"),
+        )
+        .orderBy(F.desc("mmr"), "vec_id")
+        .limit(1)
+        .localCheckpoint()
+    ]
+    sel = picks[0].select("vec_id")
+    for t in range(2, MMRX_K + 1):
+        maxsim = (
+            sims.join(sel, sims.ib == sel.vec_id)
+            .groupBy("ia")
+            .agg(F.max("s").alias("ms"))
+        )
+        step = (
+            cvec.join(sel, "vec_id", "left_anti")
+            .join(maxsim, F.col("vec_id") == F.col("ia"))
+            .select(
+                "vec_id",
+                "rel",
+                (7 * F.col("rel") - 3 * F.col("ms")).alias("mmr"),
+                F.lit(t).alias("rank"),
+            )
+            .orderBy(F.desc("mmr"), "vec_id")
+            .limit(1)
+            .localCheckpoint()
+        )
+        picks.append(step)
+        sel = sel.unionAll(step.select("vec_id"))
+    out = picks[0].select("rank", "vec_id", "rel", "mmr")
+    for p in picks[1:]:
+        out = out.unionAll(p.select("rank", "vec_id", "rel", "mmr"))
+    return out.orderBy("rank")

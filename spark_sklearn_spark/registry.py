@@ -105,6 +105,7 @@ DRIVER_PRIORITY: list[str] = [
     "q_fn_timezone",
     "q_ml_pr_curve",
     "q_ts_autocorr",
+    "q_sim_mmr_exact",
     # r3-green keys with the oldest driver rows on file
     "q_ml_keyed_fit",
     "q_ml_keyed_transform",
