@@ -737,3 +737,190 @@ def q_ml_pr_curve(spark, d):
         F.round(tp / (1.0 * F.greatest(tp + fn, F.lit(1))), 6)
         .alias("recall_"),
     ).orderBy("thr")
+
+
+# --------------------------------------------------------------------------
+# Cumulative gains / lift by score decile
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_ml_gains",
+    oracle="""
+        WITH labeled AS (
+          SELECT CAST(floor(value * 1000) AS BIGINT) AS s,
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+          FROM events
+        ),
+        grps AS (
+          SELECT s, COUNT(*) AS n, SUM(y) AS np
+          FROM labeled GROUP BY s
+        ),
+        ordered AS (
+          SELECT s, n, np,
+                 SUM(n) OVER (ORDER BY s DESC ROWS UNBOUNDED PRECEDING)
+                     - n AS cum_before
+          FROM grps
+        ),
+        totals AS (
+          SELECT SUM(n) AS total, SUM(np) AS total_pos FROM grps
+        ),
+        bucketed AS (
+          SELECT CAST(floor((o.cum_before * 10) / t.total) AS BIGINT) AS decile,
+                 SUM(o.n) AS n, SUM(o.np) AS n_pos
+          FROM ordered o, totals t
+          GROUP BY decile
+        ),
+        cum AS (
+          SELECT decile, n, n_pos,
+                 SUM(n_pos) OVER (ORDER BY decile
+                                  ROWS UNBOUNDED PRECEDING) AS cum_pos
+          FROM bucketed
+        )
+        SELECT c.decile, c.n, c.n_pos,
+               ROUND(c.cum_pos / (1.0 * t.total_pos), 6) AS capture,
+               ROUND((c.n_pos / (1.0 * c.n))
+                     / (t.total_pos / (1.0 * t.total)), 6) AS lift
+        FROM cum c, totals t
+        ORDER BY c.decile
+    """,
+)
+def q_ml_gains(spark, d):
+    """Cumulative gains / lift table: rows rank by score descending,
+    split into 10 population deciles, and each decile reports its
+    positive capture (cumulative share of all positives) and lift
+    over the base rate — the campaign-targeting readout next to AUC.
+    Decile assignment is pure integer arithmetic over score-GROUP
+    cumulative counts (floor(cum_before*10/total)), so ties in the
+    score never straddle engines; only the final two ratios are
+    floats, rounded to 6. Shape: one combinable (score -> n, np) agg,
+    a cumsum over the bounded score-group relation, a 10-row rollup."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, d, "events").select(
+        F.floor(F.col("value") * 1000).cast("long").alias("s"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    grps = ev.groupBy("s").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("np")
+    )
+    w = W.orderBy(F.desc("s")).rowsBetween(W.unboundedPreceding, 0)
+    ordered = grps.withColumn(
+        "cum_before", F.sum("n").over(w) - F.col("n")
+    )
+    totals = grps.agg(
+        F.sum("n").alias("total"), F.sum("np").alias("total_pos")
+    )
+    bucketed = (
+        ordered.crossJoin(F.broadcast(totals))
+        .groupBy(
+            ((F.col("cum_before") * 10) / F.col("total"))
+            .cast("long")
+            .alias("decile")
+        )
+        .agg(F.sum("n").alias("n"), F.sum("np").alias("n_pos"))
+    )
+    w2 = W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0)
+    cum = bucketed.withColumn("cum_pos", F.sum("n_pos").over(w2))
+    return (
+        cum.crossJoin(F.broadcast(totals))
+        .select(
+            "decile",
+            "n",
+            "n_pos",
+            F.round(F.col("cum_pos") / (1.0 * F.col("total_pos")), 6)
+            .alias("capture"),
+            F.round(
+                (F.col("n_pos") / (1.0 * F.col("n")))
+                / (F.col("total_pos") / (1.0 * F.col("total"))),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy("decile")
+    )
+
+
+# --------------------------------------------------------------------------
+# Kolmogorov–Smirnov separation statistic
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_ml_ks",
+    oracle="""
+        WITH labeled AS (
+          SELECT CAST(floor(value * 1000) AS BIGINT) AS s,
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+          FROM events
+        ),
+        grps AS (
+          SELECT s, SUM(y) AS np, SUM(1 - y) AS nn
+          FROM labeled GROUP BY s
+        ),
+        totals AS (SELECT SUM(np) AS p, SUM(nn) AS n FROM grps),
+        cdfs AS (
+          SELECT s,
+                 SUM(np) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING)
+                     AS cum_p,
+                 SUM(nn) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING)
+                     AS cum_n
+          FROM grps
+        ),
+        diffs AS (
+          SELECT c.s,
+                 ROUND(abs(c.cum_p / (1.0 * t.p)
+                           - c.cum_n / (1.0 * t.n)), 6) AS d
+          FROM cdfs c, totals t
+        )
+        SELECT t.p AS n_pos, t.n AS n_neg, d.d AS ks, d.s AS ks_at_score
+        FROM diffs d, totals t
+        ORDER BY d.d DESC, d.s
+        LIMIT 1
+    """,
+)
+def q_ml_ks(spark, d):
+    """Kolmogorov–Smirnov separation: max vertical gap between the
+    positive and negative score CDFs — credit-scoring's favorite
+    single-number discriminator, and the two-sample test behind
+    drift monitors. Same scale shape as q_ml_auc: scores quantize to
+    integer groups, both CDFs come from ONE ordered cumsum over the
+    bounded group relation, and the max picks deterministically
+    (gap rounded to 6 before the argmax, score tie-break)."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, d, "events").select(
+        F.floor(F.col("value") * 1000).cast("long").alias("s"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    grps = ev.groupBy("s").agg(
+        F.sum("y").alias("np"), F.sum(1 - F.col("y")).alias("nn")
+    )
+    totals = grps.agg(F.sum("np").alias("p"), F.sum("nn").alias("n"))
+    w = W.orderBy("s").rowsBetween(W.unboundedPreceding, 0)
+    cdfs = grps.select(
+        "s",
+        F.sum("np").over(w).alias("cum_p"),
+        F.sum("nn").over(w).alias("cum_n"),
+    )
+    diffs = cdfs.crossJoin(F.broadcast(totals)).select(
+        "s",
+        "p",
+        "n",
+        F.round(
+            F.abs(
+                F.col("cum_p") / (1.0 * F.col("p"))
+                - F.col("cum_n") / (1.0 * F.col("n"))
+            ),
+            6,
+        ).alias("d"),
+    )
+    return (
+        diffs.orderBy(F.desc("d"), "s")
+        .limit(1)
+        .select(
+            F.col("p").alias("n_pos"),
+            F.col("n").alias("n_neg"),
+            F.col("d").alias("ks"),
+            F.col("s").alias("ks_at_score"),
+        )
+    )

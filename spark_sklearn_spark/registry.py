@@ -106,6 +106,8 @@ DRIVER_PRIORITY: list[str] = [
     "q_ml_pr_curve",
     "q_ts_autocorr",
     "q_sim_mmr_exact",
+    "q_ml_gains",
+    "q_ml_ks",
     # r3-green keys with the oldest driver rows on file
     "q_ml_keyed_fit",
     "q_ml_keyed_transform",
