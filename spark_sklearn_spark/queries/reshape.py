@@ -319,3 +319,58 @@ def q_pivot_dynamic(spark, d):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_pivot_multi_agg",
+    oracle="""
+        SELECT user_id,
+               COUNT(CASE WHEN event_type = 'click' THEN 1 END)
+                   AS click_n,
+               ROUND(CAST(SUM(CASE WHEN event_type = 'click'
+                     THEN CAST(value AS DECIMAL(30,10)) END) AS DOUBLE), 2)
+                   AS click_sum,
+               COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+                   AS purchase_n,
+               ROUND(CAST(SUM(CASE WHEN event_type = 'purchase'
+                     THEN CAST(value AS DECIMAL(30,10)) END) AS DOUBLE), 2)
+                   AS purchase_sum,
+               COUNT(CASE WHEN event_type = 'error' THEN 1 END)
+                   AS error_n,
+               ROUND(CAST(SUM(CASE WHEN event_type = 'error'
+                     THEN CAST(value AS DECIMAL(30,10)) END) AS DOUBLE), 2)
+                   AS error_sum
+        FROM events
+        WHERE user_id % 5 = 0
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+)
+def q_pivot_multi_agg(spark, d):
+    """Pivot with MULTIPLE aggregates per pivoted value (count + sum
+    per event type) — Spark names the output columns
+    {value}_{aggAlias}, and pinning that naming against the oracle is
+    the point: multi-agg pivots are where silent column-name drift
+    breaks downstream schemas. Explicit value list (the
+    q_pivot_dynamic rule), decimal-path sums, one partial+final agg;
+    the %5 slice bounds the declared output."""
+    ev = load(spark, d, "events").filter(F.col("user_id") % 5 == 0)
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "purchase", "error"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("value").cast(DEC)).cast("double"), 2
+            ).alias("sum"),
+        )
+    )
+    return out.select(
+        "user_id",
+        F.col("click_n"),
+        F.col("click_sum"),
+        F.col("purchase_n"),
+        F.col("purchase_sum"),
+        F.col("error_n"),
+        F.col("error_sum"),
+    ).orderBy("user_id")

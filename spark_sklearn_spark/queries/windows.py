@@ -314,3 +314,57 @@ def q_win_pct_change(spark, d):
             6,
         ).alias("ma7"),
     ).orderBy("day")
+
+
+@query(
+    "q_win_ignore_nulls",
+    oracle="""
+        WITH readings AS (
+          SELECT user_id, event_id, ts,
+                 CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS v
+          FROM events
+        )
+        SELECT user_id, event_id,
+               ROUND(last_value(v IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING), 6) AS last_known,
+               ROUND(first_value(v IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING), 6) AS first_known
+        FROM readings
+        ORDER BY user_id, event_id
+    """,
+)
+def q_win_ignore_nulls(spark, d):
+    """IGNORE NULLS window semantics: last/first non-null reading as
+    of each row — the carry-forward every sensor/telemetry pipeline
+    leans on when a stream drops values (NULLs injected on every
+    third event_id to exercise it; unlike q_ts_gapfill this is the
+    WINDOW-function form, one pass with no self-join). Both frames
+    share a single (user_id; ts, event_id) partitioning — one
+    shuffle, one sort."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, d, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.col("event_id") % 3 == 0, None)
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.last("v", ignorenulls=True).over(w), 6).alias(
+            "last_known"
+        ),
+        F.round(F.first("v", ignorenulls=True).over(w), 6).alias(
+            "first_known"
+        ),
+    ).orderBy("user_id", "event_id")

@@ -108,6 +108,8 @@ DRIVER_PRIORITY: list[str] = [
     "q_sim_mmr_exact",
     "q_ml_gains",
     "q_ml_ks",
+    "q_win_ignore_nulls",
+    "q_pivot_multi_agg",
     # r3-green keys with the oldest driver rows on file
     "q_ml_keyed_fit",
     "q_ml_keyed_transform",
