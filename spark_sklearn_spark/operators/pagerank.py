@@ -99,9 +99,19 @@ def pagerank(
     for it in range(iterations):
         dangling = n_iso * r_iso
         if not lazy:
-            dangling += (
+            # keep the exact_contribs determinism promise on the
+            # dangling path too: an unquantized double sum here is
+            # aggregation-order-dependent
+            dang_rank = F.col("rank")
+            if exact_contribs:
+                dang_rank = dang_rank.cast("decimal(30,10)")
+            dangling += float(
                 ranks.filter(F.col("out_deg") == 0)
-                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+                .agg(
+                    F.coalesce(
+                        F.sum(dang_rank).cast("double"), F.lit(0.0)
+                    )
+                )
                 .first()[0]
             )
         c_expr = F.col("rank") / F.col("out_deg")

@@ -58,3 +58,24 @@ def epoch_seconds(col: Column | str) -> Column:
     ``CAST(epoch(date_trunc('second', ts)) AS BIGINT)`` in DuckDB."""
     c = F.col(col) if isinstance(col, str) else col
     return F.date_trunc("second", c).cast("long")
+
+
+# 56-bit portable hash: first 14 hex chars of md5 — Spark (conv base
+# 16) and DuckDB ('0x'||…::BIGINT) produce the IDENTICAL value, inside
+# whole-stage codegen (CLAUDE.md trap: this exact expression is the
+# one proven cross-engine form; every query must build on these two
+# helpers rather than re-typing it).
+
+TWO56 = float(1 << 56)  # hash-space size, for uniform-in-(0,1] draws
+
+
+def h56(expr: str) -> Column:
+    """Spark md5-head hash of an arbitrary SQL expression string."""
+    return F.expr(
+        f"cast(conv(substr(md5({expr}), 1, 14), 16, 10) as bigint)"
+    )
+
+
+def sql_h56(expr: str) -> str:
+    """DuckDB mirror of :func:`h56`."""
+    return f"(('0x' || substr(md5({expr}), 1, 14))::BIGINT)"

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..sources.io import load, warehouse_path
+from ._helpers import DEC, TWO56, h56
 
 # --------------------------------------------------------------------------
 # Referential-integrity audit (FK orphan counts)
@@ -193,7 +194,7 @@ def q_source_schema_evolution(spark, d):
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(
-                F.sum(F.col("o_totalprice").cast("decimal(30,10)"))
+                F.sum(F.col("o_totalprice").cast(DEC))
                 .cast("double"),
                 2,
             ).alias("sum_price"),
@@ -208,14 +209,12 @@ def q_source_schema_evolution(spark, d):
 
 WS_K = 50
 
-_TWO56 = float(1 << 56)
-
 _WSAMPLE_ORACLE = f"""
     WITH keyed AS (
       SELECT doc_id, lang, n_chars,
              ROUND(
                ln((( ('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)),
-                                     1, 14))::BIGINT) + 1) / {_TWO56!r})
+                                     1, 14))::BIGINT) + 1) / {TWO56!r})
                / n_chars, 6) AS es_key
       FROM documents
       WHERE n_chars > 0
@@ -239,16 +238,13 @@ def q_sample_weighted(spark, d):
     (the same property q_sample_hash uses for uniform sampling).
     Keys rounded to 6 BEFORE ordering, doc_id tie-break."""
     docs = load(spark, d, "documents").filter(F.col("n_chars") > 0)
-    h = F.expr(
-        "cast(conv(substr(md5(concat('ws:', cast(doc_id as string))),"
-        " 1, 14), 16, 10) as bigint)"
-    )
+    h = h56("concat('ws:', cast(doc_id as string))")
     keyed = docs.select(
         "doc_id",
         "lang",
         "n_chars",
         F.round(
-            F.log((h + 1).cast("double") / F.lit(_TWO56)) / F.col("n_chars"),
+            F.log((h + 1).cast("double") / F.lit(TWO56)) / F.col("n_chars"),
             6,
         ).alias("es_key"),
     )
@@ -350,7 +346,7 @@ _MIX_ORACLE = f"""
              ROUND(
                ln((( ('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)),
                                      1, 14))::BIGINT) + 1)
-                  / 72057594037927936.0) / score, 6) AS es_key
+                  / 7.205759403792794e+16) / score, 6) AS es_key
       FROM gated
     ),
     ordered AS (
@@ -404,14 +400,11 @@ def q_mix_budget(spark, d):
         (F.col("n_words") >= MIX_MIN_WORDS)
         & (F.col("score") >= MIX_MIN_TTR)
     )
-    h = F.expr(
-        "cast(conv(substr(md5(concat('mix:', cast(doc_id as string))),"
-        " 1, 14), 16, 10) as bigint)"
-    )
+    h = h56("concat('mix:', cast(doc_id as string))")
     keyed = gated.withColumn(
         "es_key",
         F.round(
-            F.log((h + 1).cast("double") / F.lit(float(1 << 56)))
+            F.log((h + 1).cast("double") / F.lit(TWO56))
             / F.col("score"),
             6,
         ),
@@ -431,7 +424,7 @@ def q_mix_budget(spark, d):
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_words").alias("sum_tokens"),
             F.round(
-                F.sum(F.col("score").cast("decimal(30,10)")).cast("double")
+                F.sum(F.col("score").cast(DEC)).cast("double")
                 / F.count(F.lit(1)),
                 6,
             ).alias("avg_score"),
@@ -497,7 +490,7 @@ def q_ts_seasonal(spark, d):
     baseline = ev.groupBy("event_type", "hod").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(
-            F.sum(F.col("value").cast("decimal(30,10)")).cast("double")
+            F.sum(F.col("value").cast(DEC)).cast("double")
             / F.count(F.lit(1)),
             6,
         ).alias("hod_mean"),
@@ -515,7 +508,7 @@ def q_ts_seasonal(spark, d):
             F.round(F.min("hod_mean"), 6).alias("min_hod_mean"),
             F.round(F.max("hod_mean"), 6).alias("max_hod_mean"),
             F.round(
-                F.sum(F.col("adev").cast("decimal(30,10)")).cast("double")
+                F.sum(F.col("adev").cast(DEC)).cast("double")
                 / F.count(F.lit(1)),
                 6,
             ).alias("mean_abs_resid"),
@@ -595,7 +588,7 @@ def q_cdc_snapshot_diff(spark, d):
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(
-                F.sum(F.col("v").cast("decimal(30,10)")).cast("double"), 2
+                F.sum(F.col("v").cast(DEC)).cast("double"), 2
             ).alias("sum_value"),
         )
         .orderBy("status")
@@ -709,7 +702,7 @@ def q_ts_twap(spark, d):
             F.sum("dt").alias("total_seconds"),
             F.round(
                 F.sum(
-                    (F.col("value") * F.col("dt")).cast("decimal(30,10)")
+                    (F.col("value") * F.col("dt")).cast(DEC)
                 ).cast("double")
                 / F.sum("dt"),
                 6,

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..sources.io import load
-from ._helpers import DEC
+from ._helpers import DEC, h56
 
 # --------------------------------------------------------------------------
 # One-hot encoding (fixed vocabulary)
@@ -119,9 +119,7 @@ def q_feat_hashing(spark, d):
     cust = load(spark, d, "customer")
 
     def tok(expr: str) -> F.Column:
-        h = F.expr(
-            f"cast(conv(substr(md5({expr}), 1, 14), 16, 10) as bigint)"
-        )
+        h = h56(expr)
         return F.struct(
             F.pmod(h, F.lit(FH_B)).alias("bucket"),
             F.when(F.shiftright(h, 10).bitwiseAND(F.lit(1)) == 1, 1)

@@ -180,12 +180,11 @@ def q_layout_compaction(spark, d):
     single-partition window over file stats, never over data rows),
     which is exactly why it scales: at 100 TB the manifest of a
     million files is still metadata-sized."""
+    from ._helpers import h56
+
     li = load(spark, d, "lineitem").select(
         F.pmod(
-            F.expr(
-                "cast(conv(substr(md5(concat('f:',"
-                " cast(l_orderkey as string))), 1, 14), 16, 10) as bigint)"
-            ),
+            h56("concat('f:', cast(l_orderkey as string))"),
             F.lit(COMPACT_FILES),
         ).alias("file_id")
     )

@@ -365,12 +365,15 @@ def q_pivot_multi_agg(spark, d):
             ).alias("sum"),
         )
     )
+    # a (user, type) combination with no rows pivots to NULL counts in
+    # Spark while the oracle's COUNT(CASE ...) yields 0 — coalesce the
+    # count cells (q_pivot_dynamic's rule; sums are NULL on BOTH sides)
     return out.select(
         "user_id",
-        F.col("click_n"),
+        F.coalesce("click_n", F.lit(0)).alias("click_n"),
         F.col("click_sum"),
-        F.col("purchase_n"),
+        F.coalesce("purchase_n", F.lit(0)).alias("purchase_n"),
         F.col("purchase_sum"),
-        F.col("error_n"),
+        F.coalesce("error_n", F.lit(0)).alias("error_n"),
         F.col("error_sum"),
     ).orderBy("user_id")

@@ -466,8 +466,12 @@ def q_sql_recursive(spark, d):
     "q_fn_timezone",
     oracle="""
         WITH local_ts AS (
-          SELECT CAST(o_orderdate AS TIMESTAMPTZ)
-                     AT TIME ZONE 'America/New_York' AS lt
+          -- timezone('UTC', ts) pins the naive->instant reading to
+          -- UTC regardless of the DuckDB session timezone (a bare
+          -- CAST(ts AS TIMESTAMPTZ) reads in session tz, so the
+          -- declared hash would only match on UTC hosts)
+          SELECT timezone('America/New_York',
+                          timezone('UTC', o_orderdate)) AS lt
           FROM orders
         )
         SELECT CAST(extract(hour FROM lt) AS INTEGER) AS local_hour,

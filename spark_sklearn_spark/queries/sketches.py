@@ -31,21 +31,19 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..sources.io import load
+from ._helpers import h56, sql_h56
 
-# 56-bit portable hash: first 14 hex chars of md5, identical in Spark
-# (conv base-16) and DuckDB ('0x'||…::BIGINT). Salt prefix picks the
+# Salted wrappers over the central _helpers.h56/sql_h56 (the one
+# proven cross-engine md5-head form): the salt prefix picks the
 # hash-family member.
 
 
 def _h56(salt: str, col: str) -> F.Column:
-    return F.expr(
-        f"cast(conv(substr(md5(concat('{salt}', {col})), 1, 14), 16, 10)"
-        " as bigint)"
-    )
+    return h56(f"concat('{salt}', {col})")
 
 
 def _sql_h56(salt: str, expr: str) -> str:
-    return f"(('0x' || substr(md5('{salt}' || {expr}), 1, 14))::BIGINT)"
+    return sql_h56(f"'{salt}' || {expr}")
 
 
 # --------------------------------------------------------------------------
