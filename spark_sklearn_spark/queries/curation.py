@@ -901,3 +901,85 @@ def q_ts_autocorr(spark, d):
             6,
         ).alias("acf"),
     ).orderBy("k")
+
+
+# --------------------------------------------------------------------------
+# Seasonal-naive forecast backtest
+# --------------------------------------------------------------------------
+
+BT_TEST_DAYS = 7
+
+
+@query(
+    "q_ts_backtest",
+    oracle=f"""
+        WITH daily AS (
+          SELECT CAST(date_diff('day', DATE '1970-01-01', ts) AS BIGINT)
+                     AS day_idx,
+                 COUNT(*) AS n
+          FROM events GROUP BY day_idx
+        ),
+        bounds AS (
+          SELECT MAX(day_idx) - {BT_TEST_DAYS - 1} AS cutoff FROM daily
+        ),
+        test AS (
+          SELECT d.day_idx, d.day_idx % 7 AS dow, d.n AS actual
+          FROM daily d, bounds b WHERE d.day_idx >= b.cutoff
+        ),
+        train AS (
+          SELECT d.day_idx % 7 AS dow, d.n
+          FROM daily d, bounds b WHERE d.day_idx < b.cutoff
+        ),
+        model AS (
+          SELECT dow, ROUND(SUM(n) / (1.0 * COUNT(*)), 6) AS predicted
+          FROM train GROUP BY dow
+        )
+        SELECT t.day_idx, t.dow, t.actual, m.predicted,
+               ROUND(abs(t.actual - m.predicted), 6) AS abs_err
+        FROM test t JOIN model m ON t.dow = m.dow
+        ORDER BY t.day_idx
+    """,
+)
+def q_ts_backtest(spark, d):
+    """Seasonal-naive forecast backtest: hold out the final week,
+    predict each day's event count as the mean of same-weekday counts
+    in the training window, and report per-day absolute error — the
+    baseline every forecasting pipeline must beat, run as a query.
+    Weekdays are epoch-day % 7 (no calendar ambiguity); counts are
+    integers so the only float is the train mean, rounded before the
+    error. Shape: corpus collapses to the daily grain once, the
+    'model' is a 7-row agg broadcast onto the 7-row test set."""
+    ev = load(spark, d, "events")
+    daily = ev.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("day_idx")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    bounds = daily.agg(
+        (F.max("day_idx") - (BT_TEST_DAYS - 1)).alias("cutoff")
+    )
+    with_cut = daily.crossJoin(F.broadcast(bounds))
+    test = with_cut.filter(F.col("day_idx") >= F.col("cutoff")).select(
+        "day_idx", (F.col("day_idx") % 7).alias("dow"),
+        F.col("n").alias("actual"),
+    )
+    train = with_cut.filter(F.col("day_idx") < F.col("cutoff")).select(
+        (F.col("day_idx") % 7).alias("dow"), "n"
+    )
+    model = train.groupBy("dow").agg(
+        F.round(F.sum("n") / (1.0 * F.count(F.lit(1))), 6).alias(
+            "predicted"
+        )
+    )
+    return (
+        test.join(F.broadcast(model), "dow")
+        .select(
+            "day_idx",
+            "dow",
+            "actual",
+            "predicted",
+            F.round(F.abs(F.col("actual") - F.col("predicted")), 6)
+            .alias("abs_err"),
+        )
+        .orderBy("day_idx")
+    )

@@ -835,3 +835,128 @@ def q_sim_ann_grid(spark, d):
         .select("probe_id", "rnk", "neighbor_id", "dist2")
         .orderBy("probe_id", "rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# Dedup-tier funnel report
+# --------------------------------------------------------------------------
+
+
+def _dedup_funnel_oracle() -> str:
+    from .pipeline import NEAR_DUP_J, _SQL_JACCARD, _SQL_SHINGLES_CTE
+
+    return f"""
+        WITH RECURSIVE docs_t AS (
+          SELECT doc_id, len(string_split(text, ' ')) AS nw,
+                 sha256(lower(trim(text))) AS exact_key,
+                 md5(array_to_string(list_sort(string_split(text, ' ')),
+                                     ' ')) AS bow_key
+          FROM documents
+        ),
+        {_SQL_SHINGLES_CTE}, pairs AS (
+          SELECT a.doc_id AS src, b.doc_id AS dst
+          FROM sh a, sh b
+          WHERE a.doc_id < b.doc_id
+            AND {_SQL_JACCARD} >= {NEAR_DUP_J}
+        ), edges AS (
+          SELECT src, dst FROM pairs
+          UNION SELECT dst, src FROM pairs
+          UNION SELECT doc_id, doc_id FROM documents
+        ), reach(src, dst) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        ), comp AS (
+          SELECT src AS doc_id, min(dst) AS grp FROM reach GROUP BY src
+        ),
+        exact_t AS (
+          SELECT COUNT(*) AS n_groups,
+                 SUM(kept_nw) AS tokens_kept
+          FROM (SELECT exact_key, arg_min(nw, doc_id) AS kept_nw
+                FROM docs_t GROUP BY exact_key)
+        ),
+        bow_t AS (
+          SELECT COUNT(*) AS n_groups,
+                 SUM(kept_nw) AS tokens_kept
+          FROM (SELECT bow_key, arg_min(nw, doc_id) AS kept_nw
+                FROM docs_t GROUP BY bow_key)
+        ),
+        near_t AS (
+          SELECT COUNT(*) AS n_groups,
+                 SUM(kept_nw) AS tokens_kept
+          FROM (SELECT c.grp, arg_min(d.nw, d.doc_id) AS kept_nw
+                FROM comp c JOIN docs_t d ON d.doc_id = c.doc_id
+                GROUP BY c.grp)
+        ),
+        totals AS (
+          SELECT COUNT(*) AS n_docs, SUM(nw) AS n_tokens FROM docs_t
+        )
+        SELECT tier, t.n_docs, x.n_groups,
+               t.n_docs - x.n_groups AS n_removable,
+               t.n_tokens - x.tokens_kept AS tokens_removed
+        FROM totals t, (
+          SELECT 'tier1_exact' AS tier, * FROM exact_t
+          UNION ALL SELECT 'tier2_bow', * FROM bow_t
+          UNION ALL SELECT 'tier3_neardup', * FROM near_t
+        ) x
+        ORDER BY tier
+    """
+
+
+@query("q_dedup_funnel", oracle=_dedup_funnel_oracle())
+def q_dedup_funnel(spark, d):
+    """Dedup-tier funnel: what each successive tier would remove —
+    exact byte-hash, bag-of-words, MinHash-LSH transitive clusters —
+    as group counts, removable docs, and removable token mass (keeper
+    = min doc_id per group, so the kept-token sum is deterministic).
+    This is the report a curation run publishes before committing a
+    dedup level. All three tiers are aggregation-shaped over existing
+    machinery: two hash aggs on digests plus the memoized
+    dup_components snapshot (built once per corpus — the same one
+    q_dedup_clusters/q_dedup_canonical ride); min_by/arg_min picks
+    keeper token counts without a join back."""
+    from .pipeline import dup_components
+
+    docs = load(spark, d, "documents").select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("nw"),
+        F.sha2(F.lower(F.trim(F.col("text"))), 256).alias("exact_key"),
+        F.md5(
+            F.array_join(F.sort_array(F.split("text", " ")), " ")
+        ).alias("bow_key"),
+    )
+
+    def tier(grouped, name):
+        g = grouped.agg(F.min_by("nw", "doc_id").alias("kept_nw"))
+        return g.agg(
+            F.lit(name).alias("tier"),
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum("kept_nw").alias("tokens_kept"),
+        )
+
+    comp = dup_components(spark, d).select(
+        "doc_id", F.col("cluster_id").alias("grp")
+    )
+    near = comp.join(docs, "doc_id").groupBy("grp")
+    tiers = (
+        tier(docs.groupBy("exact_key"), "tier1_exact")
+        .unionAll(tier(docs.groupBy("bow_key"), "tier2_bow"))
+        .unionAll(tier(near, "tier3_neardup"))
+    )
+    totals = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nw").alias("n_tokens"),
+    )
+    return (
+        tiers.crossJoin(F.broadcast(totals))
+        .select(
+            "tier",
+            "n_docs",
+            "n_groups",
+            (F.col("n_docs") - F.col("n_groups")).alias("n_removable"),
+            (F.col("n_tokens") - F.col("tokens_kept")).alias(
+                "tokens_removed"
+            ),
+        )
+        .orderBy("tier")
+    )

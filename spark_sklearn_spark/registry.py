@@ -110,6 +110,8 @@ DRIVER_PRIORITY: list[str] = [
     "q_ml_ks",
     "q_win_ignore_nulls",
     "q_pivot_multi_agg",
+    "q_dedup_funnel",
+    "q_ts_backtest",
     # r3-green keys with the oldest driver rows on file
     "q_ml_keyed_fit",
     "q_ml_keyed_transform",
