@@ -960,3 +960,192 @@ def q_dedup_funnel(spark, d):
         )
         .orderBy("tier")
     )
+
+
+# --------------------------------------------------------------------------
+# Bigram-LM perplexity (KenLM-style quality gate)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_text_perplexity",
+    oracle="""
+        WITH words AS (
+          SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        bigrams AS (
+          SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+          FROM words,
+               LATERAL (SELECT unnest(generate_series(1, len(w) - 1))
+                        AS i)
+          WHERE len(w) >= 2
+        ),
+        bg_counts AS (
+          SELECT w1, w2, COUNT(*) AS c FROM bigrams GROUP BY w1, w2
+        ),
+        ctx_counts AS (
+          SELECT w1, COUNT(*) AS ctx FROM bigrams GROUP BY w1
+        ),
+        vocab AS (
+          SELECT COUNT(DISTINCT word) AS v FROM (
+            SELECT unnest(string_split(text, ' ')) AS word FROM documents
+          )
+        ),
+        scored AS (
+          SELECT b.doc_id,
+                 CAST(-ln((g.c + 1.0) / (x.ctx + v.v))
+                      AS DECIMAL(30,10)) AS nll
+          FROM bigrams b
+          JOIN bg_counts g ON g.w1 = b.w1 AND g.w2 = b.w2
+          JOIN ctx_counts x ON x.w1 = b.w1
+          CROSS JOIN vocab v
+          WHERE b.doc_id % 10 = 0
+        )
+        SELECT doc_id,
+               COUNT(*) AS n_bigrams,
+               ROUND(exp(CAST(SUM(nll) AS DOUBLE) / COUNT(*)), 4)
+                   AS perplexity
+        FROM scored
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+)
+def q_text_perplexity(spark, d):
+    """Bigram-LM perplexity per document (add-1 smoothing over the
+    corpus's own counts) — the KenLM-style fluency gate LLM pipelines
+    run to drop gibberish before training. The declared trick is the
+    pagerank one: each -ln p(w2|w1) quantizes to DECIMAL(30,10) and
+    the per-doc sum is EXACT, so the float-order-sensitive part of a
+    log-likelihood — the summation — is order-free on both engines
+    (libm ln agrees to the last ulp on identical double inputs, and
+    the quantization absorbs that). Counts shrink map-side (bigram
+    and context aggs), the scored join is equi on the bigram key, and
+    the %10 slice bounds the declared output; at 100 TB the LM counts
+    are the big-but-aggregated side, exactly like BM25's df table."""
+    docs = load(spark, d, "documents")
+    w = docs.select("doc_id", F.split("text", " ").alias("w")).filter(
+        F.size("w") >= 2
+    )
+    bigrams = w.select(
+        "doc_id",
+        F.explode_outer(
+            F.expr(
+                "transform(sequence(1, size(w) - 1),"
+                " i -> struct(element_at(w, i) as w1,"
+                "             element_at(w, i + 1) as w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    bg_counts = bigrams.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    ctx_counts = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("ctx"))
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .agg(F.countDistinct("word").alias("v"))
+    )
+    scored = (
+        bigrams.filter(F.col("doc_id") % 10 == 0)
+        .join(bg_counts, ["w1", "w2"])
+        .join(ctx_counts, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            (
+                -F.log(
+                    (F.col("c") + 1.0) / (F.col("ctx") + F.col("v"))
+                )
+            ).cast(DEC).alias("nll"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.exp(
+                    F.sum("nll").cast("double") / F.count(F.lit(1))
+                ),
+                4,
+            ).alias("perplexity"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-source KL divergence from the corpus word distribution
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_text_kl_source",
+    oracle="""
+        WITH words AS (
+          SELECT source, unnest(string_split(text, ' ')) AS w
+          FROM documents
+        ),
+        src_counts AS (
+          SELECT source, w, COUNT(*) AS c FROM words GROUP BY source, w
+        ),
+        src_totals AS (
+          SELECT source, SUM(c) AS n FROM src_counts GROUP BY source
+        ),
+        glob_counts AS (
+          SELECT w, SUM(c) AS cg FROM src_counts GROUP BY w
+        ),
+        glob_total AS (SELECT SUM(cg) AS ng FROM glob_counts),
+        terms AS (
+          SELECT s.source,
+                 CAST((s.c / (1.0 * t.n))
+                      * ln((s.c / (1.0 * t.n))
+                           / (g.cg / (1.0 * gt.ng)))
+                      AS DECIMAL(30,10)) AS term
+          FROM src_counts s
+          JOIN src_totals t ON t.source = s.source
+          JOIN glob_counts g ON g.w = s.w
+          CROSS JOIN glob_total gt
+        )
+        SELECT t.source, s.n AS n_tokens,
+               ROUND(CAST(SUM(t.term) AS DOUBLE), 6) AS kl
+        FROM terms t JOIN src_totals s ON s.source = t.source
+        GROUP BY t.source, s.n
+        ORDER BY t.source
+    """,
+)
+def q_text_kl_source(spark, d):
+    """KL divergence of each source's word distribution from the
+    corpus distribution — the drift detector that flags a source
+    whose language shifted (new crawl, new template, new spam
+    campaign). Same declared-float construction as perplexity: the
+    per-word p_s*ln(p_s/p_g) terms quantize to DECIMAL(30,10) and sum
+    exactly, so aggregation order cannot move the result. Two stacked
+    combinable aggs build both distributions in one pass; the term
+    join is equi on the word."""
+    docs = load(spark, d, "documents")
+    words = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("w")
+    )
+    src_counts = words.groupBy("source", "w").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    src_totals = src_counts.groupBy("source").agg(F.sum("c").alias("n"))
+    glob_counts = src_counts.groupBy("w").agg(F.sum("c").alias("cg"))
+    glob_total = glob_counts.agg(F.sum("cg").alias("ng"))
+    p_s = F.col("c") / (1.0 * F.col("n"))
+    p_g = F.col("cg") / (1.0 * F.col("ng"))
+    terms = (
+        src_counts.join(src_totals, "source")
+        .join(glob_counts, "w")
+        .crossJoin(F.broadcast(glob_total))
+        .select(
+            "source",
+            "n",
+            (p_s * F.log(p_s / p_g)).cast(DEC).alias("term"),
+        )
+    )
+    return (
+        terms.groupBy("source", F.col("n").alias("n_tokens"))
+        .agg(F.round(F.sum("term").cast("double"), 6).alias("kl"))
+        .orderBy("source")
+    )

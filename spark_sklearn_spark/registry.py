@@ -112,6 +112,8 @@ DRIVER_PRIORITY: list[str] = [
     "q_pivot_multi_agg",
     "q_dedup_funnel",
     "q_ts_backtest",
+    "q_text_perplexity",
+    "q_text_kl_source",
     # r3-green keys with the oldest driver rows on file
     "q_ml_keyed_fit",
     "q_ml_keyed_transform",
