@@ -40,6 +40,12 @@ PROBE_QUERIES = [
     "q_feat_hashing",
     "q_text_keywords",
     "q_mix_budget",
+    # round-7 late batch: quantized-message pagerank, bigram-LM
+    # perplexity (LM-count joins), KL drift, AUC-style cumsum
+    "q_graph_pagerank",
+    "q_text_perplexity",
+    "q_text_kl_source",
+    "q_ml_auc",
 ]
 
 TABLES = [
