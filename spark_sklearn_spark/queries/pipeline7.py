@@ -1149,3 +1149,162 @@ def q_text_kl_source(spark, d):
         .agg(F.round(F.sum("term").cast("double"), 6).alias("kl"))
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# ANN recall measurement (grid ANN vs exact brute force)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_emb_recall_grid",
+    oracle=f"""
+        WITH cells AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                     x -> CAST(floor(CAST(x AS DOUBLE) * {GRID_Q})
+                               AS BIGINT)) AS q,
+                 CAST(floor(CAST(embedding[1] AS DOUBLE) / {GRID_CELL})
+                      AS BIGINT) AS cx,
+                 CAST(floor(CAST(embedding[2] AS DOUBLE) / {GRID_CELL})
+                      AS BIGINT) AS cy
+          FROM embeddings
+        ),
+        probes AS (SELECT * FROM cells WHERE vec_id % 100 = 0),
+        offs AS (SELECT unnest([-1, 0, 1]) AS d),
+        ann AS (
+          SELECT probe_id, neighbor_id FROM (
+            SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY p.vec_id
+                     ORDER BY list_sum(list_transform(
+                         generate_series(1, 64),
+                         i -> (p.q[i] - c.q[i]) * (p.q[i] - c.q[i]))),
+                       c.vec_id) AS rnk
+            FROM probes p, offs ox, offs oy
+            JOIN cells c
+              ON c.cx = p.cx + ox.d AND c.cy = p.cy + oy.d
+            WHERE c.vec_id <> p.vec_id
+          ) WHERE rnk <= {GRID_TOPK}
+        ),
+        brute AS (
+          SELECT probe_id, neighbor_id FROM (
+            SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY p.vec_id
+                     ORDER BY list_sum(list_transform(
+                         generate_series(1, 64),
+                         i -> (p.q[i] - c.q[i]) * (p.q[i] - c.q[i]))),
+                       c.vec_id) AS rnk
+            FROM probes p JOIN cells c ON c.vec_id <> p.vec_id
+          ) WHERE rnk <= {GRID_TOPK}
+        )
+        SELECT b.probe_id,
+               COUNT(a.neighbor_id) AS n_hit,
+               ROUND(COUNT(a.neighbor_id) / {GRID_TOPK}.0, 6)
+                   AS recall_at_{GRID_TOPK}
+        FROM brute b
+        LEFT JOIN ann a
+          ON a.probe_id = b.probe_id
+         AND a.neighbor_id = b.neighbor_id
+        GROUP BY b.probe_id
+        ORDER BY b.probe_id
+    """,
+)
+def q_emb_recall_grid(spark, d):
+    """Recall@5 of the grid ANN against the exact brute force — the
+    quality measurement every approximate index needs before it
+    replaces the exact path, itself run as a declared query (both
+    sides use the integer-quantized distance, so ground truth and
+    candidate set are each deterministic). The brute side is the
+    bounded probe fan-out (|probes| x corpus equi-free join — same
+    shape as q_sim_knn_brute); the ANN side touches only the 3x3
+    neighborhood. A probe whose true neighbors fall outside its cell
+    neighborhood shows recall < 1 — the measured price of the
+    9-cell probe budget."""
+    emb = load(spark, d, "embeddings")
+    quant = F.expr(
+        f"transform(embedding, x -> cast(floor(cast(x as double)"
+        f" * {GRID_Q}) as bigint))"
+    )
+    cells = emb.select(
+        "vec_id",
+        quant.alias("q"),
+        F.floor(
+            F.element_at("embedding", 1).cast("double") / GRID_CELL
+        ).cast("long").alias("cx"),
+        F.floor(
+            F.element_at("embedding", 2).cast("double") / GRID_CELL
+        ).cast("long").alias("cy"),
+    )
+    dist = (
+        "aggregate(zip_with(pq, q, (a, b) -> (a - b) * (a - b)), 0L,"
+        " (acc, x) -> acc + x)"
+    )
+    probes = cells.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("q").alias("pq"),
+        F.col("cx").alias("pcx"),
+        F.col("cy").alias("pcy"),
+    )
+    w = Window.partitionBy("probe_id").orderBy("dist2", "neighbor_id")
+
+    def topk(cand):
+        return (
+            cand.select(
+                "probe_id",
+                F.col("vec_id").alias("neighbor_id"),
+                F.expr(dist).alias("dist2"),
+            )
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= GRID_TOPK)
+            .select("probe_id", "neighbor_id")
+        )
+
+    offs = [-1, 0, 1]
+    ann_cand = (
+        cells.join(
+            F.broadcast(
+                probes.select(
+                    "probe_id",
+                    "pq",
+                    F.explode(
+                        F.array(
+                            *[
+                                F.struct(
+                                    (F.col("pcx") + dx).alias("cx"),
+                                    (F.col("pcy") + dy).alias("cy"),
+                                )
+                                for dx in offs
+                                for dy in offs
+                            ]
+                        )
+                    ).alias("cell"),
+                ).select("probe_id", "pq", "cell.cx", "cell.cy")
+            ),
+            ["cx", "cy"],
+        )
+        .filter(F.col("vec_id") != F.col("probe_id"))
+    )
+    brute_cand = cells.crossJoin(F.broadcast(probes)).filter(
+        F.col("vec_id") != F.col("probe_id")
+    )
+    ann = topk(ann_cand)
+    brute = topk(brute_cand)
+    return (
+        brute.alias("b")
+        .join(
+            ann.alias("a"),
+            (F.col("a.probe_id") == F.col("b.probe_id"))
+            & (F.col("a.neighbor_id") == F.col("b.neighbor_id")),
+            "left",
+        )
+        .groupBy(F.col("b.probe_id").alias("probe_id"))
+        .agg(
+            F.count(F.col("a.neighbor_id")).alias("n_hit"),
+            F.round(
+                F.count(F.col("a.neighbor_id")) / float(GRID_TOPK), 6
+            ).alias(f"recall_at_{GRID_TOPK}"),
+        )
+        .orderBy("probe_id")
+    )

@@ -114,6 +114,7 @@ DRIVER_PRIORITY: list[str] = [
     "q_ts_backtest",
     "q_text_perplexity",
     "q_text_kl_source",
+    "q_emb_recall_grid",
     # r3-green keys with the oldest driver rows on file
     "q_ml_keyed_fit",
     "q_ml_keyed_transform",
