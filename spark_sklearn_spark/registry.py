@@ -26,16 +26,22 @@ ORACLES: dict[str, str] = {}
 # The driver's differential harness checks the FIRST 50 keys of ``queries()``
 # in iteration order. With >50 registered queries the tail is invisible to the
 # hard gate, so we pin an explicit priority order and ROTATE it each round so
-# no key goes more than two rounds without a driver re-check. Round-7 order
-# (executing the rotation promised in the round-6 comment): the 25 queries
-# added in r6 AFTER the r6 order was pinned (never seen by the driver; all
-# green in the r6 local sf0.01+sf0.001 sweeps), then queries added THIS round
-# (inserted into the NEW-THIS-ROUND block as they land), then the remaining
-# r3-green keys whose driver rows are the oldest on file. Rotating into r8's
-# prefix: whatever r7 leaves stale — by then every key's newest driver row
-# should be r4+, so the r8 prefix is simply the 50 oldest rows in
-# CORRECTNESS_r*.json. tests/test_queries_smoke.py asserts every name here is
-# registered.
+# no key goes more than two rounds without a driver re-check. Round-7 order:
+# the 25 queries added in r6 AFTER the r6 order was pinned, then the r7
+# additions in landing order. The 50-key window cuts inside the r7 block at
+# q_ml_linear_ols, so rotating into r8's prefix (in this order): (1) the r7
+# keys BELOW the cut — q_ts_seasonal, q_emb_hamming_knn, q_cdc_snapshot_diff,
+# q_dq_freshness, q_sim_ann_grid, q_ts_twap, q_behavior_lifecycle,
+# q_udtf_arrow, q_win_pct_change, q_sql_recursive, q_ml_auc, q_ml_confusion,
+# q_fn_timezone, q_ml_pr_curve, q_ts_autocorr, q_sim_mmr_exact, q_ml_gains,
+# q_ml_ks, q_win_ignore_nulls, q_pivot_multi_agg, q_dedup_funnel,
+# q_ts_backtest, q_text_perplexity, q_text_kl_source, q_emb_recall_grid, plus
+# q_graph_pagerank (promoted rows-only -> declared this round, needs a
+# declared row); (2) anything r8 adds; (3) the oldest r3/r4-green keys
+# (q_ml_keyed_fit/transform, q_multimodal_*, scan family, q_tpch_q3/q5/q6/
+# q10, text r3 family). All r7-new keys are green in local
+# sf0.001+sf0.01+sf0.1 tools/check.py sweeps this round.
+# tests/test_queries_smoke.py asserts every name here is registered.
 DRIVER_PRIORITY: list[str] = [
     # r6 additions never seen by the driver (declared unless noted)
     "q_behavior_sessionize",
