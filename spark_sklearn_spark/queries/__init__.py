@@ -31,5 +31,6 @@ from . import (  # noqa: F401
     sketches,
     features,
     pipeline7,
+    pipeline8,
     curation,
 )

@@ -1,0 +1,439 @@
+"""Round-7 late batch: bipartite co-purchase link prediction, PSI
+population-drift monitoring, and a DECLARED multinomial Naive Bayes
+classifier.
+
+Co-purchase affinity completes the graph-analytics family (degree
+distribution, triangles, PageRank): Jaccard of part-basket NEIGHBOR
+SETS in the customer-part bipartite graph — the collaborative-
+filtering candidate generator, with the popularity cap that keeps the
+postings self-join linear in the posting volume, never all-pairs.
+
+PSI drift is the production data-quality monitor a training pipeline
+runs between corpus snapshots: population-stability index of the
+event-type mix between the trailing window and the history, plus the
+per-type mean-value shift. Laplace-smoothed shares make every ln()
+well-defined and identical-input-identical-output across engines.
+
+Naive Bayes extends the q_ml_linear_ols precedent — a model FIT whose
+training math rides the exact decimal policy so the fitted model and
+its predictions are hash-verified against SQL, not rows-only. Log
+priors and log likelihoods quantize to DECIMAL(30,10) per term
+(identical double inputs -> identical libm ln, q_text_perplexity's
+argument); per-document class scores are EXACT decimal sums, so the
+argmax is order-free and engine-independent, with a deterministic
+lexicographic tie-break.
+
+Reference parity: spark-sklearn's public repo ships model fit/predict
+fan-out (python/spark_sklearn/grid_search.py, keyed_models.py); the NB
+fit here is the same models-on-DataFrames capability expressed as pure
+aggregation, per SURVEY §2A/A5.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from ..registry import query
+from ..sources.io import load
+from ._helpers import DEC
+
+
+# --------------------------------------------------------------------------
+# Co-purchase affinity: bipartite common-neighbor link prediction
+# --------------------------------------------------------------------------
+
+# Parts bought by more than POP_CAP distinct customers are head items:
+# they connect everyone to everyone (no signal for affinity) and their
+# postings lists dominate the pair fan-out. Same role as pipeline2's
+# DF_CAP for bigrams. The near-dup DOC graph can't host this query:
+# its synthetic components are exact cliques at every threshold, so
+# distance-2 open wedges don't exist (probed r7 — 0 rows at every SF).
+POP_CAP = 25
+COMMON_MIN = 3
+
+
+@query(
+    "q_graph_copurchase",
+    oracle=f"""
+        WITH baskets AS (
+            SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        ),
+        pop AS (SELECT part, COUNT(*) AS nc FROM baskets GROUP BY part),
+        keep AS (
+            SELECT b.cust, b.part
+            FROM baskets b JOIN pop p ON p.part = b.part
+            WHERE p.nc <= {POP_CAP}
+        ),
+        sizes AS (SELECT cust, COUNT(*) AS n FROM keep GROUP BY cust),
+        pairs AS (
+            SELECT a.cust AS cust_a, b.cust AS cust_b, COUNT(*) AS n_common
+            FROM keep a JOIN keep b
+              ON a.part = b.part AND a.cust < b.cust
+            GROUP BY cust_a, cust_b
+        )
+        SELECT p.cust_a, p.cust_b, p.n_common,
+               sa.n AS n_parts_a, sb.n AS n_parts_b,
+               CAST(floor(p.n_common * 1000000.0
+                          / (sa.n + sb.n - p.n_common)) AS BIGINT)
+                   AS jacc_q6
+        FROM pairs p
+        JOIN sizes sa ON sa.cust = p.cust_a
+        JOIN sizes sb ON sb.cust = p.cust_b
+        WHERE p.n_common >= {COMMON_MIN}
+        ORDER BY cust_a, cust_b
+    """,
+)
+def q_graph_copurchase(spark, d):
+    """Bipartite link prediction by common neighbors: project the
+    customer-part purchase graph onto customers and score each
+    customer pair by the Jaccard of their (tail) part baskets —
+    |P(a) n P(b)| / |P(a) u P(b)| — the collaborative-filtering
+    candidate generator ("customers like you"). Head parts (bought
+    by > {POP_CAP} distinct customers) are dropped first: they carry
+    no affinity signal and their postings lists are the quadratic
+    fan-out — the identical cap discipline as the text DF_CAP, so
+    pair volume is bounded by POP_CAP x |postings|, never
+    |customers|^2. Plan: one distinct projection, one combinable
+    popularity agg, a postings self-equi-join on the part key, and
+    size lookups; the score is integer-quantized
+    (floor(1e6 * c / union) of exact counts — identical IEEE
+    division then floor on both engines), no float collision risk.
+    At 100 TB this is the basket-affinity shape retail/feed systems
+    actually run, cap included."""
+    orders = load(spark, d, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, d, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part")
+        )
+        .distinct()
+    )
+    pop = baskets.groupBy("part").agg(F.count(F.lit(1)).alias("nc"))
+    keep = (
+        baskets.join(pop, "part")
+        .filter(F.col("nc") <= POP_CAP)
+        .select("cust", "part")
+    )
+    sizes = keep.groupBy("cust").agg(F.count(F.lit(1)).alias("n"))
+    a = keep.select(F.col("cust").alias("cust_a"), "part")
+    b = keep.select(F.col("cust").alias("cust_b"), "part")
+    pairs = (
+        a.join(b, "part")
+        .filter(F.col("cust_a") < F.col("cust_b"))
+        .groupBy("cust_a", "cust_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= COMMON_MIN)
+    )
+    sa = sizes.select(F.col("cust").alias("cust_a"), F.col("n").alias("n_parts_a"))
+    sb = sizes.select(F.col("cust").alias("cust_b"), F.col("n").alias("n_parts_b"))
+    return (
+        pairs.join(sa, "cust_a")
+        .join(sb, "cust_b")
+        .select(
+            "cust_a",
+            "cust_b",
+            "n_common",
+            "n_parts_a",
+            "n_parts_b",
+            F.floor(
+                F.col("n_common")
+                * 1000000.0
+                / (F.col("n_parts_a") + F.col("n_parts_b") - F.col("n_common"))
+            )
+            .cast("long")
+            .alias("jacc_q6"),
+        )
+        .orderBy("cust_a", "cust_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# Population-stability drift between the trailing week and history
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_dq_schema_drift",
+    oracle="""
+        WITH cut AS (
+          SELECT CAST(date_trunc('day', MAX(ts)) AS TIMESTAMP)
+                 - INTERVAL 7 DAY AS cutoff
+          FROM events
+        ),
+        k AS (SELECT COUNT(DISTINCT event_type) AS k FROM events),
+        flagged AS (
+          SELECT e.event_type,
+                 CASE WHEN e.ts >= c.cutoff THEN 1 ELSE 0 END AS cur,
+                 e.value
+          FROM events e, cut c
+        ),
+        per_type AS (
+          SELECT event_type,
+                 SUM(1 - cur) AS n_ref,
+                 SUM(cur) AS n_cur,
+                 CAST(SUM(CASE WHEN cur = 0
+                               THEN CAST(value AS DECIMAL(30,10)) END)
+                      AS DOUBLE) AS sv_ref,
+                 CAST(SUM(CASE WHEN cur = 1
+                               THEN CAST(value AS DECIMAL(30,10)) END)
+                      AS DOUBLE) AS sv_cur
+          FROM flagged GROUP BY event_type
+        ),
+        tot AS (
+          SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM per_type
+        )
+        SELECT p.event_type, p.n_ref, p.n_cur,
+               ROUND((p.n_ref + 1.0) / (t.t_ref + k.k), 6) AS share_ref,
+               ROUND((p.n_cur + 1.0) / (t.t_cur + k.k), 6) AS share_cur,
+               ROUND(((p.n_cur + 1.0) / (t.t_cur + k.k)
+                      - (p.n_ref + 1.0) / (t.t_ref + k.k))
+                     * ln(((p.n_cur + 1.0) / (t.t_cur + k.k))
+                          / ((p.n_ref + 1.0) / (t.t_ref + k.k))), 6)
+                   AS psi_term,
+               ROUND(CASE WHEN p.n_ref > 0
+                          THEN p.sv_ref / p.n_ref END, 6) AS avg_ref,
+               ROUND(CASE WHEN p.n_cur > 0
+                          THEN p.sv_cur / p.n_cur END, 6) AS avg_cur
+        FROM per_type p, tot t, k
+        ORDER BY p.event_type
+    """,
+)
+def q_dq_schema_drift(spark, d):
+    """Population-stability drift monitor: the event-type mix of the
+    trailing 7 days vs all history before it — per-type counts,
+    Laplace-smoothed shares, the PSI contribution
+    (p_cur - p_ref) * ln(p_cur / p_ref), and the mean-value shift.
+    This is the between-snapshot check a training pipeline runs
+    before accepting a new corpus drop (sum of psi_term > 0.2 =
+    investigate). Smoothing (+1 / +k) keeps every share strictly
+    positive so ln() is total, and makes the expression the
+    IDENTICAL double computation on both engines (single ln per
+    row — no float summation anywhere; value means ride the decimal
+    policy). Plan: one scan, one combinable per-type agg, two
+    single-row broadcasts (cutoff, totals) — the q_dq_freshness
+    shape; no window, no shuffle beyond the type agg."""
+    ev = load(spark, d, "events").select("event_type", "ts", "value")
+    cut = ev.agg(
+        (F.date_trunc("day", F.max("ts")) - F.expr("INTERVAL 7 DAY")).alias(
+            "cutoff"
+        )
+    )
+    k = ev.agg(F.countDistinct("event_type").alias("k"))
+    flagged = ev.crossJoin(F.broadcast(cut)).select(
+        "event_type",
+        F.when(F.col("ts") >= F.col("cutoff"), 1).otherwise(0).alias("cur"),
+        "value",
+    )
+    per_type = flagged.groupBy("event_type").agg(
+        F.sum(1 - F.col("cur")).alias("n_ref"),
+        F.sum("cur").alias("n_cur"),
+        F.sum(
+            F.when(F.col("cur") == 0, F.col("value").cast(DEC))
+        )
+        .cast("double")
+        .alias("sv_ref"),
+        F.sum(
+            F.when(F.col("cur") == 1, F.col("value").cast(DEC))
+        )
+        .cast("double")
+        .alias("sv_cur"),
+    )
+    tot = per_type.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    p_ref = (F.col("n_ref") + 1.0) / (F.col("t_ref") + F.col("k"))
+    p_cur = (F.col("n_cur") + 1.0) / (F.col("t_cur") + F.col("k"))
+    return (
+        per_type.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(k))
+        .select(
+            "event_type",
+            "n_ref",
+            "n_cur",
+            F.round(p_ref, 6).alias("share_ref"),
+            F.round(p_cur, 6).alias("share_cur"),
+            F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias(
+                "psi_term"
+            ),
+            F.round(
+                F.when(
+                    F.col("n_ref") > 0, F.col("sv_ref") / F.col("n_ref")
+                ),
+                6,
+            ).alias("avg_ref"),
+            F.round(
+                F.when(
+                    F.col("n_cur") > 0, F.col("sv_cur") / F.col("n_cur")
+                ),
+                6,
+            ).alias("avg_cur"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Declared multinomial Naive Bayes (fit + predict + confusion)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_ml_naive_bayes",
+    oracle="""
+        WITH train AS (
+          SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 <> 0
+        ),
+        test AS (
+          SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 = 0
+        ),
+        tr_tok AS (
+          SELECT lang, unnest(string_split(text, ' ')) AS w FROM train
+        ),
+        wc AS (
+          SELECT lang AS cl, w, COUNT(*) AS c
+          FROM tr_tok GROUP BY lang, w
+        ),
+        cls AS (
+          SELECT lang AS cl, COUNT(*) AS nd FROM train GROUP BY lang
+        ),
+        ct AS (SELECT cl, SUM(c) AS ctoks FROM wc GROUP BY cl),
+        vocab AS (SELECT COUNT(DISTINCT w) AS v FROM tr_tok),
+        nd_tot AS (SELECT SUM(nd) AS ndt FROM cls),
+        te_tok AS (
+          SELECT doc_id, lang AS actual,
+                 unnest(string_split(text, ' ')) AS w
+          FROM test
+        ),
+        expanded AS (
+          SELECT t.doc_id, t.actual, cls.cl, ct.ctoks, v.v, t.w
+          FROM te_tok t
+          CROSS JOIN cls
+          JOIN ct ON ct.cl = cls.cl
+          CROSS JOIN vocab v
+        ),
+        terms AS (
+          SELECT e.doc_id, e.actual, e.cl,
+                 CAST(ln((COALESCE(wc.c, 0) + 1.0) / (e.ctoks + e.v))
+                      AS DECIMAL(30,10)) AS term
+          FROM expanded e
+          LEFT JOIN wc ON wc.cl = e.cl AND wc.w = e.w
+        ),
+        scores AS (
+          SELECT t.doc_id, t.actual, t.cl,
+                 CAST(ln(cls.nd * 1.0 / n.ndt) AS DECIMAL(30,10))
+                   + SUM(t.term) AS score
+          FROM terms t
+          JOIN cls ON cls.cl = t.cl
+          CROSS JOIN nd_tot n
+          GROUP BY t.doc_id, t.actual, t.cl, cls.nd, n.ndt
+        ),
+        ranked AS (
+          SELECT doc_id, actual, cl,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY score DESC, cl) AS rk
+          FROM scores
+        )
+        SELECT actual AS actual_lang, cl AS pred_lang,
+               COUNT(*) AS n_docs
+        FROM ranked WHERE rk = 1
+        GROUP BY actual, cl
+        ORDER BY actual, cl
+    """,
+)
+def q_ml_naive_bayes(spark, d):
+    """DECLARED multinomial Naive Bayes: fit add-1-smoothed per-lang
+    token models on the doc_id%5!=0 split, classify the held-out
+    fifth, and report the confusion matrix — a trained classifier
+    whose fit AND predictions are hash-verified against SQL (the
+    q_ml_linear_ols technique lifted from regression to
+    classification; reference parity: keyed model fit/predict per
+    SURVEY §2A). Every log term quantizes to DECIMAL(30,10)
+    (identical double inputs -> identical ln on both engines,
+    q_text_perplexity's argument) and per-(doc, class) scores are
+    EXACT decimal sums — the argmax compares decimals, so class
+    picks cannot drift across engines; ties break lexicographically.
+    Plan: model tables (class priors, per-class token counts, token
+    totals, vocab size) are combinable map-side aggs over the train
+    split; scoring is one equi-join of test token instances against
+    the (class, word) count table after a broadcast class fan-out
+    (|classes| ~ 5); the per-doc argmax is a doc-partitioned window.
+    At 100 TB the model tables are the vocabulary-sized side — the
+    BM25/perplexity scale shape."""
+    docs = load(spark, d, "documents").select("doc_id", "lang", "text")
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    test = docs.filter(F.col("doc_id") % 5 == 0)
+
+    tr_tok = train.select(
+        "lang", F.explode(F.split("text", " ")).alias("w")
+    )
+    wc = tr_tok.groupBy(
+        F.col("lang").alias("cl"), F.col("w")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    cls = train.groupBy(F.col("lang").alias("cl")).agg(
+        F.count(F.lit(1)).alias("nd")
+    )
+    ct = wc.groupBy("cl").agg(F.sum("c").alias("ctoks"))
+    vocab = tr_tok.agg(F.countDistinct("w").alias("v"))
+    nd_tot = cls.agg(F.sum("nd").alias("ndt"))
+
+    te_tok = test.select(
+        "doc_id",
+        F.col("lang").alias("actual"),
+        F.explode(F.split("text", " ")).alias("w"),
+    )
+    class_side = cls.join(ct, "cl").crossJoin(vocab)
+    expanded = te_tok.crossJoin(
+        F.broadcast(class_side.select("cl", "ctoks", "v"))
+    )
+    # ct derives from wc, so joining wc a second time needs fresh
+    # aliases or Catalyst flags the shared-lineage columns ambiguous
+    wc2 = wc.select(
+        F.col("cl").alias("wcl"),
+        F.col("w").alias("ww"),
+        F.col("c").alias("wc_c"),
+    )
+    terms = expanded.join(
+        wc2,
+        (expanded.cl == wc2.wcl) & (expanded.w == wc2.ww),
+        "left",
+    ).select(
+        "doc_id",
+        "actual",
+        "cl",
+        F.log(
+            (F.coalesce(F.col("wc_c"), F.lit(0)) + 1.0)
+            / (F.col("ctoks") + F.col("v"))
+        )
+        .cast(DEC)
+        .alias("term"),
+    )
+    summed = terms.groupBy("doc_id", "actual", "cl").agg(
+        F.sum("term").alias("s")
+    )
+    prior = (
+        cls.crossJoin(F.broadcast(nd_tot))
+        .select(
+            "cl",
+            F.log(F.col("nd") * 1.0 / F.col("ndt")).cast(DEC).alias("lp"),
+        )
+    )
+    scores = summed.join(F.broadcast(prior), "cl").select(
+        "doc_id", "actual", "cl", (F.col("lp") + F.col("s")).alias("score")
+    )
+    w_rank = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("cl").asc()
+    )
+    pred = (
+        scores.withColumn("rk", F.row_number().over(w_rank))
+        .filter(F.col("rk") == 1)
+    )
+    return (
+        pred.groupBy(
+            F.col("actual").alias("actual_lang"),
+            F.col("cl").alias("pred_lang"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("actual_lang", "pred_lang")
+    )
