@@ -46,6 +46,11 @@ PROBE_QUERIES = [
     "q_text_perplexity",
     "q_text_kl_source",
     "q_ml_auc",
+    # round-7 close: capped postings projection, single-scan drift agg,
+    # token-model fit + broadcast-class scoring join
+    "q_graph_copurchase",
+    "q_dq_schema_drift",
+    "q_ml_naive_bayes",
 ]
 
 TABLES = [
