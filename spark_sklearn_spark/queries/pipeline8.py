@@ -437,3 +437,199 @@ def q_ml_naive_bayes(spark, d):
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("actual_lang", "pred_lang")
     )
+
+
+# --------------------------------------------------------------------------
+# Declared Lloyd's k-means (unrolled iterations, integer arithmetic)
+# --------------------------------------------------------------------------
+
+KM_K = 4
+KM_Q = 1_000_000  # component quantization, same as q_sim_ann_grid
+KM_DIM = 64
+
+_KM_VECS_SQL = f"""
+        vecs AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                     x -> CAST(floor(CAST(x AS DOUBLE) * {KM_Q})
+                               AS BIGINT)) AS q
+          FROM embeddings
+        ),
+        init AS (
+          SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster,
+                 q AS cq
+          FROM vecs ORDER BY vec_id LIMIT {KM_K}
+        )
+"""
+
+
+def _km_round_sql(n: int, cent: str) -> str:
+    """One unrolled Lloyd round: score vs ``cent``, keep the argmin."""
+    return f"""
+        scored{n} AS (
+          SELECT v.vec_id, v.q, c.cluster,
+                 list_sum(list_transform(generate_series(1, {KM_DIM}),
+                     i -> (v.q[i] - c.cq[i]) * (v.q[i] - c.cq[i])))
+                     AS dist2
+          FROM vecs v CROSS JOIN {cent} c
+        ),
+        assign{n} AS (
+          SELECT vec_id, q, cluster, dist2
+          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY dist2, cluster) AS rk
+                FROM scored{n})
+          WHERE rk = 1
+        )
+"""
+
+
+def _km_update_sql(n: int, prev: str) -> str:
+    """Centroid recompute from assign{n}; empty clusters keep the
+    previous centroid (COALESCE against ``prev``)."""
+    return f"""
+        cells{n} AS (
+          SELECT a.cluster, i.i AS pos, a.q[i.i] AS c
+          FROM assign{n} a,
+               LATERAL (SELECT unnest(generate_series(1, {KM_DIM}))
+                        AS i) i
+        ),
+        dims{n} AS (
+          SELECT cluster, pos,
+                 CAST(floor(SUM(c) * 1.0 / COUNT(*)) AS BIGINT) AS cq
+          FROM cells{n} GROUP BY cluster, pos
+        ),
+        cent{n} AS (
+          SELECT p.cluster, COALESCE(u.cqa, p.cq) AS cq
+          FROM {prev} p
+          LEFT JOIN (SELECT cluster, list(cq ORDER BY pos) AS cqa
+                     FROM dims{n} GROUP BY cluster) u
+            ON u.cluster = p.cluster
+        )
+"""
+
+
+@query(
+    "q_ml_kmeans",
+    oracle=f"""
+        WITH {_KM_VECS_SQL},
+        {_km_round_sql(1, "init")},
+        {_km_update_sql(1, "init")},
+        {_km_round_sql(2, "cent1")},
+        {_km_update_sql(2, "cent1")},
+        {_km_round_sql(3, "cent2")}
+        SELECT a.cluster,
+               COUNT(*) AS n_members,
+               CAST(SUM(a.dist2 // {KM_Q}) AS BIGINT) AS inertia_q,
+               MIN(a.vec_id) AS min_member,
+               ANY_VALUE(c.cq[1]) AS c1_q,
+               ANY_VALUE(c.cq[2]) AS c2_q
+        FROM assign3 a JOIN cent2 c ON c.cluster = a.cluster
+        GROUP BY a.cluster
+        ORDER BY a.cluster
+    """,
+)
+def q_ml_kmeans(spark, d):
+    """DECLARED Lloyd's k-means (k=4, three assignment rounds with
+    two centroid updates, iterations unrolled): the iterative
+    clustering everyone runs rows-only, hash-verified end to end.
+    The whole loop is integer/exact arithmetic — components quantize
+    to floor(x*1e6) (q_sim_ann_grid's trick), squared distances are
+    BIGINT folds, centroid updates floor the exact-integer-sum mean
+    (sums < 2^53, so the *1.0/n division is the identical IEEE op on
+    both engines), and empty clusters keep their previous centroid
+    via the same COALESCE on both sides. Seeding is deterministic:
+    the 4 smallest vec_ids. Plan shape per round: the k-row
+    centroid relation BROADCASTS into a nested-loop scoring pass
+    (k x O(d) integer fold per vector — map-side, no shuffle), the
+    argmin is a vec-partitioned window, and the update is one
+    combinable (cluster, dim) agg — k*d cells. At 100 TB this is
+    exactly MLlib's distributed Lloyd step; unrolling three rounds
+    trades convergence for a provable plan, and the rows-only IVF
+    path (operators/ivf.py) remains the converged variant."""
+    emb = load(spark, d, "embeddings")
+    vecs = emb.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> cast(floor(cast(x as double)"
+            f" * {KM_Q}) as bigint))"
+        ).alias("q"),
+    )
+    init = (
+        vecs.orderBy("vec_id")
+        .limit(KM_K)
+        .select(
+            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias(
+                "cluster"
+            ),
+            F.col("q").alias("cq"),
+        )
+    )
+
+    def assign(cents):
+        scored = vecs.crossJoin(F.broadcast(cents)).select(
+            "vec_id",
+            "q",
+            "cluster",
+            F.expr(
+                "aggregate(zip_with(q, cq, (a, b) -> (a - b) * (a - b)),"
+                " 0L, (acc, x) -> acc + x)"
+            ).alias("dist2"),
+        )
+        w = Window.partitionBy("vec_id").orderBy("dist2", "cluster")
+        return (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .drop("rk")
+        )
+
+    def update(assigned, prev):
+        cells = assigned.selectExpr(
+            "cluster", "posexplode(q) as (pos, c)"
+        )
+        dims = cells.groupBy("cluster", "pos").agg(
+            F.floor(F.sum("c") * 1.0 / F.count(F.lit(1)))
+            .cast("long")
+            .alias("cq")
+        )
+        arrs = (
+            dims.groupBy("cluster")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "cq"))
+                ).alias("s")
+            )
+            .select(
+                "cluster", F.expr("transform(s, x -> x.cq)").alias("cqa")
+            )
+        )
+        return (
+            prev.select("cluster", F.col("cq").alias("prev_cq"))
+            .join(arrs, "cluster", "left")
+            .select(
+                "cluster", F.coalesce("cqa", "prev_cq").alias("cq")
+            )
+        )
+
+    a1 = assign(init)
+    c1 = update(a1, init)
+    a2 = assign(c1)
+    c2 = update(a2, c1)
+    a3 = assign(c2)
+    cent_dims = c2.select(
+        "cluster",
+        F.element_at("cq", 1).alias("c1_q"),
+        F.element_at("cq", 2).alias("c2_q"),
+    )
+    return (
+        a3.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(F.expr(f"dist2 div {KM_Q}")).alias("inertia_q"),
+            F.min("vec_id").alias("min_member"),
+        )
+        .join(F.broadcast(cent_dims), "cluster")
+        .select(
+            "cluster", "n_members", "inertia_q", "min_member", "c1_q", "c2_q"
+        )
+        .orderBy("cluster")
+    )

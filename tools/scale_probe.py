@@ -51,6 +51,8 @@ PROBE_QUERIES = [
     "q_graph_copurchase",
     "q_dq_schema_drift",
     "q_ml_naive_bayes",
+    # declared Lloyd rounds: broadcast-centroid scoring passes
+    "q_ml_kmeans",
 ]
 
 TABLES = [
