@@ -633,3 +633,171 @@ def q_ml_kmeans(spark, d):
         )
         .orderBy("cluster")
     )
+
+
+# --------------------------------------------------------------------------
+# Declared gradient-descent logistic regression (unrolled full-batch)
+# --------------------------------------------------------------------------
+
+LR_RATE = 2.0  # full-batch learning rate; 3 unrolled steps
+
+_LR_BASE_SQL = """
+        feats AS (
+          SELECT CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END
+                     AS y,
+                 value / 100.0 AS x1,
+                 hour(ts) / 24.0 AS x2
+          FROM events
+        ),
+        n AS (SELECT COUNT(*) AS n FROM feats),
+        it0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2)
+"""
+
+
+def _lr_step_sql(i: int) -> str:
+    """One unrolled GD step: exact-decimal gradient sums against
+    it{i-1}'s weights, then the identical double update expression."""
+    p = (
+        f"1.0 / (1.0 + exp(-(w.w0 + w.w1 * f.x1 + w.w2 * f.x2)))"
+    )
+    return f"""
+        grad{i} AS (
+          SELECT
+            CAST(SUM(CAST(({p} - f.y) AS DECIMAL(30,10))) AS DOUBLE)
+                AS g0,
+            CAST(SUM(CAST(({p} - f.y) * f.x1 AS DECIMAL(30,10)))
+                 AS DOUBLE) AS g1,
+            CAST(SUM(CAST(({p} - f.y) * f.x2 AS DECIMAL(30,10)))
+                 AS DOUBLE) AS g2
+          FROM feats f, it{i - 1} w
+        ),
+        it{i} AS (
+          SELECT w.w0 - {LR_RATE} * g.g0 / n.n AS w0,
+                 w.w1 - {LR_RATE} * g.g1 / n.n AS w1,
+                 w.w2 - {LR_RATE} * g.g2 / n.n AS w2
+          FROM it{i - 1} w, grad{i} g, n
+        )
+"""
+
+
+@query(
+    "q_ml_logreg",
+    oracle=f"""
+        WITH {_LR_BASE_SQL},
+        {_lr_step_sql(1)},
+        {_lr_step_sql(2)},
+        {_lr_step_sql(3)}
+        SELECT ROUND(w.w0, 6) AS w0,
+               ROUND(w.w1, 6) AS w1,
+               ROUND(w.w2, 6) AS w2,
+               n.n AS n_rows,
+               CAST(SUM(CASE WHEN (w.w0 + w.w1 * f.x1 + w.w2 * f.x2 >= 0)
+                                  = (f.y = 1.0)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+               ROUND(CAST(SUM(CAST(
+                   -(f.y * ln(1.0 / (1.0 + exp(-(w.w0 + w.w1 * f.x1
+                                                + w.w2 * f.x2))))
+                     + (1.0 - f.y)
+                       * ln(1.0 - 1.0 / (1.0 + exp(-(w.w0 + w.w1 * f.x1
+                                                     + w.w2 * f.x2)))))
+                   AS DECIMAL(30,10))) AS DOUBLE) / n.n, 4) AS log_loss
+        FROM feats f, it3 w, n
+        GROUP BY w.w0, w.w1, w.w2, n.n
+    """,
+)
+def q_ml_logreg(spark, d):
+    """DECLARED logistic regression by full-batch gradient descent
+    (3 unrolled steps, lr={LR_RATE}): purchase propensity from scaled
+    value and hour-of-day. Completes the hash-verified trained-model
+    trio — closed-form (q_ml_linear_ols), counting (q_ml_naive_bayes),
+    and now ITERATIVE GRADIENT training. Determinism: weights start
+    at exact zeros; each step's per-row gradient terms (sigmoid
+    residual x feature — doubles computed from identical inputs, so
+    identical on both engines per the q_text_perplexity ln/exp
+    argument) quantize to DECIMAL(30,10) and sum EXACTLY, and the
+    weight update is the same scalar double expression on both sides
+    — so after three steps the weights are bit-identical, and the
+    reported accuracy threshold compares the raw margin (z >= 0, no
+    sigmoid at the boundary). Plan shape per step: ONE combinable
+    3-sum agg over the feature scan with the 1-row weight relation
+    broadcast into it — the classic distributed-GD step (gradients
+    shrink map-side; no shuffle beyond the final single-group agg);
+    three steps = three passes, exactly MLlib's LBFGS data access
+    pattern per iteration."""
+    ev = load(spark, d, "events")
+    feats = ev.select(
+        F.when(F.col("event_type") == "purchase", 1.0)
+        .otherwise(0.0)
+        .alias("y"),
+        (F.col("value") / 100.0).alias("x1"),
+        (F.hour("ts") / 24.0).alias("x2"),
+    )
+    n = feats.agg(F.count(F.lit(1)).alias("n"))
+
+    def step(weights):
+        z = (
+            F.col("w0")
+            + F.col("w1") * F.col("x1")
+            + F.col("w2") * F.col("x2")
+        )
+        p = 1.0 / (1.0 + F.exp(-z))
+        g = (
+            feats.crossJoin(F.broadcast(weights))
+            .agg(
+                F.sum((p - F.col("y")).cast(DEC)).cast("double").alias("g0"),
+                F.sum(((p - F.col("y")) * F.col("x1")).cast(DEC))
+                .cast("double")
+                .alias("g1"),
+                F.sum(((p - F.col("y")) * F.col("x2")).cast(DEC))
+                .cast("double")
+                .alias("g2"),
+            )
+        )
+        return (
+            weights.crossJoin(F.broadcast(g))
+            .crossJoin(F.broadcast(n))
+            .select(
+                (F.col("w0") - LR_RATE * F.col("g0") / F.col("n")).alias("w0"),
+                (F.col("w1") - LR_RATE * F.col("g1") / F.col("n")).alias("w1"),
+                (F.col("w2") - LR_RATE * F.col("g2") / F.col("n")).alias("w2"),
+            )
+        )
+
+    it0 = spark.range(1).select(
+        F.lit(0.0).alias("w0"), F.lit(0.0).alias("w1"), F.lit(0.0).alias("w2")
+    )
+    w3 = step(step(step(it0)))
+
+    z = F.col("w0") + F.col("w1") * F.col("x1") + F.col("w2") * F.col("x2")
+    p = 1.0 / (1.0 + F.exp(-z))
+    return (
+        feats.crossJoin(F.broadcast(w3))
+        .crossJoin(F.broadcast(n))
+        .groupBy("w0", "w1", "w2", "n")
+        .agg(
+            F.sum(
+                F.when((z >= 0) == (F.col("y") == 1.0), 1).otherwise(0)
+            ).alias("n_correct"),
+            F.round(
+                F.sum(
+                    (
+                        -(
+                            F.col("y") * F.log(p)
+                            + (1.0 - F.col("y")) * F.log(1.0 - p)
+                        )
+                    ).cast(DEC)
+                )
+                .cast("double")
+                / F.col("n"),
+                4,
+            ).alias("log_loss"),
+        )
+        .select(
+            F.round("w0", 6).alias("w0"),
+            F.round("w1", 6).alias("w1"),
+            F.round("w2", 6).alias("w2"),
+            F.col("n").alias("n_rows"),
+            "n_correct",
+            "log_loss",
+        )
+    )

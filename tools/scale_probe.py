@@ -53,6 +53,8 @@ PROBE_QUERIES = [
     "q_ml_naive_bayes",
     # declared Lloyd rounds: broadcast-centroid scoring passes
     "q_ml_kmeans",
+    # declared GD: three combinable gradient-sum passes
+    "q_ml_logreg",
 ]
 
 TABLES = [
