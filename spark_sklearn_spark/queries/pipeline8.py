@@ -801,3 +801,93 @@ def q_ml_logreg(spark, d):
             "log_loss",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# CUSUM changepoint detection over the daily series (recursive CTE)
+# --------------------------------------------------------------------------
+
+# One SQL text for BOTH engines (the q_sql_recursive posture): the
+# recursion carries the sequential CUSUM state that windows cannot
+# express (S_t = max(0, S_{t-1} + drift) resets at zero — not a
+# prefix sum). All float steps are identical-input double ops; the
+# daily x and the mean/std moments ride the decimal policy first.
+_CUSUM_SQL = """
+    WITH RECURSIVE daily AS (
+      SELECT event_type,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(30,10))) AS DOUBLE) AS x
+      FROM events
+      GROUP BY event_type, CAST(date_trunc('day', ts) AS TIMESTAMP)
+    ),
+    idx AS (
+      SELECT event_type, day, x,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                     ORDER BY day) AS BIGINT) AS i
+      FROM daily
+    ),
+    stats AS (
+      SELECT event_type,
+             COUNT(*) AS n_days,
+             CAST(SUM(CAST(x AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*)
+                 AS mu,
+             sqrt(CAST(SUM(CAST(x * x AS DECIMAL(30,10))) AS DOUBLE)
+                      / COUNT(*)
+                  - (CAST(SUM(CAST(x AS DECIMAL(30,10))) AS DOUBLE)
+                         / COUNT(*))
+                    * (CAST(SUM(CAST(x AS DECIMAL(30,10))) AS DOUBLE)
+                           / COUNT(*))) AS sd
+      FROM idx GROUP BY event_type
+    ),
+    walk AS (
+      SELECT i.event_type, i.i,
+             greatest(0.0, i.x - s.mu - 0.5 * s.sd) AS s_pos,
+             greatest(0.0, s.mu - 0.5 * s.sd - i.x) AS s_neg
+      FROM idx i JOIN stats s ON s.event_type = i.event_type
+      WHERE i.i = 1
+      UNION ALL
+      SELECT i.event_type, i.i,
+             greatest(0.0, w.s_pos + i.x - s.mu - 0.5 * s.sd),
+             greatest(0.0, w.s_neg + s.mu - 0.5 * s.sd - i.x)
+      FROM walk w
+      JOIN idx i ON i.event_type = w.event_type AND i.i = w.i + 1
+      JOIN stats s ON s.event_type = i.event_type
+    )
+    SELECT w.event_type,
+           s.n_days,
+           ROUND(MAX(w.s_pos), 6) AS max_cusum_pos,
+           ROUND(MAX(w.s_neg), 6) AS max_cusum_neg,
+           CAST(SUM(CASE WHEN ROUND(w.s_pos, 6) > ROUND(3.0 * s.sd, 6)
+                           OR ROUND(w.s_neg, 6) > ROUND(3.0 * s.sd, 6)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_alarm_days,
+           MIN(CASE WHEN ROUND(w.s_pos, 6) > ROUND(3.0 * s.sd, 6)
+                      OR ROUND(w.s_neg, 6) > ROUND(3.0 * s.sd, 6)
+                    THEN w.i END) AS first_alarm_i
+    FROM walk w JOIN stats s ON s.event_type = w.event_type
+    GROUP BY w.event_type, s.n_days
+    ORDER BY w.event_type
+"""
+
+
+@query("q_ts_cusum", oracle=_CUSUM_SQL)
+def q_ts_cusum(spark, d):
+    """Two-sided CUSUM changepoint detection on each event stream's
+    daily value series — the sequential mean-shift monitor (Page's
+    test) that catches slow drifts the per-point z-score
+    (q_ts_anomaly) and MAD gates miss. The state recurrence
+    S_t = max(0, S_{t-1} + deviation) RESETS at zero, so it is not a
+    window prefix-sum — it is the first genuinely sequential-state
+    computation here, expressed as WITH RECURSIVE (Spark 4.1
+    UnionLoop; identical SQL text runs on both engines, the
+    q_sql_recursive posture). Scale: recursion advances over the
+    AGGREGATED (type, day) series — n_types x n_days rows, 30 steps
+    here — never raw events; the heavy work is the one combinable
+    daily agg. Determinism: daily sums and the mu/sd moments ride
+    the decimal policy, every recursive step is the identical
+    double expression on identical inputs, and alarm thresholds
+    compare round-6 values on both sides (CLAUDE.md threshold
+    rule)."""
+    from ..sources.io import register_views
+
+    register_views(spark, d, ["events"])
+    return spark.sql(_CUSUM_SQL)
