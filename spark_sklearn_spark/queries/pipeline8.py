@@ -813,7 +813,7 @@ def q_ml_logreg(spark, d):
 # prefix sum). All float steps are identical-input double ops; the
 # daily x and the mean/std moments ride the decimal policy first.
 _CUSUM_SQL = """
-    WITH RECURSIVE daily AS (
+    WITH daily AS (
       SELECT event_type,
              CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
              CAST(SUM(CAST(value AS DECIMAL(30,10))) AS DOUBLE) AS x
@@ -839,33 +839,47 @@ _CUSUM_SQL = """
                            / COUNT(*))) AS sd
       FROM idx GROUP BY event_type
     ),
-    walk AS (
-      SELECT i.event_type, i.i,
-             greatest(0.0, i.x - s.mu - 0.5 * s.sd) AS s_pos,
-             greatest(0.0, s.mu - 0.5 * s.sd - i.x) AS s_neg
+    devs AS (
+      SELECT i.event_type, i.i, s.n_days, s.sd,
+             CAST(i.x - s.mu - 0.5 * s.sd AS DECIMAL(30,10)) AS dp,
+             CAST(s.mu - 0.5 * s.sd - i.x AS DECIMAL(30,10)) AS dn
       FROM idx i JOIN stats s ON s.event_type = i.event_type
-      WHERE i.i = 1
-      UNION ALL
-      SELECT i.event_type, i.i,
-             greatest(0.0, w.s_pos + i.x - s.mu - 0.5 * s.sd),
-             greatest(0.0, w.s_neg + s.mu - 0.5 * s.sd - i.x)
-      FROM walk w
-      JOIN idx i ON i.event_type = w.event_type AND i.i = w.i + 1
-      JOIN stats s ON s.event_type = i.event_type
+    ),
+    prefixes AS (
+      SELECT event_type, i, n_days, sd,
+             SUM(dp) OVER w AS pp,
+             SUM(dn) OVER w AS pn
+      FROM devs
+      WINDOW w AS (PARTITION BY event_type ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    walk AS (
+      SELECT event_type, i, n_days, sd,
+             pp - least(CAST(0 AS DECIMAL(30,10)), MIN(pp) OVER w)
+                 AS s_pos,
+             pn - least(CAST(0 AS DECIMAL(30,10)), MIN(pn) OVER w)
+                 AS s_neg
+      FROM prefixes
+      WINDOW w AS (PARTITION BY event_type ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     )
-    SELECT w.event_type,
-           s.n_days,
-           ROUND(MAX(w.s_pos), 6) AS max_cusum_pos,
-           ROUND(MAX(w.s_neg), 6) AS max_cusum_neg,
-           CAST(SUM(CASE WHEN ROUND(w.s_pos, 6) > ROUND(3.0 * s.sd, 6)
-                           OR ROUND(w.s_neg, 6) > ROUND(3.0 * s.sd, 6)
+    SELECT event_type,
+           n_days,
+           ROUND(CAST(MAX(s_pos) AS DOUBLE), 6) AS max_cusum_pos,
+           ROUND(CAST(MAX(s_neg) AS DOUBLE), 6) AS max_cusum_neg,
+           CAST(SUM(CASE WHEN ROUND(CAST(s_pos AS DOUBLE), 6)
+                              > ROUND(3.0 * sd, 6)
+                           OR ROUND(CAST(s_neg AS DOUBLE), 6)
+                              > ROUND(3.0 * sd, 6)
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_alarm_days,
-           MIN(CASE WHEN ROUND(w.s_pos, 6) > ROUND(3.0 * s.sd, 6)
-                      OR ROUND(w.s_neg, 6) > ROUND(3.0 * s.sd, 6)
-                    THEN w.i END) AS first_alarm_i
-    FROM walk w JOIN stats s ON s.event_type = w.event_type
-    GROUP BY w.event_type, s.n_days
-    ORDER BY w.event_type
+           MIN(CASE WHEN ROUND(CAST(s_pos AS DOUBLE), 6)
+                         > ROUND(3.0 * sd, 6)
+                      OR ROUND(CAST(s_neg AS DOUBLE), 6)
+                         > ROUND(3.0 * sd, 6)
+                    THEN i END) AS first_alarm_i
+    FROM walk
+    GROUP BY event_type, n_days, sd
+    ORDER BY event_type
 """
 
 
@@ -875,19 +889,200 @@ def q_ts_cusum(spark, d):
     daily value series — the sequential mean-shift monitor (Page's
     test) that catches slow drifts the per-point z-score
     (q_ts_anomaly) and MAD gates miss. The state recurrence
-    S_t = max(0, S_{t-1} + deviation) RESETS at zero, so it is not a
-    window prefix-sum — it is the first genuinely sequential-state
-    computation here, expressed as WITH RECURSIVE (Spark 4.1
-    UnionLoop; identical SQL text runs on both engines, the
-    q_sql_recursive posture). Scale: recursion advances over the
-    AGGREGATED (type, day) series — n_types x n_days rows, 30 steps
-    here — never raw events; the heavy work is the one combinable
-    daily agg. Determinism: daily sums and the mu/sd moments ride
-    the decimal policy, every recursive step is the identical
-    double expression on identical inputs, and alarm thresholds
-    compare round-6 values on both sides (CLAUDE.md threshold
-    rule)."""
+    S_t = max(0, S_{t-1} + d_t) looks sequential, but has the exact
+    closed form S_t = P_t - min(0, min_{j<=t} P_j) over prefix sums
+    P (reflection identity) — so the whole monitor is TWO stacked
+    windows (running sum, running min) instead of a 30-step
+    recursion. Measured: the WITH RECURSIVE formulation cost 18 s at
+    sf0.1 (UnionLoop re-evaluates the anchor's lineage per step) and
+    8 s even with the series materialized (per-iteration scheduling);
+    this window form is sub-second and partition-parallel by
+    event_type — the declarative-first scale stance, applied.
+    Determinism: daily x and the mu/sd moments ride the decimal
+    policy, and the per-day deviations QUANTIZE to DECIMAL(30,10)
+    before the window sums — the cumulative sums are EXACT decimals,
+    immune to Spark-vs-DuckDB window accumulation order (DuckDB's
+    segment-tree float sums are the documented trap); alarm
+    thresholds compare round-6 values on both sides. One SQL text
+    runs on both engines."""
     from ..sources.io import register_views
 
     register_views(spark, d, ["events"])
     return spark.sql(_CUSUM_SQL)
+
+
+# --------------------------------------------------------------------------
+# Product quantization + asymmetric-distance retrieval (declared)
+# --------------------------------------------------------------------------
+
+PQ_M = 8  # subspaces (64 dims / 8)
+PQ_SUB = 8  # dims per subspace
+PQ_CODES = 16  # codewords per subspace (sampled codebook)
+PQ_TOPK = 5
+
+
+@query(
+    "q_emb_pq_adc",
+    oracle=f"""
+        WITH vecs AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                     x -> CAST(floor(CAST(x AS DOUBLE) * {KM_Q})
+                               AS BIGINT)) AS q
+          FROM embeddings
+        ),
+        subs AS (
+          SELECT v.vec_id, s.s,
+                 list_transform(generate_series(1, {PQ_SUB}),
+                     i -> v.q[s.s * {PQ_SUB} + i]) AS sq
+          FROM vecs v,
+               LATERAL (SELECT unnest(generate_series(0, {PQ_M - 1}))
+                        AS s) s
+        ),
+        cb AS (
+          SELECT s.s, c.code, s.sq AS cw
+          FROM (SELECT vec_id,
+                       ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code
+                FROM vecs ORDER BY vec_id LIMIT {PQ_CODES}) c
+          JOIN subs s ON s.vec_id = c.vec_id
+        ),
+        enc AS (
+          SELECT vec_id, s, code, d2
+          FROM (
+            SELECT sub.vec_id, sub.s, cb.code,
+                   list_sum(list_transform(generate_series(1, {PQ_SUB}),
+                       i -> (sub.sq[i] - cb.cw[i])
+                            * (sub.sq[i] - cb.cw[i]))) AS d2,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY sub.vec_id, sub.s
+                       ORDER BY list_sum(list_transform(
+                           generate_series(1, {PQ_SUB}),
+                           i -> (sub.sq[i] - cb.cw[i])
+                                * (sub.sq[i] - cb.cw[i]))), cb.code)
+                       AS rk
+            FROM subs sub JOIN cb ON cb.s = sub.s
+          ) WHERE rk = 1
+        ),
+        probes AS (
+          SELECT vec_id AS probe_id, s, sq FROM subs
+          WHERE vec_id % 100 = 0
+        ),
+        lut AS (
+          SELECT p.probe_id, p.s, cb.code,
+                 list_sum(list_transform(generate_series(1, {PQ_SUB}),
+                     i -> (p.sq[i] - cb.cw[i])
+                          * (p.sq[i] - cb.cw[i]))) AS d2
+          FROM probes p JOIN cb ON cb.s = p.s
+        ),
+        adc AS (
+          SELECT l.probe_id, e.vec_id AS neighbor_id,
+                 SUM(l.d2) AS adist2
+          FROM enc e
+          JOIN lut l ON l.s = e.s AND l.code = e.code
+          WHERE e.vec_id <> l.probe_id
+          GROUP BY l.probe_id, e.vec_id
+          HAVING COUNT(*) = {PQ_M}
+        ),
+        ranked AS (
+          SELECT probe_id, neighbor_id,
+                 CAST(adist2 AS BIGINT) AS adist2,
+                 ROW_NUMBER() OVER (PARTITION BY probe_id
+                                    ORDER BY adist2, neighbor_id) AS rnk
+          FROM adc
+        )
+        SELECT probe_id, rnk, neighbor_id, adist2
+        FROM ranked WHERE rnk <= {PQ_TOPK}
+        ORDER BY probe_id, rnk
+    """,
+)
+def q_emb_pq_adc(spark, d):
+    """Product quantization with asymmetric-distance retrieval — the
+    third vector-compression tier after scalar quantization
+    (q_emb_quantize) and binary signatures (q_emb_hamming_knn):
+    vectors split into 8 8-dim subspaces, each encoded to its
+    nearest of 16 sampled codewords (the 16 smallest vec_ids — a
+    deterministic stand-in for per-subspace k-means, so the WHOLE PQ
+    pipeline is declared), compressing 64 floats to 8 nibbles.
+    Retrieval is the real ADC algorithm: each probe precomputes an
+    8x16 lookup table of exact subspace distances, and a DB
+    vector's approximate distance is the SUM of 8 table lookups —
+    the scan touches codes, never raw vectors. All distances are
+    integer folds on floor(x*1e6)-quantized components: exact on
+    both engines. Plan: codebook and LUT are broadcast-sized
+    (8x16 and probes x 8x16); encoding is a per-(vec, subspace)
+    argmin window after a broadcast join; the ADC scan is one
+    equi-join on (subspace, code) + a combinable (probe, vec) sum.
+    At 100 TB ADC composes with IVF bucketing (operators/ivf.py) to
+    prune the scan — this query IS the in-bucket scoring kernel."""
+    emb = load(spark, d, "embeddings")
+    vecs = emb.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> cast(floor(cast(x as double)"
+            f" * {KM_Q}) as bigint))"
+        ).alias("q"),
+    )
+    subs = vecs.select(
+        "vec_id",
+        F.explode(
+            F.array(*[F.lit(s) for s in range(PQ_M)])
+        ).alias("s"),
+        "q",
+    ).select(
+        "vec_id",
+        "s",
+        F.expr(
+            f"transform(sequence(1, {PQ_SUB}),"
+            f" i -> element_at(q, s * {PQ_SUB} + i))"
+        ).alias("sq"),
+    )
+    sample = (
+        vecs.orderBy("vec_id")
+        .limit(PQ_CODES)
+        .select(
+            "vec_id",
+            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias(
+                "code"
+            ),
+        )
+    )
+    cb = (
+        subs.join(F.broadcast(sample), "vec_id")
+        .select("s", "code", F.col("sq").alias("cw"))
+    )
+    d2 = F.expr(
+        "aggregate(zip_with(sq, cw, (a, b) -> (a - b) * (a - b)),"
+        " 0L, (acc, x) -> acc + x)"
+    )
+    w_enc = Window.partitionBy("vec_id", "s").orderBy("d2", "code")
+    enc = (
+        subs.join(F.broadcast(cb), "s")
+        .select("vec_id", "s", "code", d2.alias("d2"))
+        .withColumn("rk", F.row_number().over(w_enc))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "s", "code")
+    )
+    probes = subs.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("probe_id"), "s", "sq"
+    )
+    lut = probes.join(F.broadcast(cb), "s").select(
+        "probe_id", "s", "code", d2.alias("d2")
+    )
+    adc = (
+        enc.join(F.broadcast(lut), ["s", "code"])
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .groupBy("probe_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(
+            F.sum("d2").alias("adist2"), F.count(F.lit(1)).alias("nm")
+        )
+        .filter(F.col("nm") == PQ_M)
+    )
+    w_rank = Window.partitionBy("probe_id").orderBy(
+        "adist2", "neighbor_id"
+    )
+    return (
+        adc.withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= PQ_TOPK)
+        .select("probe_id", "rnk", "neighbor_id", "adist2")
+        .orderBy("probe_id", "rnk")
+    )

@@ -55,6 +55,10 @@ PROBE_QUERIES = [
     "q_ml_kmeans",
     # declared GD: three combinable gradient-sum passes
     "q_ml_logreg",
+    # PQ encode + ADC code-join scan
+    "q_emb_pq_adc",
+    # recursive CUSUM over the aggregated daily series
+    "q_ts_cusum",
 ]
 
 TABLES = [
