@@ -305,3 +305,106 @@ def test_stream_dedup_equals_batch_distinct(spark, sf_dir):
         load(spark, sf_dir, "events").select("event_id").distinct().count()
     )
     assert len(rows) == n_distinct
+
+
+def test_ml_kmeans_matches_numpy(spark, sf_dir):
+    """q_ml_kmeans is declared (DuckDB-verified), but the oracle
+    shares the SQL formulation; this mirrors the unrolled Lloyd
+    rounds from scratch in numpy integer arithmetic — seeding,
+    argmin tie-breaks, floored centroid means, empty-cluster
+    carry-forward — and demands exact equality of every output
+    cell."""
+    import __spark_entry__ as entry
+
+    from spark_sklearn_spark.queries.pipeline8 import KM_K, KM_Q
+    from spark_sklearn_spark.sources.io import load
+
+    rows = entry.queries()["q_ml_kmeans"](spark, sf_dir).collect()
+    assert len(rows) == KM_K
+
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    emb.sort(key=lambda r: r["vec_id"])
+    ids = np.array([r["vec_id"] for r in emb], dtype=np.int64)
+    Q = np.floor(
+        np.array([r["embedding"] for r in emb], dtype=np.float64) * KM_Q
+    ).astype(np.int64)
+
+    cent = Q[:KM_K].copy()
+    assign = None
+    d2 = None
+    for it in range(3):
+        d2 = ((Q[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        # np.argmin picks the lowest index on ties — the same
+        # (dist2, cluster) ordering as the query's rank window
+        assign = d2.argmin(axis=1)
+        if it == 2:
+            break
+        for c in range(KM_K):
+            m = assign == c
+            if m.any():
+                cent[c] = np.floor(
+                    Q[m].sum(axis=0) * 1.0 / m.sum()
+                ).astype(np.int64)
+    for c, row in enumerate(rows):
+        assert row["cluster"] == c
+        m = assign == c
+        assert row["n_members"] == int(m.sum())
+        assert row["min_member"] == int(ids[m].min())
+        assert row["inertia_q"] == int((d2[m, c] // KM_Q).sum())
+        assert row["c1_q"] == int(cent[c][0])
+        assert row["c2_q"] == int(cent[c][1])
+
+
+def test_ml_logreg_matches_numpy(spark, sf_dir):
+    """Mirror of q_ml_logreg's three GD steps in numpy: per-term
+    DECIMAL(30,10) quantization emulated with exact int64 sums, the
+    identical weight-update expression, and the same margin-based
+    accuracy — weights and metrics must agree at the rounded
+    precision the query reports."""
+    import math
+
+    import __spark_entry__ as entry
+
+    from spark_sklearn_spark.queries.pipeline8 import LR_RATE
+    from spark_sklearn_spark.sources.io import load
+
+    row = entry.queries()["q_ml_logreg"](spark, sf_dir).collect()[0]
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("event_type", "value", F.hour("ts").alias("h"))
+        .collect()
+    )
+    y = np.array(
+        [1.0 if e["event_type"] == "purchase" else 0.0 for e in ev]
+    )
+    x1 = np.array([e["value"] for e in ev], dtype=np.float64) / 100.0
+    x2 = np.array([e["h"] for e in ev], dtype=np.float64) / 24.0
+    n = len(y)
+
+    def dec_sum(t):
+        # DECIMAL(30,10) HALF_UP quantize, exact integer sum, /1e10
+        qi = np.sign(t) * np.floor(np.abs(t) * 1e10 + 0.5)
+        return float(qi.astype(np.int64).sum()) / 1e10
+
+    w = np.zeros(3)
+    for _ in range(3):
+        z = w[0] + w[1] * x1 + w[2] * x2
+        p = 1.0 / (1.0 + np.exp(-z))
+        g = np.array(
+            [dec_sum(p - y), dec_sum((p - y) * x1), dec_sum((p - y) * x2)]
+        )
+        w = w - LR_RATE * g / n
+
+    assert row["n_rows"] == n
+    for wi, name in zip(w, ["w0", "w1", "w2"]):
+        assert abs(row[name] - round(wi, 6)) < 2e-6, (name, wi)
+    z = w[0] + w[1] * x1 + w[2] * x2
+    assert row["n_correct"] == int(((z >= 0) == (y == 1.0)).sum())
+    p = 1.0 / (1.0 + np.exp(-z))
+    ll = dec_sum(-(y * np.log(p) + (1.0 - y) * np.log(1.0 - p))) / n
+    assert abs(row["log_loss"] - round(ll, 4)) < 2e-4

@@ -154,6 +154,38 @@ NOTES = {
         "the single-partition cumsum window runs over the MANIFEST "
         "(metadata-sized), never over data rows."
     ),
+    "q_graph_copurchase": (
+        "Bipartite projection: popularity cap prunes head parts "
+        "BEFORE the postings self-equi-join on the part key, so pair "
+        "fan-out is cap-bounded; size lookups are key equi-joins."
+    ),
+    "q_ml_kmeans": (
+        "Unrolled Lloyd: the k-row centroid relation BROADCASTS into "
+        "each scoring pass (BroadcastNestedLoopJoin over k rows — "
+        "map-side O(k*d) integer folds per vector); the only "
+        "exchanges are the per-(cluster, dim) update aggs and the "
+        "vec-partitioned argmin windows."
+    ),
+    "q_ml_logreg": (
+        "Each GD step is ONE combinable 3-sum agg over the feature "
+        "scan with the 1-row weight relation broadcast in — "
+        "gradients shrink map-side; three steps = three passes, no "
+        "wide shuffle anywhere."
+    ),
+    "q_ts_cusum": (
+        "CUSUM via the reflection identity: raw events collapse to "
+        "the (type, day) series in one combinable agg; the running "
+        "sum and running min are stacked windows over the SAME "
+        "event_type exchange — decimal-exact, partition-parallel, "
+        "no recursion."
+    ),
+    "q_emb_pq_adc": (
+        "PQ: codebook (8x16) and per-probe LUTs broadcast; encoding "
+        "is a per-(vec, subspace) argmin window after a broadcast "
+        "join; the ADC scan is one equi-join on (subspace, code) "
+        "feeding a combinable (probe, vec) sum — raw vectors never "
+        "rejoin after encoding."
+    ),
 }
 
 
