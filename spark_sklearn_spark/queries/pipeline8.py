@@ -90,7 +90,7 @@ def q_graph_copurchase(spark, d):
     customer pair by the Jaccard of their (tail) part baskets —
     |P(a) n P(b)| / |P(a) u P(b)| — the collaborative-filtering
     candidate generator ("customers like you"). Head parts (bought
-    by > {POP_CAP} distinct customers) are dropped first: they carry
+    by > 25 distinct customers) are dropped first: they carry
     no affinity signal and their postings lists are the quadratic
     fan-out — the identical cap discipline as the text DF_CAP, so
     pair volume is bounded by POP_CAP x |postings|, never
@@ -171,8 +171,8 @@ def q_graph_copurchase(spark, d):
         ),
         per_type AS (
           SELECT event_type,
-                 SUM(1 - cur) AS n_ref,
-                 SUM(cur) AS n_cur,
+                 CAST(SUM(1 - cur) AS BIGINT) AS n_ref,
+                 CAST(SUM(cur) AS BIGINT) AS n_cur,
                  CAST(SUM(CASE WHEN cur = 0
                                THEN CAST(value AS DECIMAL(30,10)) END)
                       AS DOUBLE) AS sv_ref,
@@ -447,20 +447,38 @@ KM_K = 4
 KM_Q = 1_000_000  # component quantization, same as q_sim_ann_grid
 KM_DIM = 64
 
-_KM_VECS_SQL = f"""
+# Shared floor(x*1e6) vector quantization — ONE definition feeding both
+# embedding queries' oracles (and _quantized_vecs for the Spark side),
+# so a quantization change cannot silently diverge between them.
+_VECS_Q_SQL = f"""
         vecs AS (
           SELECT vec_id,
                  list_transform(embedding,
                      x -> CAST(floor(CAST(x AS DOUBLE) * {KM_Q})
                                AS BIGINT)) AS q
           FROM embeddings
-        ),
+        )
+"""
+
+_KM_VECS_SQL = f"""
+        {_VECS_Q_SQL},
         init AS (
           SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster,
                  q AS cq
           FROM vecs ORDER BY vec_id LIMIT {KM_K}
         )
 """
+
+
+def _quantized_vecs(emb):
+    """(vec_id, q): Spark mirror of _VECS_Q_SQL."""
+    return emb.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> cast(floor(cast(x as double)"
+            f" * {KM_Q}) as bigint))"
+        ).alias("q"),
+    )
 
 
 def _km_round_sql(n: int, cent: str) -> str:
@@ -546,14 +564,7 @@ def q_ml_kmeans(spark, d):
     exactly MLlib's distributed Lloyd step; unrolling three rounds
     trades convergence for a provable plan, and the rows-only IVF
     path (operators/ivf.py) remains the converged variant."""
-    emb = load(spark, d, "embeddings")
-    vecs = emb.select(
-        "vec_id",
-        F.expr(
-            f"transform(embedding, x -> cast(floor(cast(x as double)"
-            f" * {KM_Q}) as bigint))"
-        ).alias("q"),
-    )
+    vecs = _quantized_vecs(load(spark, d, "embeddings"))
     init = (
         vecs.orderBy("vec_id")
         .limit(KM_K)
@@ -707,7 +718,7 @@ def _lr_step_sql(i: int) -> str:
 )
 def q_ml_logreg(spark, d):
     """DECLARED logistic regression by full-batch gradient descent
-    (3 unrolled steps, lr={LR_RATE}): purchase propensity from scaled
+    (3 unrolled steps, lr=2.0): purchase propensity from scaled
     value and hour-of-day. Completes the hash-verified trained-model
     trio — closed-form (q_ml_linear_ols), counting (q_ml_naive_bayes),
     and now ITERATIVE GRADIENT training. Determinism: weights start
@@ -831,12 +842,14 @@ _CUSUM_SQL = """
              COUNT(*) AS n_days,
              CAST(SUM(CAST(x AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*)
                  AS mu,
-             sqrt(CAST(SUM(CAST(x * x AS DECIMAL(30,10))) AS DOUBLE)
+             sqrt(greatest(
+                 CAST(SUM(CAST(x * x AS DECIMAL(30,10))) AS DOUBLE)
                       / COUNT(*)
                   - (CAST(SUM(CAST(x AS DECIMAL(30,10))) AS DOUBLE)
                          / COUNT(*))
                     * (CAST(SUM(CAST(x AS DECIMAL(30,10))) AS DOUBLE)
-                           / COUNT(*))) AS sd
+                           / COUNT(*)),
+                 0.0)) AS sd
       FROM idx GROUP BY event_type
     ),
     devs AS (
@@ -924,13 +937,7 @@ PQ_TOPK = 5
 @query(
     "q_emb_pq_adc",
     oracle=f"""
-        WITH vecs AS (
-          SELECT vec_id,
-                 list_transform(embedding,
-                     x -> CAST(floor(CAST(x AS DOUBLE) * {KM_Q})
-                               AS BIGINT)) AS q
-          FROM embeddings
-        ),
+        WITH {_VECS_Q_SQL},
         subs AS (
           SELECT v.vec_id, s.s,
                  list_transform(generate_series(1, {PQ_SUB}),
@@ -1008,20 +1015,17 @@ def q_emb_pq_adc(spark, d):
     vector's approximate distance is the SUM of 8 table lookups —
     the scan touches codes, never raw vectors. All distances are
     integer folds on floor(x*1e6)-quantized components: exact on
-    both engines. Plan: codebook and LUT are broadcast-sized
-    (8x16 and probes x 8x16); encoding is a per-(vec, subspace)
-    argmin window after a broadcast join; the ADC scan is one
-    equi-join on (subspace, code) + a combinable (probe, vec) sum.
-    At 100 TB ADC composes with IVF bucketing (operators/ivf.py) to
-    prune the scan — this query IS the in-bucket scoring kernel."""
-    emb = load(spark, d, "embeddings")
-    vecs = emb.select(
-        "vec_id",
-        F.expr(
-            f"transform(embedding, x -> cast(floor(cast(x as double)"
-            f" * {KM_Q}) as bigint))"
-        ).alias("q"),
-    )
+    both engines. Plan: the codebook (8x16 rows) broadcasts;
+    encoding is a per-(vec, subspace) argmin window after that
+    broadcast join; the ADC scan is one equi-join on
+    (subspace, code) + a combinable (probe, vec) sum. The LUT is
+    probe-count-proportional (probes x 8x16), so it carries NO
+    broadcast hint — AQE broadcasts it while it fits and shuffles
+    otherwise. The ADC product (probes x vectors) is inherent to an
+    unpruned ADC scan; at 100 TB it composes with IVF bucketing
+    (operators/ivf.py) to bound both sides per bucket — this query
+    IS the in-bucket scoring kernel."""
+    vecs = _quantized_vecs(load(spark, d, "embeddings"))
     subs = vecs.select(
         "vec_id",
         F.explode(
@@ -1069,7 +1073,7 @@ def q_emb_pq_adc(spark, d):
         "probe_id", "s", "code", d2.alias("d2")
     )
     adc = (
-        enc.join(F.broadcast(lut), ["s", "code"])
+        enc.join(lut, ["s", "code"])
         .filter(F.col("vec_id") != F.col("probe_id"))
         .groupBy("probe_id", F.col("vec_id").alias("neighbor_id"))
         .agg(

@@ -404,7 +404,14 @@ def test_ml_logreg_matches_numpy(spark, sf_dir):
     for wi, name in zip(w, ["w0", "w1", "w2"]):
         assert abs(row[name] - round(wi, 6)) < 2e-6, (name, wi)
     z = w[0] + w[1] * x1 + w[2] * x2
-    assert row["n_correct"] == int(((z >= 0) == (y == 1.0)).sum())
+    # the numpy weights match the engine's only to ~2e-6, so rows
+    # whose margin sits inside that drift may legitimately flip the
+    # z >= 0 threshold — tolerate exactly those
+    boundary = int((np.abs(z) < 1e-4).sum())
+    assert (
+        abs(row["n_correct"] - int(((z >= 0) == (y == 1.0)).sum()))
+        <= boundary
+    )
     p = 1.0 / (1.0 + np.exp(-z))
     ll = dec_sum(-(y * np.log(p) + (1.0 - y) * np.log(1.0 - p))) / n
     assert abs(row["log_loss"] - round(ll, 4)) < 2e-4

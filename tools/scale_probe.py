@@ -57,7 +57,7 @@ PROBE_QUERIES = [
     "q_ml_logreg",
     # PQ encode + ADC code-join scan
     "q_emb_pq_adc",
-    # recursive CUSUM over the aggregated daily series
+    # window-form CUSUM over the aggregated daily series
     "q_ts_cusum",
 ]
 
