@@ -1090,3 +1090,215 @@ def q_emb_pq_adc(spark, d):
         .select("probe_id", "rnk", "neighbor_id", "adist2")
         .orderBy("probe_id", "rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# MinHash banding recall curve (text-tier index quality, declared)
+# --------------------------------------------------------------------------
+
+MH_K = 16  # portable hash functions (md5-head)
+MH_R = 2  # rows per band -> 8 bands
+MH_TRUE_MIN = 0  # include ALL co-gram pairs: noise floor AND dup mass
+MH_DF_CAP = 100  # shingle document-frequency cap (postings discipline)
+
+
+def _mh_sql() -> str:
+    from ._helpers import sql_h56
+
+    h = sql_h56("CAST(i AS VARCHAR) || ':' || g")
+    return f"""
+        WITH grams AS (
+          SELECT DISTINCT doc_id,
+                 w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+          FROM (SELECT doc_id, string_split(text, ' ') AS w
+                FROM documents),
+               LATERAL (SELECT unnest(generate_series(1, len(w) - 2))
+                        AS i) ix
+          WHERE len(w) >= 3
+        ),
+        capped AS (
+          SELECT doc_id, g FROM grams
+          WHERE g IN (SELECT g FROM grams GROUP BY g
+                      HAVING COUNT(*) <= {MH_DF_CAP})
+        ),
+        hashes AS (
+          SELECT c.doc_id, ix.i, {h} AS h
+          FROM capped c,
+               LATERAL (SELECT unnest(generate_series(0, {MH_K - 1}))
+                        AS i) ix
+        ),
+        sig AS (
+          SELECT doc_id, i, MIN(h) AS mh FROM hashes GROUP BY doc_id, i
+        ),
+        bands AS (
+          SELECT doc_id, CAST(floor(i / {MH_R}) AS BIGINT) AS band,
+                 MIN(CASE WHEN i % {MH_R} = 0 THEN mh END) AS h0,
+                 MIN(CASE WHEN i % {MH_R} = 1 THEN mh END) AS h1
+          FROM sig GROUP BY doc_id, CAST(floor(i / {MH_R}) AS BIGINT)
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.h0 = b.h0 AND a.h1 = b.h1
+               AND a.doc_id < b.doc_id
+        ),
+        sizes AS (
+          SELECT doc_id, COUNT(*) AS n FROM capped GROUP BY doc_id
+        ),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+          FROM capped a JOIN capped b
+            ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY doc_a, doc_b
+        ),
+        true_pairs AS (
+          SELECT i.doc_a, i.doc_b,
+                 CAST(floor(i.c * 1000000.0 / (sa.n + sb.n - i.c))
+                      AS BIGINT) AS jacc_q6
+          FROM inter i
+          JOIN sizes sa ON sa.doc_id = i.doc_a
+          JOIN sizes sb ON sb.doc_id = i.doc_b
+          WHERE CAST(floor(i.c * 1000000.0 / (sa.n + sb.n - i.c))
+                     AS BIGINT) >= {MH_TRUE_MIN}  -- >= 0: keep all
+        ),
+        marked AS (
+          SELECT t.jacc_q6,
+                 CASE WHEN c.doc_a IS NULL THEN 0 ELSE 1 END AS caught
+          FROM true_pairs t
+          LEFT JOIN cand c
+            ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+        )
+        SELECT CAST(floor(jacc_q6 / 100000.0) AS BIGINT) AS j_bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_true,
+               CAST(SUM(caught) AS BIGINT) AS n_caught,
+               CAST(floor(SUM(caught) * 1000000.0 / COUNT(*))
+                    AS BIGINT) AS cand_rate_q6
+        FROM marked
+        GROUP BY CAST(floor(jacc_q6 / 100000.0) AS BIGINT)
+        ORDER BY j_bucket
+    """
+
+
+@query("q_dedup_recall_minhash", oracle=_mh_sql())
+def q_dedup_recall_minhash(spark, d):
+    """MinHash-banding selectivity curve — the text-tier counterpart
+    of q_emb_recall_grid: for every co-gram pair (exact word-3-gram
+    Jaccard via the DF-capped postings join — never doc x doc), the
+    rate at which an 8-band x r=2 signature scheme emits the pair as
+    a candidate, bucketed by Jaccard decile. Expected ~1-(1-J^2)^8:
+    on this fixture's bimodal mass that reads as a ~0 candidate
+    (collision) rate on the J<0.1 noise bucket and ~100% recall on
+    the J>=0.9 dup bucket — the separation that justifies production
+    banding choices (the r=4/b=32 operator in operators/minhash.py
+    targets J >= 0.8 at 3e-9 miss). The measurement itself is
+    hash-verified because signatures use the proven md5-head
+    portable hash (CLAUDE.md), not engine-specific functions: both
+    engines compute bit-identical minima, so candidate sets match
+    exactly; integer-quantized Jaccard and integer rate ratios leave
+    no float boundary anywhere. Plan: one gram explode feeds
+    signatures AND the exact-pairs postings join; bands equi-join on
+    (band, h0, h1); the rollup is a 10-row agg."""
+    from ._helpers import h56
+
+    docs = load(spark, d, "documents")
+    w = docs.select("doc_id", F.split("text", " ").alias("__w")).filter(
+        F.size("__w") >= 3
+    )
+    from .pipeline4 import _word_ngrams
+
+    grams = (
+        w.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    _word_ngrams(F.col("__w"), F.size("__w"), 3)
+                )
+            ).alias("g"),
+        )
+        .filter(F.col("g").isNotNull())
+    )
+    capped = (
+        grams.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("g"))
+        )
+        .filter(F.col("df") <= MH_DF_CAP)
+        .drop("df")
+    )
+    hashes = capped.select(
+        "doc_id",
+        F.explode(F.array(*[F.lit(i) for i in range(MH_K)])).alias("i"),
+        "g",
+    ).select(
+        "doc_id",
+        "i",
+        h56("concat(cast(i as string), ':', g)").alias("h"),
+    )
+    sig = hashes.groupBy("doc_id", "i").agg(F.min("h").alias("mh"))
+    bands = sig.groupBy(
+        "doc_id",
+        F.floor(F.col("i") / MH_R).cast("long").alias("band"),
+    ).agg(
+        F.min(F.when(F.col("i") % MH_R == 0, F.col("mh"))).alias("h0"),
+        F.min(F.when(F.col("i") % MH_R == 1, F.col("mh"))).alias("h1"),
+    )
+    ba = bands.select(
+        F.col("doc_id").alias("doc_a"), "band", "h0", "h1"
+    )
+    bb = bands.select(
+        F.col("doc_id").alias("doc_b"), "band", "h0", "h1"
+    )
+    cand = (
+        ba.join(bb, ["band", "h0", "h1"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sizes = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ga = capped.select(F.col("doc_id").alias("doc_a"), "g")
+    gb = capped.select(F.col("doc_id").alias("doc_b"), "g")
+    inter = (
+        ga.join(gb, "g")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jq = (
+        F.floor(
+            F.col("c")
+            * 1000000.0
+            / (F.col("na") + F.col("nb") - F.col("c"))
+        )
+        .cast("long")
+        .alias("jacc_q6")
+    )
+    true_pairs = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jq)
+        .filter(F.col("jacc_q6") >= MH_TRUE_MIN)
+    )
+    marked = true_pairs.join(
+        cand.withColumn("hit", F.lit(1)), ["doc_a", "doc_b"], "left"
+    ).select(
+        "jacc_q6",
+        F.when(F.col("hit").isNull(), 0).otherwise(1).alias("caught"),
+    )
+    return (
+        marked.groupBy(
+            F.floor(F.col("jacc_q6") / 100000.0)
+            .cast("long")
+            .alias("j_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.sum("caught").alias("n_caught"),
+            F.floor(
+                F.sum("caught") * 1000000.0 / F.count(F.lit(1))
+            )
+            .cast("long")
+            .alias("cand_rate_q6"),
+        )
+        .orderBy("j_bucket")
+    )

@@ -59,6 +59,8 @@ PROBE_QUERIES = [
     "q_emb_pq_adc",
     # window-form CUSUM over the aggregated daily series
     "q_ts_cusum",
+    # portable-signature banding + exact postings join
+    "q_dedup_recall_minhash",
 ]
 
 TABLES = [
