@@ -526,6 +526,71 @@ def _km_update_sql(n: int, prev: str) -> str:
 """
 
 
+def _km_assign(vecs, cents):
+    """Score every vector against the broadcast centroid relation and
+    keep the (dist2, cluster) argmin — one Lloyd assignment pass."""
+    scored = vecs.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "q",
+        "cluster",
+        F.expr(
+            "aggregate(zip_with(q, cq, (a, b) -> (a - b) * (a - b)),"
+            " 0L, (acc, x) -> acc + x)"
+        ).alias("dist2"),
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist2", "cluster")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+
+
+def _km_update(assigned, prev):
+    """Floored exact-integer-mean centroid recompute; empty clusters
+    keep the previous centroid (COALESCE, mirrored in the oracles)."""
+    cells = assigned.selectExpr("cluster", "posexplode(q) as (pos, c)")
+    dims = cells.groupBy("cluster", "pos").agg(
+        F.floor(F.sum("c") * 1.0 / F.count(F.lit(1)))
+        .cast("long")
+        .alias("cq")
+    )
+    arrs = (
+        dims.groupBy("cluster")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "cq"))).alias("s")
+        )
+        .select("cluster", F.expr("transform(s, x -> x.cq)").alias("cqa"))
+    )
+    return (
+        prev.select("cluster", F.col("cq").alias("prev_cq"))
+        .join(arrs, "cluster", "left")
+        .select("cluster", F.coalesce("cqa", "prev_cq").alias("cq"))
+    )
+
+
+def _km_fit(vecs):
+    """Three unrolled Lloyd rounds from the deterministic seed; returns
+    (final centroids cent2, final assignments assign3) — shared by
+    q_ml_kmeans and the declared IVF retrieval built on it."""
+    init = (
+        vecs.orderBy("vec_id")
+        .limit(KM_K)
+        .select(
+            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias(
+                "cluster"
+            ),
+            F.col("q").alias("cq"),
+        )
+    )
+    a1 = _km_assign(vecs, init)
+    c1 = _km_update(a1, init)
+    a2 = _km_assign(vecs, c1)
+    c2 = _km_update(a2, c1)
+    a3 = _km_assign(vecs, c2)
+    return c2, a3
+
+
 @query(
     "q_ml_kmeans",
     oracle=f"""
@@ -565,67 +630,7 @@ def q_ml_kmeans(spark, d):
     trades convergence for a provable plan, and the rows-only IVF
     path (operators/ivf.py) remains the converged variant."""
     vecs = _quantized_vecs(load(spark, d, "embeddings"))
-    init = (
-        vecs.orderBy("vec_id")
-        .limit(KM_K)
-        .select(
-            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias(
-                "cluster"
-            ),
-            F.col("q").alias("cq"),
-        )
-    )
-
-    def assign(cents):
-        scored = vecs.crossJoin(F.broadcast(cents)).select(
-            "vec_id",
-            "q",
-            "cluster",
-            F.expr(
-                "aggregate(zip_with(q, cq, (a, b) -> (a - b) * (a - b)),"
-                " 0L, (acc, x) -> acc + x)"
-            ).alias("dist2"),
-        )
-        w = Window.partitionBy("vec_id").orderBy("dist2", "cluster")
-        return (
-            scored.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1)
-            .drop("rk")
-        )
-
-    def update(assigned, prev):
-        cells = assigned.selectExpr(
-            "cluster", "posexplode(q) as (pos, c)"
-        )
-        dims = cells.groupBy("cluster", "pos").agg(
-            F.floor(F.sum("c") * 1.0 / F.count(F.lit(1)))
-            .cast("long")
-            .alias("cq")
-        )
-        arrs = (
-            dims.groupBy("cluster")
-            .agg(
-                F.array_sort(
-                    F.collect_list(F.struct("pos", "cq"))
-                ).alias("s")
-            )
-            .select(
-                "cluster", F.expr("transform(s, x -> x.cq)").alias("cqa")
-            )
-        )
-        return (
-            prev.select("cluster", F.col("cq").alias("prev_cq"))
-            .join(arrs, "cluster", "left")
-            .select(
-                "cluster", F.coalesce("cqa", "prev_cq").alias("cq")
-            )
-        )
-
-    a1 = assign(init)
-    c1 = update(a1, init)
-    a2 = assign(c1)
-    c2 = update(a2, c1)
-    a3 = assign(c2)
+    c2, a3 = _km_fit(vecs)
     cent_dims = c2.select(
         "cluster",
         F.element_at("cq", 1).alias("c1_q"),
@@ -1301,4 +1306,114 @@ def q_dedup_recall_minhash(spark, d):
             .alias("cand_rate_q6"),
         )
         .orderBy("j_bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+# Declared IVF retrieval on the declared k-means quantizer
+# --------------------------------------------------------------------------
+
+IVF_NPROBE = 2  # coarse cells scanned per probe (of KM_K=4)
+IVF_TOPK = 5
+
+
+@query(
+    "q_sim_ann_ivf_kmeans",
+    oracle=f"""
+        WITH {_KM_VECS_SQL},
+        {_km_round_sql(1, "init")},
+        {_km_update_sql(1, "init")},
+        {_km_round_sql(2, "cent1")},
+        {_km_update_sql(2, "cent1")},
+        {_km_round_sql(3, "cent2")},
+        probes AS (
+          SELECT vec_id AS probe_id, q FROM vecs WHERE vec_id % 100 = 0
+        ),
+        pcells AS (
+          SELECT probe_id, cluster, q FROM (
+            SELECT p.probe_id, c.cluster, p.q,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY p.probe_id
+                       ORDER BY list_sum(list_transform(
+                           generate_series(1, {KM_DIM}),
+                           i -> (p.q[i] - c.cq[i])
+                                * (p.q[i] - c.cq[i]))), c.cluster)
+                       AS rk
+            FROM probes p CROSS JOIN cent2 c
+          ) WHERE rk <= {IVF_NPROBE}
+        ),
+        cand AS (
+          SELECT pc.probe_id, a.vec_id AS neighbor_id,
+                 list_sum(list_transform(generate_series(1, {KM_DIM}),
+                     i -> (pc.q[i] - a.q[i]) * (pc.q[i] - a.q[i])))
+                     AS dist2
+          FROM pcells pc JOIN assign3 a ON a.cluster = pc.cluster
+          WHERE a.vec_id <> pc.probe_id
+        ),
+        ranked AS (
+          SELECT probe_id, neighbor_id, dist2,
+                 ROW_NUMBER() OVER (PARTITION BY probe_id
+                                    ORDER BY dist2, neighbor_id) AS rnk
+          FROM cand
+        )
+        SELECT probe_id, rnk, neighbor_id, dist2
+        FROM ranked WHERE rnk <= {IVF_TOPK}
+        ORDER BY probe_id, rnk
+    """,
+)
+def q_sim_ann_ivf_kmeans(spark, d):
+    """DECLARED IVF retrieval: the real inverted-file ANN pipeline —
+    coarse-quantize with k-means, scan only the nprobe nearest
+    cells — with the declared Lloyd fit (_km_fit) as the quantizer,
+    so unlike the rows-only operators/ivf.py path (MLlib KMeans,
+    float centroids) EVERY stage is hash-verified: train, cell
+    assignment, probe routing, and in-cell exact integer distances.
+    nprobe=2 of k=4 cells scans ~half the corpus per probe — the
+    recall/cost dial production IVF tunes; with the fixture's
+    cluster sizes the plan shape is identical to FAISS-style IVF on
+    a cluster: centroids broadcast (k rows), probe routing is a
+    k-row nested-loop + rank window, and the candidate scan is one
+    equi-join on the CELL KEY (members arrive cell-partitioned,
+    never a full scan per probe). Integer-quantized distances
+    everywhere — no float boundary. At 100 TB: same plan with
+    k ~ sqrt(n) cells and bucketed membership tables
+    (sources/io.write_bucketed), and PQ codes (q_emb_pq_adc) replace
+    raw vectors inside cells."""
+    vecs = _quantized_vecs(load(spark, d, "embeddings"))
+    cents, members = _km_fit(vecs)
+    probes = vecs.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("q").alias("pq")
+    )
+    pd2 = F.expr(
+        "aggregate(zip_with(pq, cq, (a, b) -> (a - b) * (a - b)),"
+        " 0L, (acc, x) -> acc + x)"
+    )
+    w_route = Window.partitionBy("probe_id").orderBy("cd2", "cluster")
+    pcells = (
+        probes.crossJoin(F.broadcast(cents))
+        .select("probe_id", "pq", "cluster", pd2.alias("cd2"))
+        .withColumn("rk", F.row_number().over(w_route))
+        .filter(F.col("rk") <= IVF_NPROBE)
+        .select("probe_id", "pq", "cluster")
+    )
+    nd2 = F.expr(
+        "aggregate(zip_with(pq, q, (a, b) -> (a - b) * (a - b)),"
+        " 0L, (acc, x) -> acc + x)"
+    )
+    cand = (
+        members.select("cluster", "vec_id", "q")
+        .join(pcells, "cluster")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            nd2.alias("dist2"),
+        )
+    )
+    w_rank = Window.partitionBy("probe_id").orderBy("dist2", "neighbor_id")
+    return (
+        cand.withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= IVF_TOPK)
+        .select("probe_id", "rnk", "neighbor_id", "dist2")
+        .orderBy("probe_id", "rnk")
     )

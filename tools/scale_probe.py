@@ -61,6 +61,8 @@ PROBE_QUERIES = [
     "q_ts_cusum",
     # portable-signature banding + exact postings join
     "q_dedup_recall_minhash",
+    # declared IVF: Lloyd quantizer + cell-key candidate join
+    "q_sim_ann_ivf_kmeans",
 ]
 
 TABLES = [
