@@ -179,6 +179,18 @@ NOTES = {
         "event_type exchange — decimal-exact, partition-parallel, "
         "no recursion."
     ),
+    "q_dedup_recall_minhash": (
+        "One DF-capped gram stream feeds BOTH the portable-signature "
+        "build (explode x16 hashes -> per-(doc, i) min agg -> band "
+        "rows) and the exact postings self-join; candidates equi-join "
+        "on (band, h0, h1); the selectivity rollup is a 10-row agg."
+    ),
+    "q_sim_ann_ivf_kmeans": (
+        "IVF on the declared Lloyd fit: centroids broadcast for probe "
+        "routing (k-row nested loop + rank window); the candidate "
+        "scan is an equi-join on the CELL key — members arrive "
+        "cell-partitioned, only nprobe cells are touched per probe."
+    ),
     "q_emb_pq_adc": (
         "PQ: codebook (8x16) and per-probe LUTs broadcast; encoding "
         "is a per-(vec, subspace) argmin window after a broadcast "
