@@ -1417,3 +1417,181 @@ def q_sim_ann_ivf_kmeans(spark, d):
         .select("probe_id", "rnk", "neighbor_id", "dist2")
         .orderBy("probe_id", "rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# Declared decision-stump fit (best Gini split over bucketed features)
+# --------------------------------------------------------------------------
+
+# Candidate split thresholds are INTEGER feature buckets (floor(value)
+# 0..100, hour 0..23), so the split search runs over a bounded bucket
+# relation — the histogram trick every distributed tree learner
+# (XGBoost/LightGBM "hist" mode) uses: raw rows shrink to per-bucket
+# (n, n_pos) in one combinable agg, and every threshold's left/right
+# counts come from ONE prefix-sum window over the buckets.
+
+
+def _stump_sql(feat: str, expr: str) -> str:
+    return f"""
+        SELECT '{feat}' AS feature,
+               CAST({expr} AS BIGINT) AS bucket,
+               COUNT(*) AS n,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS np
+        FROM events
+        GROUP BY CAST({expr} AS BIGINT)
+    """
+
+
+_STUMP_ORACLE = f"""
+    WITH buckets AS (
+        {_stump_sql("value_floor", "floor(value)")}
+        UNION ALL
+        {_stump_sql("hour", "hour(ts)")}
+    ),
+    tot AS (
+      SELECT feature, SUM(n) AS nt, SUM(np) AS pt
+      FROM buckets GROUP BY feature
+    ),
+    pre AS (
+      SELECT b.feature, b.bucket, t.nt, t.pt,
+             SUM(b.n) OVER w AS nl,
+             SUM(b.np) OVER w AS pl
+      FROM buckets b JOIN tot t ON t.feature = b.feature
+      WINDOW w AS (PARTITION BY b.feature ORDER BY b.bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    scored AS (
+      SELECT feature, bucket + 1 AS threshold, nl, pl,
+             nt - nl AS nr, pt - pl AS pr, nt, pt,
+             CAST(floor((
+                 (2.0 * pl * (nl - pl)) / nl
+                 + (2.0 * (pt - pl) * ((nt - nl) - (pt - pl)))
+                   / (nt - nl)
+             ) / nt * 1000000000.0) AS BIGINT) AS gini_q9
+      FROM pre
+      WHERE nl > 0 AND nt - nl > 0
+    ),
+    best AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY feature
+                      ORDER BY gini_q9, threshold) AS rk
+        FROM scored
+      ) WHERE rk = 1
+    ),
+    base AS (
+      SELECT feature,
+             CAST(floor(2.0 * pt * (nt - pt) / nt / nt
+                        * 1000000000.0) AS BIGINT) AS gini_root_q9
+      FROM tot
+    )
+    SELECT b.feature, b.threshold,
+           b.nl AS n_left, b.pl AS pos_left,
+           b.nr AS n_right, b.pr AS pos_right,
+           g.gini_root_q9, b.gini_q9 AS gini_split_q9,
+           g.gini_root_q9 - b.gini_q9 AS gain_q9
+    FROM best b JOIN base g ON g.feature = b.feature
+    ORDER BY b.feature
+"""
+
+
+@query("q_ml_tree_stump", oracle=_STUMP_ORACLE)
+def q_ml_tree_stump(spark, d):
+    """DECLARED decision-stump fit: the best Gini split of purchase
+    vs non-purchase over two integer-bucketed features (floor(value),
+    hour-of-day) — completing the hash-verified classical-model set
+    (linear OLS, logistic GD, Naive Bayes, k-means, and now a tree
+    split). This is the histogram split-finding every distributed
+    tree learner uses: raw rows collapse to per-bucket (n, n_pos) in
+    one combinable agg (<=101 buckets/feature), a single prefix-sum
+    window yields every candidate threshold's left/right counts, and
+    the weighted-Gini score is the identical double expression of
+    EXACT integer counts on both engines, quantized to an integer
+    (floor(x*1e9)) before the argmin rank — no float boundary in the
+    ordering. At 100 TB the bucket relation stays bucket-bounded:
+    the scan dominates, the split search is metadata-sized — depth-k
+    trees iterate this per node exactly as XGBoost hist does."""
+    ev = load(spark, d, "events")
+
+    def bucketize(feat, col):
+        return ev.select(
+            F.lit(feat).alias("feature"),
+            col.cast("long").alias("bucket"),
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("y"),
+        ).groupBy("feature", "bucket").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").cast("long").alias("np"),
+        )
+
+    buckets = bucketize("value_floor", F.floor("value")).unionByName(
+        bucketize("hour", F.hour("ts"))
+    )
+    tot = buckets.groupBy("feature").agg(
+        F.sum("n").alias("nt"), F.sum("np").alias("pt")
+    )
+    w = (
+        Window.partitionBy("feature")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pre = (
+        buckets.join(tot, "feature")
+        .select(
+            "feature",
+            "bucket",
+            "nt",
+            "pt",
+            F.sum("n").over(w).alias("nl"),
+            F.sum("np").over(w).alias("pl"),
+        )
+    )
+    nl, pl = F.col("nl"), F.col("pl")
+    nt, pt = F.col("nt"), F.col("pt")
+    nr, pr = nt - nl, pt - pl
+    gini = (
+        (2.0 * pl * (nl - pl) / nl + 2.0 * pr * (nr - pr) / nr)
+        / nt
+        * 1000000000.0
+    )
+    scored = (
+        pre.filter((nl > 0) & (nt - nl > 0))
+        .select(
+            "feature",
+            (F.col("bucket") + 1).alias("threshold"),
+            nl.alias("nl"),
+            pl.alias("pl"),
+            nr.alias("nr"),
+            pr.alias("pr"),
+            "nt",
+            "pt",
+            F.floor(gini).cast("long").alias("gini_q9"),
+        )
+    )
+    w_best = Window.partitionBy("feature").orderBy("gini_q9", "threshold")
+    best = (
+        scored.withColumn("rk", F.row_number().over(w_best))
+        .filter(F.col("rk") == 1)
+    )
+    base = tot.select(
+        "feature",
+        F.floor(2.0 * pt * (nt - pt) / nt / nt * 1000000000.0)
+        .cast("long")
+        .alias("gini_root_q9"),
+    )
+    return (
+        best.join(base, "feature")
+        .select(
+            "feature",
+            "threshold",
+            F.col("nl").alias("n_left"),
+            F.col("pl").alias("pos_left"),
+            F.col("nr").alias("n_right"),
+            F.col("pr").alias("pos_right"),
+            "gini_root_q9",
+            F.col("gini_q9").alias("gini_split_q9"),
+            (F.col("gini_root_q9") - F.col("gini_q9")).alias("gain_q9"),
+        )
+        .orderBy("feature")
+    )

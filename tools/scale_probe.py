@@ -63,6 +63,8 @@ PROBE_QUERIES = [
     "q_dedup_recall_minhash",
     # declared IVF: Lloyd quantizer + cell-key candidate join
     "q_sim_ann_ivf_kmeans",
+    # histogram split finding: bucket agg + one prefix window
+    "q_ml_tree_stump",
 ]
 
 TABLES = [
