@@ -1595,3 +1595,298 @@ def q_ml_tree_stump(spark, d):
         )
         .orderBy("feature")
     )
+
+
+# --------------------------------------------------------------------------
+# Declared depth-2 tree fit (root stump, then best split per leaf)
+# --------------------------------------------------------------------------
+
+# The per-node iteration every hist-mode tree learner runs: pass 1
+# finds the root split exactly as q_ml_tree_stump does; pass 2 routes
+# each row to its leaf via the (broadcast) 1-row root relation and
+# repeats the histogram split search PARTITIONED BY leaf. Each pass is
+# one scan collapsing to a bucket-bounded relation (<=515 rows/node),
+# so depth-k growth costs k scans — never a per-row sort or pair join.
+# All counts are exact integers; the weighted-Gini argmin compares
+# floor(x*1e9)-quantized scores with a (feature, threshold) tie-break,
+# so no float ordering crosses the engine boundary.
+
+_TREE2_GINI = """CAST(floor((
+                 (2.0 * pl * (nl - pl)) / nl
+                 + (2.0 * (pt - pl) * ((nt - nl) - (pt - pl)))
+                   / (nt - nl)
+             ) / nt * 1000000000.0) AS BIGINT)"""
+
+_TREE2_ORACLE = f"""
+    WITH ev AS (
+      SELECT CAST(floor(value) AS BIGINT) AS b_value,
+             CAST(hour(ts) AS BIGINT) AS b_hour,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+    ),
+    buckets AS (
+      SELECT 'value_floor' AS feature, b_value AS bucket,
+             COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS np
+      FROM ev GROUP BY b_value
+      UNION ALL
+      SELECT 'hour', b_hour, COUNT(*), CAST(SUM(y) AS BIGINT)
+      FROM ev GROUP BY b_hour
+    ),
+    tot AS (
+      SELECT feature, CAST(SUM(n) AS BIGINT) AS nt,
+             CAST(SUM(np) AS BIGINT) AS pt
+      FROM buckets GROUP BY feature
+    ),
+    pre AS (
+      SELECT b.feature, b.bucket, t.nt, t.pt,
+             CAST(SUM(b.n) OVER w AS BIGINT) AS nl,
+             CAST(SUM(b.np) OVER w AS BIGINT) AS pl
+      FROM buckets b JOIN tot t ON t.feature = b.feature
+      WINDOW w AS (PARTITION BY b.feature ORDER BY b.bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    scored AS (
+      SELECT feature, bucket + 1 AS threshold, nl, pl, nt, pt,
+             {_TREE2_GINI} AS gini_q9
+      FROM pre WHERE nl > 0 AND nt - nl > 0
+    ),
+    root AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                 ORDER BY gini_q9, feature, threshold) AS rk
+        FROM scored
+      ) WHERE rk = 1
+    ),
+    leafed AS (
+      SELECT CASE WHEN r.feature = 'value_floor'
+                  THEN CASE WHEN e.b_value < r.threshold
+                            THEN 'L' ELSE 'R' END
+                  ELSE CASE WHEN e.b_hour < r.threshold
+                            THEN 'L' ELSE 'R' END END AS node,
+             e.b_value, e.b_hour, e.y
+      FROM ev e CROSS JOIN root r
+    ),
+    buckets2 AS (
+      SELECT node, 'value_floor' AS feature, b_value AS bucket,
+             COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS np
+      FROM leafed GROUP BY node, b_value
+      UNION ALL
+      SELECT node, 'hour', b_hour, COUNT(*), CAST(SUM(y) AS BIGINT)
+      FROM leafed GROUP BY node, b_hour
+    ),
+    tot2 AS (
+      SELECT node, feature, CAST(SUM(n) AS BIGINT) AS nt,
+             CAST(SUM(np) AS BIGINT) AS pt
+      FROM buckets2 GROUP BY node, feature
+    ),
+    pre2 AS (
+      SELECT b.node, b.feature, b.bucket, t.nt, t.pt,
+             CAST(SUM(b.n) OVER w AS BIGINT) AS nl,
+             CAST(SUM(b.np) OVER w AS BIGINT) AS pl
+      FROM buckets2 b
+      JOIN tot2 t ON t.node = b.node AND t.feature = b.feature
+      WINDOW w AS (PARTITION BY b.node, b.feature ORDER BY b.bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    scored2 AS (
+      SELECT node, feature, bucket + 1 AS threshold, nl, pl, nt, pt,
+             {_TREE2_GINI} AS gini_q9
+      FROM pre2 WHERE nl > 0 AND nt - nl > 0
+    ),
+    best2 AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY node
+                 ORDER BY gini_q9, feature, threshold) AS rk
+        FROM scored2
+      ) WHERE rk = 1
+    ),
+    rootrow AS (
+      SELECT 'root' AS node, r.feature, r.threshold,
+             r.nt AS n_node, r.pt AS pos_node,
+             r.nl AS n_left, r.pl AS pos_left,
+             CAST(floor(2.0 * r.pt * (r.nt - r.pt) / r.nt / r.nt
+                        * 1000000000.0) AS BIGINT) AS gini_parent_q9,
+             r.gini_q9 AS gini_split_q9
+      FROM root r
+    ),
+    childrows AS (
+      SELECT b.node, b.feature, b.threshold,
+             b.nt AS n_node, b.pt AS pos_node,
+             b.nl AS n_left, b.pl AS pos_left,
+             CAST(floor(2.0 * b.pt * (b.nt - b.pt) / b.nt / b.nt
+                        * 1000000000.0) AS BIGINT) AS gini_parent_q9,
+             b.gini_q9 AS gini_split_q9
+      FROM best2 b
+    ),
+    unioned AS (
+      SELECT * FROM rootrow UNION ALL SELECT * FROM childrows
+    )
+    SELECT node, feature, threshold, n_node, pos_node, n_left,
+           pos_left, gini_parent_q9, gini_split_q9,
+           gini_parent_q9 - gini_split_q9 AS gain_q9
+    FROM unioned ORDER BY node
+"""
+
+
+def _tree2_scored(buckets, part_cols):
+    """Per-threshold quantized weighted-Gini over a bucket relation.
+
+    `buckets`: (part_cols..., feature, bucket, n, np). Returns
+    (part_cols..., feature, threshold, nl, pl, nt, pt, gini_q9) with
+    the identical double expression the oracle uses, floor-quantized
+    to 1e-9 before any comparison.
+    """
+    keys = part_cols + ["feature"]
+    tot = buckets.groupBy(*keys).agg(
+        F.sum("n").alias("nt"), F.sum("np").alias("pt")
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pre = buckets.join(tot, keys).select(
+        *keys,
+        "bucket",
+        "nt",
+        "pt",
+        F.sum("n").over(w).alias("nl"),
+        F.sum("np").over(w).alias("pl"),
+    )
+    nl, pl = F.col("nl"), F.col("pl")
+    nt, pt = F.col("nt"), F.col("pt")
+    gini = (
+        (2.0 * pl * (nl - pl) / nl
+         + 2.0 * (pt - pl) * ((nt - nl) - (pt - pl)) / (nt - nl))
+        / nt
+        * 1000000000.0
+    )
+    return pre.filter((nl > 0) & (nt - nl > 0)).select(
+        *keys,
+        (F.col("bucket") + 1).alias("threshold"),
+        "nl",
+        "pl",
+        "nt",
+        "pt",
+        F.floor(gini).cast("long").alias("gini_q9"),
+    )
+
+
+def _tree2_node_row(df):
+    """Project a best-split row to the declared output columns."""
+    nt, pt = F.col("nt"), F.col("pt")
+    parent = F.floor(
+        2.0 * pt * (nt - pt) / nt / nt * 1000000000.0
+    ).cast("long")
+    return df.select(
+        "node",
+        "feature",
+        "threshold",
+        nt.alias("n_node"),
+        pt.alias("pos_node"),
+        F.col("nl").alias("n_left"),
+        F.col("pl").alias("pos_left"),
+        parent.alias("gini_parent_q9"),
+        F.col("gini_q9").alias("gini_split_q9"),
+    )
+
+
+@query("q_ml_tree_depth2", oracle=_TREE2_ORACLE)
+def q_ml_tree_depth2(spark, d):
+    """DECLARED depth-2 tree fit: the root stump plus the best Gini
+    split of each child leaf — the per-node iteration of hist-mode
+    tree growth (q_ml_tree_stump's docstring has the histogram
+    argument). Pass 1 reduces the scan to per-(feature, bucket)
+    exact counts and picks the root by quantized-Gini argmin with a
+    lexicographic (feature, threshold) tie-break; pass 2 broadcasts
+    the 1-row root relation onto the events scan to route rows to
+    'L'/'R', then repeats the identical search partitioned by leaf.
+    Counts stay exact integers end to end; every Gini crossing an
+    ordering is floor(x*1e9) BIGINT on both engines. At 100 TB:
+    depth-k = k linear scans, each shuffling only bucket-bounded
+    histograms (<=515 rows per node here) — the XGBoost/LightGBM
+    scaling shape, with no row-level sort and no pair join."""
+    ev = load(spark, d, "events").select(
+        F.floor("value").cast("long").alias("b_value"),
+        F.hour("ts").cast("long").alias("b_hour"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+
+    def hist(df, part_cols):
+        out = None
+        for feat, col in (("value_floor", "b_value"), ("hour", "b_hour")):
+            h = df.groupBy(*part_cols, col).agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("y").cast("long").alias("np"),
+            ).select(
+                *part_cols,
+                F.lit(feat).alias("feature"),
+                F.col(col).alias("bucket"),
+                "n",
+                "np",
+            )
+            out = h if out is None else out.unionByName(h)
+        return out
+
+    scored = _tree2_scored(hist(ev, []), [])
+    # Global argmin over the bucket-bounded scored relation via
+    # TakeOrderedAndProject (total order: (feature, threshold) is
+    # unique) — not a partition-less window.
+    root = (
+        scored.orderBy("gini_q9", "feature", "threshold")
+        .limit(1)
+        .select(
+            F.col("feature").alias("r_feature"),
+            F.col("threshold").alias("r_threshold"),
+            "nl",
+            "pl",
+            "nt",
+            "pt",
+            "gini_q9",
+        )
+    )
+
+    leafed = ev.join(F.broadcast(root.select("r_feature", "r_threshold"))).select(
+        F.when(
+            F.col("r_feature") == "value_floor",
+            F.when(F.col("b_value") < F.col("r_threshold"), "L").otherwise("R"),
+        )
+        .otherwise(
+            F.when(F.col("b_hour") < F.col("r_threshold"), "L").otherwise("R")
+        )
+        .alias("node"),
+        "b_value",
+        "b_hour",
+        "y",
+    )
+    scored2 = _tree2_scored(hist(leafed, ["node"]), ["node"])
+    w_best = Window.partitionBy("node").orderBy(
+        "gini_q9", "feature", "threshold"
+    )
+    best2 = (
+        scored2.withColumn("rk", F.row_number().over(w_best))
+        .filter(F.col("rk") == 1)
+    )
+
+    rootrow = _tree2_node_row(
+        root.select(
+            F.lit("root").alias("node"),
+            F.col("r_feature").alias("feature"),
+            F.col("r_threshold").alias("threshold"),
+            "nl",
+            "pl",
+            "nt",
+            "pt",
+            "gini_q9",
+        )
+    )
+    childrows = _tree2_node_row(best2)
+    return (
+        rootrow.unionByName(childrows)
+        .withColumn(
+            "gain_q9", F.col("gini_parent_q9") - F.col("gini_split_q9")
+        )
+        .orderBy("node")
+    )

@@ -38,7 +38,7 @@ ORACLES: dict[str, str] = {}
 # q_ts_backtest, q_text_perplexity, q_text_kl_source, q_emb_recall_grid,
 # q_graph_copurchase, q_dq_schema_drift, q_ml_naive_bayes, q_ml_kmeans,
 # q_ml_logreg, q_ts_cusum, q_emb_pq_adc, q_dedup_recall_minhash,
-# q_sim_ann_ivf_kmeans, q_ml_tree_stump, plus
+# q_sim_ann_ivf_kmeans, q_ml_tree_stump, q_ml_tree_depth2, plus
 # q_graph_pagerank (promoted rows-only -> declared this round, needs a
 # declared row); (2) anything r8 adds; (3) the oldest r3/r4-green keys
 # (q_ml_keyed_fit/transform, q_multimodal_*, scan family, q_tpch_q3/q5/q6/
@@ -134,6 +134,7 @@ DRIVER_PRIORITY: list[str] = [
     "q_dedup_recall_minhash",
     "q_sim_ann_ivf_kmeans",
     "q_ml_tree_stump",
+    "q_ml_tree_depth2",
     # r3-green keys with the oldest driver rows on file
     "q_ml_keyed_fit",
     "q_ml_keyed_transform",

@@ -65,6 +65,8 @@ PROBE_QUERIES = [
     "q_sim_ann_ivf_kmeans",
     # histogram split finding: bucket agg + one prefix window
     "q_ml_tree_stump",
+    # per-leaf split iteration: two scans, broadcast root routing
+    "q_ml_tree_depth2",
 ]
 
 TABLES = [
