@@ -1107,16 +1107,20 @@ MH_TRUE_MIN = 0  # include ALL co-gram pairs: noise floor AND dup mass
 MH_DF_CAP = 100  # shingle document-frequency cap (postings discipline)
 
 
-def _mh_sql() -> str:
+def _mh_bands_sql(src: str = "documents") -> str:
+    """CTE chain grams -> capped -> hashes -> sig -> bands: the
+    portable md5-head banded-signature generator, shared by the
+    recall curve (full pair emission, over `documents`) and the
+    edit-distance verify tier (star pairing, over the exact-dedup
+    representative relation passed as `src`)."""
     from ._helpers import sql_h56
 
     h = sql_h56("CAST(i AS VARCHAR) || ':' || g")
-    return f"""
-        WITH grams AS (
+    return f"""grams AS (
           SELECT DISTINCT doc_id,
                  w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
           FROM (SELECT doc_id, string_split(text, ' ') AS w
-                FROM documents),
+                FROM {src}),
                LATERAL (SELECT unnest(generate_series(1, len(w) - 2))
                         AS i) ix
           WHERE len(w) >= 3
@@ -1140,7 +1144,12 @@ def _mh_sql() -> str:
                  MIN(CASE WHEN i % {MH_R} = 0 THEN mh END) AS h0,
                  MIN(CASE WHEN i % {MH_R} = 1 THEN mh END) AS h1
           FROM sig GROUP BY doc_id, CAST(floor(i / {MH_R}) AS BIGINT)
-        ),
+        )"""
+
+
+def _mh_sql() -> str:
+    return f"""
+        WITH {_mh_bands_sql()},
         cand AS (
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
           FROM bands a JOIN bands b
@@ -1184,33 +1193,20 @@ def _mh_sql() -> str:
     """
 
 
-@query("q_dedup_recall_minhash", oracle=_mh_sql())
-def q_dedup_recall_minhash(spark, d):
-    """MinHash-banding selectivity curve — the text-tier counterpart
-    of q_emb_recall_grid: for every co-gram pair (exact word-3-gram
-    Jaccard via the DF-capped postings join — never doc x doc), the
-    rate at which an 8-band x r=2 signature scheme emits the pair as
-    a candidate, bucketed by Jaccard decile. Expected ~1-(1-J^2)^8:
-    on this fixture's bimodal mass that reads as a ~0 candidate
-    (collision) rate on the J<0.1 noise bucket and ~100% recall on
-    the J>=0.9 dup bucket — the separation that justifies production
-    banding choices (the r=4/b=32 operator in operators/minhash.py
-    targets J >= 0.8 at 3e-9 miss). The measurement itself is
-    hash-verified because signatures use the proven md5-head
-    portable hash (CLAUDE.md), not engine-specific functions: both
-    engines compute bit-identical minima, so candidate sets match
-    exactly; integer-quantized Jaccard and integer rate ratios leave
-    no float boundary anywhere. Plan: one gram explode feeds
-    signatures AND the exact-pairs postings join; bands equi-join on
-    (band, h0, h1); the rollup is a 10-row agg."""
+def _mh_capped_and_bands(spark, d, docs=None):
+    """(capped, bands): DF-capped distinct word-3-gram postings and
+    the 8-band x r=2 portable md5-head MinHash band signatures
+    (doc_id, band, h0, h1) — the Spark mirror of _mh_bands_sql().
+    Shared by q_dedup_recall_minhash (full corpus) and
+    q_dedup_editdist (exact-dedup representatives via `docs`)."""
     from ._helpers import h56
+    from .pipeline4 import _word_ngrams
 
-    docs = load(spark, d, "documents")
+    if docs is None:
+        docs = load(spark, d, "documents")
     w = docs.select("doc_id", F.split("text", " ").alias("__w")).filter(
         F.size("__w") >= 3
     )
-    from .pipeline4 import _word_ngrams
-
     grams = (
         w.select(
             "doc_id",
@@ -1246,6 +1242,29 @@ def q_dedup_recall_minhash(spark, d):
         F.min(F.when(F.col("i") % MH_R == 0, F.col("mh"))).alias("h0"),
         F.min(F.when(F.col("i") % MH_R == 1, F.col("mh"))).alias("h1"),
     )
+    return capped, bands
+
+
+@query("q_dedup_recall_minhash", oracle=_mh_sql())
+def q_dedup_recall_minhash(spark, d):
+    """MinHash-banding selectivity curve — the text-tier counterpart
+    of q_emb_recall_grid: for every co-gram pair (exact word-3-gram
+    Jaccard via the DF-capped postings join — never doc x doc), the
+    rate at which an 8-band x r=2 signature scheme emits the pair as
+    a candidate, bucketed by Jaccard decile. Expected ~1-(1-J^2)^8:
+    on this fixture's bimodal mass that reads as a ~0 candidate
+    (collision) rate on the J<0.1 noise bucket and ~100% recall on
+    the J>=0.9 dup bucket — the separation that justifies production
+    banding choices (the r=4/b=32 operator in operators/minhash.py
+    targets J >= 0.8 at 3e-9 miss). The measurement itself is
+    hash-verified because signatures use the proven md5-head
+    portable hash (CLAUDE.md), not engine-specific functions: both
+    engines compute bit-identical minima, so candidate sets match
+    exactly; integer-quantized Jaccard and integer rate ratios leave
+    no float boundary anywhere. Plan: one gram explode feeds
+    signatures AND the exact-pairs postings join; bands equi-join on
+    (band, h0, h1); the rollup is a 10-row agg."""
+    capped, bands = _mh_capped_and_bands(spark, d)
     ba = bands.select(
         F.col("doc_id").alias("doc_a"), "band", "h0", "h1"
     )
@@ -1889,4 +1908,156 @@ def q_ml_tree_depth2(spark, d):
             "gain_q9", F.col("gini_parent_q9") - F.col("gini_split_q9")
         )
         .orderBy("node")
+    )
+
+
+# --------------------------------------------------------------------------
+# Edit-distance verified near-dup tier (banded Levenshtein)
+# --------------------------------------------------------------------------
+
+# Candidates come from the SAME portable 8-band MinHash signatures as
+# q_dedup_recall_minhash, but STAR-PAIRED: within each band bucket,
+# members pair only with the bucket's min doc_id. A bucket of m docs
+# emits m-1 edges instead of C(m,2), so candidate volume is LINEAR in
+# band rows no matter how large a boilerplate dup cluster grows —
+# probed: full-pair emission hit ratio 12.2 at the 5x verbatim-replica
+# fixture (cluster sizes grow 5x, pairs 25x); star pairing keeps the
+# transitive connectivity dedup clustering needs (near-identical docs
+# share buckets, so the star spans the cluster) while giving up only
+# redundant in-cluster edges. Bigram postings blocking was probed
+# first and REJECTED: at sf0.1 the common-bigram DF cap strips
+# dup-shared bigrams (max co-gram overlap drops to 2). The verify
+# stage is character Levenshtein on ASCII-normalized 200-char heads:
+# Spark counts codepoints, DuckDB counts BYTES ('héllo'/'hello' = 1
+# vs 2, probed r7), so parity requires the [^a-z0-9 ] strip. The
+# accept test is pure integer arithmetic (5 * dist <= max_len, edit
+# ratio <= 0.2).
+EDIT_HEAD = 200
+
+
+@query(
+    "q_dedup_editdist",
+    oracle=f"""
+        WITH reps AS (
+          SELECT MIN(doc_id) AS doc_id
+          FROM documents GROUP BY md5(text)
+        ),
+        repdocs AS (
+          SELECT d.doc_id, d.text
+          FROM documents d JOIN reps r ON r.doc_id = d.doc_id
+        ),
+        {_mh_bands_sql("repdocs")},
+        starred AS (
+          SELECT doc_id,
+                 MIN(doc_id) OVER (PARTITION BY band, h0, h1)
+                     AS center
+          FROM bands
+        ),
+        cand AS (
+          SELECT DISTINCT center AS doc_a, doc_id AS doc_b
+          FROM starred WHERE doc_id > center
+        ),
+        norm AS (
+            SELECT doc_id,
+                   substr(regexp_replace(lower(text), '[^a-z0-9 ]', '',
+                                         'g'), 1, {EDIT_HEAD}) AS h
+            FROM repdocs
+        ),
+        scored AS (
+            SELECT i.doc_a, i.doc_b,
+                   CAST(levenshtein(na.h, nb.h) AS BIGINT) AS edit_dist,
+                   CAST(greatest(length(na.h), length(nb.h)) AS BIGINT)
+                       AS len_max
+            FROM cand i
+            JOIN norm na ON na.doc_id = i.doc_a
+            JOIN norm nb ON nb.doc_id = i.doc_b
+        )
+        SELECT doc_a, doc_b, edit_dist, len_max,
+               CAST(floor((1.0 - edit_dist * 1.0 / len_max)
+                          * 1000000.0) AS BIGINT) AS edit_sim_q6
+        FROM scored
+        WHERE len_max > 0 AND edit_dist * 5 <= len_max
+        ORDER BY doc_a, doc_b
+    """,
+)
+def q_dedup_editdist(spark, d):
+    """DECLARED edit-distance near-dup tier: Levenshtein-verified
+    pairs at edit ratio <= 0.2 over MinHash-band candidates. This is
+    the strictest character-level verify in the dedup funnel (url <
+    exact < fingerprint < bands < ngram Jaccard < edit distance): it
+    catches small in-place edits that token-set Jaccard scores
+    loosely, and its cost is bounded twice over — candidate count by
+    star pairing within band buckets (LINEAR in band rows even for
+    pathological boilerplate clusters; the module comment has the
+    12.2x-ratio probe that forced this over full pair emission),
+    per-pair work by the 200-char head clip (a constant ~40k-cell DP
+    in whole-stage codegen, no Python). At 100 TB the verify is
+    linear in candidates, and heads clip per doc so the verify join
+    shuffles 200 bytes/doc, not full texts."""
+    docs = load(spark, d, "documents")
+    # Funnel order: exact dedup FIRST. Banding + verify run over one
+    # representative per identical-text group (min doc_id), so exact
+    # copies never reach the O(HEAD^2) kernel and a pathological
+    # copy-storm costs one hash agg, not candidate edges.
+    reps = docs.groupBy(F.md5("text")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    repdocs = docs.join(reps.select("doc_id"), "doc_id").select(
+        "doc_id", "text"
+    )
+    bands = _mh_capped_and_bands(spark, d, docs=repdocs)[1]
+    cand = (
+        bands.select(
+            "doc_id",
+            F.min("doc_id")
+            .over(Window.partitionBy("band", "h0", "h1"))
+            .alias("center"),
+        )
+        .filter(F.col("doc_id") > F.col("center"))
+        .select(
+            F.col("center").alias("doc_a"),
+            F.col("doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    norm = repdocs.select(
+        "doc_id",
+        F.substring(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""),
+            1,
+            EDIT_HEAD,
+        ).alias("h"),
+    )
+    na = norm.select(F.col("doc_id").alias("doc_a"), F.col("h").alias("ha"))
+    nb = norm.select(F.col("doc_id").alias("doc_b"), F.col("h").alias("hb"))
+    scored = (
+        cand.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("ha", "hb").cast("long").alias("edit_dist"),
+            F.greatest(F.length("ha"), F.length("hb"))
+            .cast("long")
+            .alias("len_max"),
+        )
+    )
+    return (
+        scored.filter(
+            (F.col("len_max") > 0)
+            & (F.col("edit_dist") * 5 <= F.col("len_max"))
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "edit_dist",
+            "len_max",
+            F.floor(
+                (1.0 - F.col("edit_dist") * 1.0 / F.col("len_max"))
+                * 1000000.0
+            )
+            .cast("long")
+            .alias("edit_sim_q6"),
+        )
+        .orderBy("doc_a", "doc_b")
     )

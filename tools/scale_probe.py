@@ -67,6 +67,8 @@ PROBE_QUERIES = [
     "q_ml_tree_stump",
     # per-leaf split iteration: two scans, broadcast root routing
     "q_ml_tree_depth2",
+    # banded candidates + clipped-head Levenshtein verify
+    "q_dedup_editdist",
 ]
 
 TABLES = [
