@@ -2061,3 +2061,152 @@ def q_dedup_editdist(spark, d):
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --------------------------------------------------------------------------
+# Kaplan-Meier time-to-conversion survival curve (declared)
+# --------------------------------------------------------------------------
+
+# Subject: hours from a user's FIRST event to their FIRST purchase,
+# with administrative right-censoring at a KM_FOLLOWUP_H-hour
+# follow-up horizon (the clinical-trials study-end rule): a user who
+# hasn't purchased within the horizon is censored there (or at their
+# last observed event if that comes sooner). The product-limit
+# estimator S(t) = prod_{t_i <= t} (1 - d_i / n_i) crosses engines
+# as a SUM of per-term floor(ln(1 - d/n) * 1e9) integers: d and n
+# are exact integer counts, d/n is one double division, ln of
+# identical double inputs is identical libm output (the
+# q_text_perplexity / NB precedent), and the cumulative sum is pure
+# BIGINT — no float enters any ordering or window accumulation.
+# Durations use integer-microsecond arithmetic (epoch_us // 3600e6,
+# non-negative so DuckDB floor-div == Spark `div` truncation).
+KM_FOLLOWUP_H = 48
+
+
+_KM_ORACLE = f"""
+    WITH f AS (
+      SELECT user_id,
+             epoch_us(MIN(ts)) AS e0,
+             epoch_us(MAX(ts)) AS el,
+             epoch_us(MIN(CASE WHEN event_type = 'purchase'
+                               THEN ts END)) AS ec
+      FROM events GROUP BY user_id
+    ),
+    lif AS (
+      SELECT user_id,
+             CASE WHEN ec IS NOT NULL
+                   AND (ec - e0) // 3600000000 <= {KM_FOLLOWUP_H}
+                  THEN 1 ELSE 0 END AS died,
+             CASE WHEN ec IS NOT NULL
+                   AND (ec - e0) // 3600000000 <= {KM_FOLLOWUP_H}
+                  THEN (ec - e0) // 3600000000
+                  ELSE least((el - e0) // 3600000000,
+                             {KM_FOLLOWUP_H}) END AS duration_h
+      FROM f
+    ),
+    times AS (
+      SELECT CAST(duration_h AS BIGINT) AS duration_h,
+             CAST(SUM(died) AS BIGINT) AS n_event,
+             CAST(SUM(1 - died) AS BIGINT) AS n_censored
+      FROM lif GROUP BY duration_h
+    ),
+    risk AS (
+      SELECT duration_h, n_event, n_censored,
+             CAST(SUM(n_event + n_censored) OVER (
+                 ORDER BY duration_h DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS n_risk
+      FROM times
+    ),
+    terms AS (
+      SELECT duration_h, n_risk, n_event, n_censored,
+             CAST(floor(ln(1.0 - n_event * 1.0 / n_risk)
+                        * 1000000000.0) AS BIGINT) AS t_q9
+      FROM risk WHERE n_event > 0 AND n_event < n_risk
+    )
+    SELECT duration_h, n_risk, n_event, n_censored,
+           CAST(SUM(t_q9) OVER (
+               ORDER BY duration_h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS km_ln_q9
+    FROM terms ORDER BY duration_h
+"""
+
+
+@query("q_ts_survival", oracle=_KM_ORACLE)
+def q_ts_survival(spark, d):
+    """DECLARED Kaplan-Meier time-to-conversion curve: hours from
+    first event to first purchase, right-censored at the 48 h
+    follow-up horizon — the funnel-latency analytics that handles
+    incomplete observation correctly, where q_funnel_latency's raw
+    latency percentiles silently condition on conversion having
+    happened. Plan shape: one scan collapses to per-user
+    (first, last, first-purchase) epochs via a combinable agg, the
+    lifetime relation aggregates to per-hour exact integer counts
+    (horizon-bounded, <= 49 rows), and risk sets are ONE suffix-sum
+    window over that bounded relation — no per-event window, no
+    driver loop. The product-limit estimator ships as a BIGINT
+    cumulative sum of floor(ln(1 - d/n)*1e9) terms (module comment
+    has the parity argument), so S(t) is engine-exact. At 100 TB the
+    per-user agg is the only row-scale shuffle; everything after is
+    metadata-sized."""
+    ev = load(spark, d, "events")
+    f = ev.groupBy("user_id").agg(
+        F.min(F.unix_micros("ts")).alias("e0"),
+        F.max(F.unix_micros("ts")).alias("el"),
+        F.min(
+            F.when(
+                F.col("event_type") == "purchase", F.unix_micros("ts")
+            )
+        ).alias("ec"),
+    )
+    conv_h = F.expr("(ec - e0) div 3600000000")
+    obs_h = F.least(
+        F.expr("(el - e0) div 3600000000"), F.lit(KM_FOLLOWUP_H)
+    )
+    died_cond = F.col("ec").isNotNull() & (conv_h <= KM_FOLLOWUP_H)
+    lif = f.select(
+        F.when(died_cond, 1).otherwise(0).alias("died"),
+        F.when(died_cond, conv_h).otherwise(obs_h).alias("duration_h"),
+    )
+    times = lif.groupBy(
+        F.col("duration_h").cast("long").alias("duration_h")
+    ).agg(
+        F.sum("died").alias("n_event"),
+        F.sum(1 - F.col("died")).alias("n_censored"),
+    )
+    w_risk = Window.orderBy(F.desc("duration_h")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = times.select(
+        "duration_h",
+        "n_event",
+        "n_censored",
+        F.sum(F.col("n_event") + F.col("n_censored"))
+        .over(w_risk)
+        .alias("n_risk"),
+    )
+    terms = risk.filter(
+        (F.col("n_event") > 0) & (F.col("n_event") < F.col("n_risk"))
+    ).select(
+        "duration_h",
+        "n_risk",
+        "n_event",
+        "n_censored",
+        F.floor(
+            F.log(1.0 - F.col("n_event") * 1.0 / F.col("n_risk"))
+            * 1000000000.0
+        )
+        .cast("long")
+        .alias("t_q9"),
+    )
+    w_km = Window.orderBy("duration_h").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return terms.select(
+        "duration_h",
+        "n_risk",
+        "n_event",
+        "n_censored",
+        F.sum("t_q9").over(w_km).alias("km_ln_q9"),
+    ).orderBy("duration_h")

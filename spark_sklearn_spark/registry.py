@@ -136,6 +136,7 @@ DRIVER_PRIORITY: list[str] = [
     "q_ml_tree_stump",
     "q_ml_tree_depth2",
     "q_dedup_editdist",
+    "q_ts_survival",
     # r3-green keys with the oldest driver rows on file
     "q_ml_keyed_fit",
     "q_ml_keyed_transform",

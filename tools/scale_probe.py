@@ -69,6 +69,8 @@ PROBE_QUERIES = [
     "q_ml_tree_depth2",
     # banded candidates + clipped-head Levenshtein verify
     "q_dedup_editdist",
+    # per-user combinable agg -> horizon-bounded KM windows
+    "q_ts_survival",
 ]
 
 TABLES = [
