@@ -2210,3 +2210,154 @@ def q_ts_survival(spark, d):
         "n_censored",
         F.sum("t_q9").over(w_km).alias("km_ln_q9"),
     ).orderBy("duration_h")
+
+
+# --------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of BM25 and vector ranks
+# --------------------------------------------------------------------------
+
+# The fusion every RAG / retrieval pipeline runs between its lexical
+# index and its vector index: RRF(doc) = sum over lists of
+# 1/(K + rank). Ranks are small exact integers, so both engines
+# compute identical 1/(60+r) doubles; the two-term sum is written in
+# the same fixed order and floor-quantized to 1e-12 BEFORE the fused
+# ordering — no float boundary. The vector list ranks by the SAME
+# integer-quantized squared distance as the grid/IVF family
+# (q_sim_ann_grid's lesson: when a metric only needs ordering,
+# quantize to integers). vec_id and doc_id share the id space by
+# fixture construction, which is exactly the aligned-corpus setup
+# hybrid search assumes.
+RRF_K = 60
+RRF_PROBE_ID = 0  # query vector: embedding of id 0
+RRF_TOP_IN = 20  # depth of each input list
+RRF_TOP_OUT = 10
+
+
+def _rrf_oracle() -> str:
+    from ..registry import ORACLES
+
+    bm25 = ORACLES["q_text_bm25"]
+    return f"""
+    WITH lex AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id)
+                  AS BIGINT) AS lex_rank
+      FROM ({bm25})
+    ),
+    {_VECS_Q_SQL},
+    probe AS (
+      SELECT q AS pq FROM vecs WHERE vec_id = {RRF_PROBE_ID}
+    ),
+    dists AS (
+      SELECT v.vec_id AS doc_id,
+             list_sum(list_transform(generate_series(1, {KM_DIM}),
+                 i -> (v.q[i] - p.pq[i]) * (v.q[i] - p.pq[i])))
+                 AS dist2
+      FROM vecs v CROSS JOIN probe p
+      WHERE v.vec_id <> {RRF_PROBE_ID}
+    ),
+    sem AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY dist2, doc_id)
+                  AS BIGINT) AS sem_rank
+      FROM (SELECT * FROM dists
+            ORDER BY dist2, doc_id LIMIT {RRF_TOP_IN})
+    ),
+    fused AS (
+      SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+             COALESCE(l.lex_rank, -1) AS lex_rank,
+             COALESCE(s.sem_rank, -1) AS sem_rank,
+             CAST(floor((
+                 COALESCE(1.0 / ({RRF_K} + l.lex_rank), 0.0)
+                 + COALESCE(1.0 / ({RRF_K} + s.sem_rank), 0.0)
+             ) * 1000000000000.0) AS BIGINT) AS rrf_q12
+      FROM lex l FULL JOIN sem s ON s.doc_id = l.doc_id
+    )
+    SELECT doc_id, lex_rank, sem_rank, rrf_q12,
+           CAST(ROW_NUMBER() OVER (ORDER BY rrf_q12 DESC, doc_id)
+                AS BIGINT) AS fused_rank
+    FROM fused
+    ORDER BY rrf_q12 DESC, doc_id LIMIT {RRF_TOP_OUT}
+    """
+
+
+@query("q_search_hybrid_rrf", oracle=_rrf_oracle())
+def q_search_hybrid_rrf(spark, d):
+    """DECLARED hybrid retrieval via reciprocal-rank fusion: the
+    BM25 top-{RRF_TOP_IN} (q_text_bm25's fixed probe query, its
+    oracle reused verbatim as this oracle's lexical CTE) fused with
+    the vector top-{RRF_TOP_IN} for a probe embedding (integer-
+    quantized squared distance, the grid-ANN ranking kernel) by
+    RRF = sum 1/(60+rank) — the standard lexical+semantic ensemble.
+    Plan shape: both input lists are TakeOrderedAndProject over
+    their (already linear-scaling) retrieval plans; the fusion
+    itself is a {RRF_TOP_IN}-row full outer join + a
+    {2 * RRF_TOP_IN}-row sort — metadata-sized. At 100 TB the cost
+    IS the two retrievals (each scan-bounded, the vector side
+    IVF-prunable per q_sim_ann_ivf_kmeans); fusion adds nothing.
+    Module comment has the float-parity argument."""
+    from .pipeline5 import q_text_bm25
+
+    w_lex = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    lex = q_text_bm25(spark, d).select(
+        "doc_id",
+        F.row_number().over(w_lex).cast("long").alias("lex_rank"),
+    )
+    emb = load(spark, d, "embeddings")
+    vecs = _quantized_vecs(emb)
+    probe = vecs.filter(F.col("vec_id") == RRF_PROBE_ID).select(
+        F.col("q").alias("pq")
+    )
+    dists = (
+        vecs.filter(F.col("vec_id") != RRF_PROBE_ID)
+        .crossJoin(F.broadcast(probe))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.expr(
+                "aggregate(zip_with(q, pq, (a, b) -> (a - b) * (a - b)),"
+                " 0L, (acc, x) -> acc + x)"
+            ).alias("dist2"),
+        )
+    )
+    w_sem = Window.orderBy("dist2", "doc_id")
+    sem = (
+        dists.orderBy("dist2", "doc_id")
+        .limit(RRF_TOP_IN)
+        .select(
+            "doc_id",
+            F.row_number().over(w_sem).cast("long").alias("sem_rank"),
+        )
+    )
+    fused = (
+        lex.join(sem, "doc_id", "full")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("lex_rank"), F.lit(-1)).alias("lex_rank"),
+            F.coalesce(F.col("sem_rank"), F.lit(-1)).alias("sem_rank"),
+            F.floor(
+                (
+                    F.coalesce(
+                        1.0 / (RRF_K + F.col("lex_rank")), F.lit(0.0)
+                    )
+                    + F.coalesce(
+                        1.0 / (RRF_K + F.col("sem_rank")), F.lit(0.0)
+                    )
+                )
+                * 1000000000000.0
+            )
+            .cast("long")
+            .alias("rrf_q12"),
+        )
+    )
+    w_f = Window.orderBy(F.desc("rrf_q12"), F.asc("doc_id"))
+    return (
+        fused.select(
+            "doc_id",
+            "lex_rank",
+            "sem_rank",
+            "rrf_q12",
+            F.row_number().over(w_f).cast("long").alias("fused_rank"),
+        )
+        .orderBy(F.desc("rrf_q12"), F.asc("doc_id"))
+        .limit(RRF_TOP_OUT)
+    )

@@ -137,6 +137,7 @@ DRIVER_PRIORITY: list[str] = [
     "q_ml_tree_depth2",
     "q_dedup_editdist",
     "q_ts_survival",
+    "q_search_hybrid_rrf",
     # r3-green keys with the oldest driver rows on file
     "q_ml_keyed_fit",
     "q_ml_keyed_transform",

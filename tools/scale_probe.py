@@ -71,6 +71,8 @@ PROBE_QUERIES = [
     "q_dedup_editdist",
     # per-user combinable agg -> horizon-bounded KM windows
     "q_ts_survival",
+    # two TakeOrdered retrievals + a 20-row fusion join
+    "q_search_hybrid_rrf",
 ]
 
 TABLES = [
