@@ -415,3 +415,142 @@ def test_ml_logreg_matches_numpy(spark, sf_dir):
     p = 1.0 / (1.0 + np.exp(-z))
     ll = dec_sum(-(y * np.log(p) + (1.0 - y) * np.log(1.0 - p))) / n
     assert abs(row["log_loss"] - round(ll, 4)) < 2e-4
+
+
+def test_tree_split_invariants(spark, sf_dir):
+    """q_ml_tree_stump / q_ml_tree_depth2: the argmin split can never
+    be worse than its parent under weighted Gini (concavity), the
+    leaf populations partition the root's, and per-node counts are
+    internally consistent."""
+    from spark_sklearn_spark.queries.pipeline8 import (
+        q_ml_tree_depth2,
+        q_ml_tree_stump,
+    )
+
+    stump = {r["feature"]: r for r in q_ml_tree_stump(spark, sf_dir).collect()}
+    assert set(stump) == {"hour", "value_floor"}
+    for r in stump.values():
+        assert 0 < r["n_left"] < r["n_left"] + r["n_right"]
+        assert r["gain_q9"] >= -1  # floor-quantization slack
+        assert 0 <= r["pos_left"] <= r["n_left"]
+
+    tree = {r["node"]: r for r in q_ml_tree_depth2(spark, sf_dir).collect()}
+    root = tree["root"]
+    assert root["gain_q9"] >= -1
+    # the root is the best stump over both features
+    assert root["gini_split_q9"] == min(
+        r["gini_split_q9"] for r in stump.values()
+    )
+    if "L" in tree and "R" in tree:
+        assert tree["L"]["n_node"] + tree["R"]["n_node"] == root["n_node"]
+        assert (
+            tree["L"]["pos_node"] + tree["R"]["pos_node"]
+            == root["pos_node"]
+        )
+        assert tree["L"]["n_node"] == root["n_left"]
+    for node in ("L", "R"):
+        if node in tree:
+            r = tree[node]
+            assert r["gain_q9"] >= -1
+            assert 0 < r["n_left"] < r["n_node"]
+
+
+def test_km_survival_invariants(spark, sf_dir):
+    """q_ts_survival: risk sets shrink as durations grow, the
+    ln-survival cumsum is strictly decreasing (every emitted time has
+    d > 0), events never exceed the risk set, and the largest risk
+    set is bounded by the user count."""
+    from spark_sklearn_spark.queries.pipeline8 import q_ts_survival
+    from spark_sklearn_spark.sources.io import load
+
+    rows = q_ts_survival(spark, sf_dir).collect()
+    assert rows, "fixture should produce at least one event time"
+    n_users = (
+        load(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    assert rows[0]["n_risk"] <= n_users
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["duration_h"] > prev["duration_h"]
+        assert cur["n_risk"] < prev["n_risk"]
+        assert cur["km_ln_q9"] < prev["km_ln_q9"]
+    for r in rows:
+        assert 0 < r["n_event"] < r["n_risk"]
+        assert r["km_ln_q9"] < 0
+
+
+def test_hybrid_rrf_matches_recomputation(spark, sf_dir):
+    """q_search_hybrid_rrf: fused ranks are a permutation of 1..k,
+    fused scores are non-increasing, and every score equals the
+    1/(60+r) recomputation from the reported input ranks."""
+    import math
+
+    from spark_sklearn_spark.queries.pipeline8 import (
+        RRF_K,
+        q_search_hybrid_rrf,
+    )
+
+    rows = q_search_hybrid_rrf(spark, sf_dir).collect()
+    assert [r["fused_rank"] for r in rows] == list(
+        range(1, len(rows) + 1)
+    )
+    scores = [r["rrf_q12"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        expect = math.floor(
+            (
+                (1.0 / (RRF_K + r["lex_rank"]) if r["lex_rank"] > 0 else 0.0)
+                + (1.0 / (RRF_K + r["sem_rank"]) if r["sem_rank"] > 0 else 0.0)
+            )
+            * 1e12
+        )
+        assert r["rrf_q12"] == expect
+
+
+def test_editdist_pairs_verified_in_python(spark, sf_dir):
+    """q_dedup_editdist: every returned pair honors the integer
+    accept test, is rep-ordered (doc_a < doc_b), and a sample of
+    pairs reproduces its edit distance under a reference python DP
+    on the same normalized heads."""
+    import re
+
+    from spark_sklearn_spark.queries.pipeline8 import (
+        EDIT_HEAD,
+        q_dedup_editdist,
+    )
+    from spark_sklearn_spark.sources.io import load
+
+    rows = q_dedup_editdist(spark, sf_dir).collect()
+    assert rows, "fixture should contain near-dup pairs"
+    for r in rows:
+        assert r["doc_a"] < r["doc_b"]
+        assert r["edit_dist"] * 5 <= r["len_max"]
+
+    def norm(t):
+        return re.sub(r"[^a-z0-9 ]", "", t.lower())[:EDIT_HEAD]
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(
+                        prev[j] + 1,
+                        cur[j - 1] + 1,
+                        prev[j - 1] + (ca != cb),
+                    )
+                )
+            prev = cur
+        return prev[-1]
+
+    sample = rows[:3]
+    ids = {r["doc_a"] for r in sample} | {r["doc_b"] for r in sample}
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isin(*ids))
+        .collect()
+    }
+    for r in sample:
+        got = lev(norm(texts[r["doc_a"]]), norm(texts[r["doc_b"]]))
+        assert got == r["edit_dist"]
