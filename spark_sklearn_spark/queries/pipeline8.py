@@ -2361,3 +2361,170 @@ def q_search_hybrid_rrf(spark, d):
         .orderBy(F.desc("rrf_q12"), F.asc("doc_id"))
         .limit(RRF_TOP_OUT)
     )
+
+
+# --------------------------------------------------------------------------
+# Gradient-boosting round: regression stump on residuals (declared)
+# --------------------------------------------------------------------------
+
+# One GBM iteration under squared loss: F0 = global mean, fit the
+# best SSE-reducing stump to the residuals, report leaf gammas (the
+# additive update). The histogram trick again — but for regression
+# the sufficient statistics per bucket are (n, sum target), and the
+# split score is the variance-reduction identity
+# gain = RL^2/nl + RR^2/nr (RL/RR = left/right residual sums), which
+# needs NO second moment. Targets quantize to integer milli-units
+# (floor(value*1e3)) so every sum is an exact BIGINT; the score is a
+# double of exact integers written identically on both engines and
+# floor-normalized by n (keeps the quantized score inside BIGINT:
+# RL ~ n*5e5, RL^2/nl/nt ~ 2.5e11 at sf0.1) before the ordering.
+GBM_TOP_SPLITS = 5
+
+
+def _gbm_sql(feat: str, expr: str) -> str:
+    return f"""
+        SELECT '{feat}' AS feature,
+               CAST({expr} AS BIGINT) AS bucket,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(floor(value * 1000.0) AS BIGINT))
+                    AS BIGINT) AS s
+        FROM events
+        GROUP BY CAST({expr} AS BIGINT)
+    """
+
+
+_GBM_ORACLE = f"""
+    WITH buckets AS (
+        {_gbm_sql("hour", "hour(ts)")}
+        UNION ALL
+        {_gbm_sql("dom", "day(ts)")}
+    ),
+    tot AS (
+      SELECT feature, CAST(SUM(n) AS BIGINT) AS nt,
+             CAST(SUM(s) AS BIGINT) AS st
+      FROM buckets GROUP BY feature
+    ),
+    pre AS (
+      SELECT b.feature, b.bucket, t.nt, t.st,
+             CAST(SUM(b.n) OVER w AS BIGINT) AS nl,
+             CAST(SUM(b.s) OVER w AS BIGINT) AS sl
+      FROM buckets b JOIN tot t ON t.feature = b.feature
+      WINDOW w AS (PARTITION BY b.feature ORDER BY b.bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    scored AS (
+      SELECT feature, bucket + 1 AS threshold, nl, nt - nl AS nr,
+             CAST(floor((
+                 (sl - nl * (st * 1.0 / nt))
+                   * (sl - nl * (st * 1.0 / nt)) / nl
+                 + ((st - sl) - (nt - nl) * (st * 1.0 / nt))
+                   * ((st - sl) - (nt - nl) * (st * 1.0 / nt))
+                   / (nt - nl)
+             ) / nt) AS BIGINT) AS gain_q,
+             CAST(floor((sl - nl * (st * 1.0 / nt)) / nl * 1000.0)
+                  AS BIGINT) AS gamma_left_q6,
+             CAST(floor(((st - sl) - (nt - nl) * (st * 1.0 / nt))
+                        / (nt - nl) * 1000.0)
+                  AS BIGINT) AS gamma_right_q6,
+             CAST(floor(st * 1.0 / nt * 1000.0) AS BIGINT) AS f0_q6
+      FROM pre
+      WHERE nl > 0 AND nt - nl > 0
+    )
+    SELECT CAST(ROW_NUMBER() OVER (
+               ORDER BY gain_q DESC, feature, threshold)
+             AS BIGINT) AS rk,
+           feature, threshold, nl AS n_left, nr AS n_right,
+           gamma_left_q6, gamma_right_q6, f0_q6, gain_q
+    FROM scored
+    ORDER BY gain_q DESC, feature, threshold
+    LIMIT {GBM_TOP_SPLITS}
+"""
+
+
+@query("q_ml_gbm_round", oracle=_GBM_ORACLE)
+def q_ml_gbm_round(spark, d):
+    """DECLARED gradient-boosting round under squared loss: base
+    score F0 = mean(value), best residual-fitting stump over two
+    integer-bucketed features (hour, day-of-month) by the
+    variance-reduction identity, leaf gammas = mean residual per
+    side — the additive-update step GBM iterates, joining the
+    hash-verified model set (OLS, logistic GD, NB, k-means, tree
+    splits). Histogram plan again: per-bucket (n, sum vq) combinable
+    agg over milli-quantized targets, ONE prefix window, candidate
+    relation <= 55 rows; the top-{GBM_TOP_SPLITS} split surface ships
+    instead of just the argmax so the oracle checks the whole
+    ordering. At 100 TB: one scan + bucket-bounded metadata, same as
+    the classification stumps; k boosting rounds = k scans with
+    re-predicted residuals (here round 1, where residual sums are a
+    closed form of (n, s) — no per-row prediction join needed)."""
+    ev = load(spark, d, "events")
+
+    def hist(feat, col):
+        return ev.select(
+            F.lit(feat).alias("feature"),
+            col.cast("long").alias("bucket"),
+            F.floor(F.col("value") * 1000.0).cast("long").alias("vq"),
+        ).groupBy("feature", "bucket").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("vq").cast("long").alias("s"),
+        )
+
+    buckets = hist("hour", F.hour("ts")).unionByName(
+        hist("dom", F.dayofmonth("ts"))
+    )
+    tot = buckets.groupBy("feature").agg(
+        F.sum("n").alias("nt"), F.sum("s").alias("st")
+    )
+    w = (
+        Window.partitionBy("feature")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pre = buckets.join(tot, "feature").select(
+        "feature",
+        "bucket",
+        "nt",
+        "st",
+        F.sum("n").over(w).alias("nl"),
+        F.sum("s").over(w).alias("sl"),
+    )
+    nl, sl = F.col("nl"), F.col("sl")
+    nt, st = F.col("nt"), F.col("st")
+    mu = st * 1.0 / nt
+    rl = sl - nl * mu
+    rr = (st - sl) - (nt - nl) * mu
+    scored = (
+        pre.filter((nl > 0) & (nt - nl > 0))
+        .select(
+            "feature",
+            (F.col("bucket") + 1).alias("threshold"),
+            nl.alias("n_left"),
+            (nt - nl).alias("n_right"),
+            F.floor((rl / nl) * 1000.0).cast("long").alias("gamma_left_q6"),
+            F.floor((rr / (nt - nl)) * 1000.0)
+            .cast("long")
+            .alias("gamma_right_q6"),
+            F.floor(mu * 1000.0).cast("long").alias("f0_q6"),
+            F.floor((rl * rl / nl + rr * rr / (nt - nl)) / nt)
+            .cast("long")
+            .alias("gain_q"),
+        )
+    )
+    top = scored.orderBy(
+        F.desc("gain_q"), F.asc("feature"), F.asc("threshold")
+    ).limit(GBM_TOP_SPLITS)
+    w_rk = Window.orderBy(F.desc("gain_q"), F.asc("feature"), F.asc("threshold"))
+    return (
+        top.select(
+            F.row_number().over(w_rk).cast("long").alias("rk"),
+            "feature",
+            "threshold",
+            "n_left",
+            "n_right",
+            "gamma_left_q6",
+            "gamma_right_q6",
+            "f0_q6",
+            "gain_q",
+        )
+        .orderBy("rk")
+    )

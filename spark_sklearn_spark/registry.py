@@ -138,6 +138,7 @@ DRIVER_PRIORITY: list[str] = [
     "q_dedup_editdist",
     "q_ts_survival",
     "q_search_hybrid_rrf",
+    "q_ml_gbm_round",
     # r3-green keys with the oldest driver rows on file
     "q_ml_keyed_fit",
     "q_ml_keyed_transform",

@@ -73,6 +73,8 @@ PROBE_QUERIES = [
     "q_ts_survival",
     # two TakeOrdered retrievals + a 20-row fusion join
     "q_search_hybrid_rrf",
+    # regression-histogram boosting step: bucket agg + prefix window
+    "q_ml_gbm_round",
 ]
 
 TABLES = [
