@@ -740,6 +740,46 @@ def q_ml_logreg(spark, d):
     shrink map-side; no shuffle beyond the final single-group agg);
     three steps = three passes, exactly MLlib's LBFGS data access
     pattern per iteration."""
+    feats, n, w3 = _lr_fit(spark, d)
+
+    z = F.col("w0") + F.col("w1") * F.col("x1") + F.col("w2") * F.col("x2")
+    p = 1.0 / (1.0 + F.exp(-z))
+    return (
+        feats.crossJoin(F.broadcast(w3))
+        .crossJoin(F.broadcast(n))
+        .groupBy("w0", "w1", "w2", "n")
+        .agg(
+            F.sum(
+                F.when((z >= 0) == (F.col("y") == 1.0), 1).otherwise(0)
+            ).alias("n_correct"),
+            F.round(
+                F.sum(
+                    (
+                        -(
+                            F.col("y") * F.log(p)
+                            + (1.0 - F.col("y")) * F.log(1.0 - p)
+                        )
+                    ).cast(DEC)
+                )
+                .cast("double")
+                / F.col("n"),
+                4,
+            ).alias("log_loss"),
+        )
+        .select(
+            F.round("w0", 6).alias("w0"),
+            F.round("w1", 6).alias("w1"),
+            F.round("w2", 6).alias("w2"),
+            F.col("n").alias("n_rows"),
+            "n_correct",
+            "log_loss",
+        )
+    )
+
+
+def _lr_fit(spark, d):
+    """(feats, n, w3): the 3-step full-batch GD fit of q_ml_logreg —
+    shared with q_ml_calibration, which bins the fitted scores."""
     ev = load(spark, d, "events")
     feats = ev.select(
         F.when(F.col("event_type") == "purchase", 1.0)
@@ -783,40 +823,7 @@ def q_ml_logreg(spark, d):
         F.lit(0.0).alias("w0"), F.lit(0.0).alias("w1"), F.lit(0.0).alias("w2")
     )
     w3 = step(step(step(it0)))
-
-    z = F.col("w0") + F.col("w1") * F.col("x1") + F.col("w2") * F.col("x2")
-    p = 1.0 / (1.0 + F.exp(-z))
-    return (
-        feats.crossJoin(F.broadcast(w3))
-        .crossJoin(F.broadcast(n))
-        .groupBy("w0", "w1", "w2", "n")
-        .agg(
-            F.sum(
-                F.when((z >= 0) == (F.col("y") == 1.0), 1).otherwise(0)
-            ).alias("n_correct"),
-            F.round(
-                F.sum(
-                    (
-                        -(
-                            F.col("y") * F.log(p)
-                            + (1.0 - F.col("y")) * F.log(1.0 - p)
-                        )
-                    ).cast(DEC)
-                )
-                .cast("double")
-                / F.col("n"),
-                4,
-            ).alias("log_loss"),
-        )
-        .select(
-            F.round("w0", 6).alias("w0"),
-            F.round("w1", 6).alias("w1"),
-            F.round("w2", 6).alias("w2"),
-            F.col("n").alias("n_rows"),
-            "n_correct",
-            "log_loss",
-        )
-    )
+    return feats, n, w3
 
 
 # --------------------------------------------------------------------------
@@ -2528,3 +2535,97 @@ def q_ml_gbm_round(spark, d):
         )
         .orderBy("rk")
     )
+
+
+# --------------------------------------------------------------------------
+# Calibration curve (reliability bins) of the declared logreg scores
+# --------------------------------------------------------------------------
+
+# The post-training diagnostic that AUC/KS/PR (rank metrics) cannot
+# give: does predicted probability MEAN what it says? Scores come
+# from the SAME bit-identical 3-step GD weights as q_ml_logreg (the
+# fit is shared via _lr_fit / the unrolled SQL steps); each row's
+# sigmoid is an identical-input double on both engines, bucketed by
+# floor(p*10) (integer boundary — a p exactly at a bucket edge is a
+# double equality, identical on both sides), and per-bin mean
+# prediction rides the decimal policy before the final quantize.
+
+
+_CALIB_ORACLE = f"""
+    WITH {_LR_BASE_SQL},
+    {_lr_step_sql(1)},
+    {_lr_step_sql(2)},
+    {_lr_step_sql(3)},
+    scored AS (
+      SELECT f.y,
+             1.0 / (1.0 + exp(-(w.w0 + w.w1 * f.x1 + w.w2 * f.x2)))
+                 AS p
+      FROM feats f, it3 w
+    ),
+    bins AS (
+      SELECT CAST(least(floor(p * 10.0), 9) AS BIGINT) AS bin,
+             COUNT(*) AS n,
+             CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_pos,
+             SUM(CAST(p AS DECIMAL(30,10))) AS sp
+      FROM scored
+      GROUP BY CAST(least(floor(p * 10.0), 9) AS BIGINT)
+    )
+    SELECT bin, CAST(n AS BIGINT) AS n, n_pos,
+           CAST(floor(CAST(sp AS DOUBLE) / n * 1000000.0) AS BIGINT)
+               AS avg_p_q6,
+           CAST(floor(n_pos * 1000000.0 / n) AS BIGINT)
+               AS pos_rate_q6,
+           CAST(floor(CAST(sp AS DOUBLE) / n * 1000000.0) AS BIGINT)
+             - CAST(floor(n_pos * 1000000.0 / n) AS BIGINT)
+               AS gap_q6
+    FROM bins ORDER BY bin
+"""
+
+
+@query("q_ml_calibration", oracle=_CALIB_ORACLE)
+def q_ml_calibration(spark, d):
+    """DECLARED calibration curve (reliability bins) for the 3-step
+    GD logistic model: decile-binned predicted probability vs the
+    exact positive rate, plus the signed calibration gap — the
+    companion diagnostic to the rank metrics (q_ml_auc/q_ml_ks/
+    q_ml_pr_curve), which are blind to probability scaling. Reuses
+    q_ml_logreg's bit-identical weights (shared fit helper; the
+    oracle replays the same unrolled decimal-GD steps), so scores
+    are engine-identical doubles; bins are integer floors; per-bin
+    mean prediction is an exact decimal sum quantized AFTER the
+    divide. Plan: the scoring pass is one map-side broadcast of the
+    1-row weight relation into the feature scan and ONE combinable
+    10-group agg — at 100 TB the cost is the scan, the calibration
+    table is 10 rows."""
+    feats, n, w3 = _lr_fit(spark, d)
+    z = F.col("w0") + F.col("w1") * F.col("x1") + F.col("w2") * F.col("x2")
+    p = 1.0 / (1.0 + F.exp(-z))
+    scored = feats.crossJoin(F.broadcast(w3)).select(
+        "y", p.alias("p")
+    )
+    bins = scored.groupBy(
+        F.least(F.floor(F.col("p") * 10.0), F.lit(9))
+        .cast("long")
+        .alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("y") == 1.0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_pos"),
+        F.sum(F.col("p").cast(DEC)).alias("sp"),
+    )
+    avg_p = F.floor(
+        F.col("sp").cast("double") / F.col("n") * 1000000.0
+    ).cast("long")
+    pos_rate = F.floor(
+        F.col("n_pos") * 1000000.0 / F.col("n")
+    ).cast("long")
+    return bins.select(
+        "bin",
+        F.col("n").cast("long").alias("n"),
+        "n_pos",
+        avg_p.alias("avg_p_q6"),
+        pos_rate.alias("pos_rate_q6"),
+        (avg_p - pos_rate).alias("gap_q6"),
+    ).orderBy("bin")

@@ -75,6 +75,8 @@ PROBE_QUERIES = [
     "q_search_hybrid_rrf",
     # regression-histogram boosting step: bucket agg + prefix window
     "q_ml_gbm_round",
+    # GD-fit scoring pass + 10-group combinable agg
+    "q_ml_calibration",
 ]
 
 TABLES = [
