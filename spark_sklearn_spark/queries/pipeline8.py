@@ -2629,3 +2629,107 @@ def q_ml_calibration(spark, d):
         pos_rate.alias("pos_rate_q6"),
         (avg_p - pos_rate).alias("gap_q6"),
     ).orderBy("bin")
+
+
+# --------------------------------------------------------------------------
+# Label-centroid separation matrix (declared)
+# --------------------------------------------------------------------------
+
+# Cluster-separation diagnostic over the label space: pairwise cosine
+# and exact squared distance between per-label centroids — the cheap
+# answer to "are my classes/domains actually separated in embedding
+# space", run before trusting a nearest-centroid router or a
+# semantic-dedup threshold. Centroids quantize to floor(mean*1e6)
+# BIGINT per dimension (exact decimal sums first), so dot products
+# and squared norms are EXACT integer arithmetic; only the final
+# cosine normalization touches doubles (identical-input sqrt), and it
+# floor-quantizes before the output. dist2 never leaves BIGINT.
+
+
+_CSIM_ORACLE = """
+    WITH idx AS (
+      SELECT label, embedding AS e,
+             unnest(generate_series(1, len(embedding))) AS dim
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label, dim,
+             CAST(floor(
+                 CAST(SUM(CAST(CAST(e[dim] AS DOUBLE)
+                               AS DECIMAL(30,10))) AS DOUBLE)
+                 / COUNT(*) * 1000000.0) AS BIGINT) AS cq
+      FROM idx GROUP BY label, dim
+    ),
+    pairs AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             CAST(SUM(a.cq * b.cq) AS BIGINT) AS dot,
+             CAST(SUM(a.cq * a.cq) AS BIGINT) AS na,
+             CAST(SUM(b.cq * b.cq) AS BIGINT) AS nb
+      FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+      GROUP BY a.label, b.label
+    )
+    SELECT label_a, label_b,
+           CAST(floor(dot / (sqrt(na * 1.0) * sqrt(nb * 1.0))
+                      * 1000000.0) AS BIGINT) AS cos_q6,
+           na + nb - 2 * dot AS dist2_q12
+    FROM pairs ORDER BY label_a, label_b
+"""
+
+
+@query("q_emb_centroid_sim", oracle=_CSIM_ORACLE)
+def q_emb_centroid_sim(spark, d):
+    """DECLARED label-centroid separation matrix: pairwise cosine and
+    exact squared distance between the per-label embedding centroids
+    (q_emb_centroid's aggregation, quantized) — the class-separation
+    diagnostic behind nearest-centroid routing and semantic-dedup
+    threshold choices. Plan: one posexplode scan -> (label, dim)
+    decimal means (|labels| x dims rows, metadata-sized), then a
+    self-equi-join on dim over that bounded relation — the vector
+    scan dominates, the matrix is |labels|^2/2 rows. Determinism:
+    centroids floor-quantize to 1e-6 BIGINT, so dot/norms/dist2 are
+    exact integers; the only double is the cosine normalization,
+    written as dot / (sqrt(na*1.0) * sqrt(nb*1.0)) on BOTH engines
+    (na*nb would overflow int64) and floored to q6."""
+    emb = load(spark, d, "embeddings")
+    idx = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    ).select("label", (F.col("pos") + 1).alias("dim"), "v")
+    cent = idx.groupBy("label", "dim").agg(
+        F.floor(
+            F.sum(F.col("v").cast("double").cast(DEC)).cast("double")
+            / F.count(F.lit(1))
+            * 1000000.0
+        )
+        .cast("long")
+        .alias("cq")
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"), "dim", F.col("cq").alias("ca")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), "dim", F.col("cq").alias("cb")
+    )
+    pairs = (
+        a.join(b, "dim")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(F.col("ca") * F.col("cb")).alias("dot"),
+            F.sum(F.col("ca") * F.col("ca")).alias("na"),
+            F.sum(F.col("cb") * F.col("cb")).alias("nb"),
+        )
+    )
+    return pairs.select(
+        "label_a",
+        "label_b",
+        F.floor(
+            F.col("dot")
+            / (
+                F.sqrt(F.col("na") * 1.0) * F.sqrt(F.col("nb") * 1.0)
+            )
+            * 1000000.0
+        )
+        .cast("long")
+        .alias("cos_q6"),
+        (F.col("na") + F.col("nb") - 2 * F.col("dot")).alias("dist2_q12"),
+    ).orderBy("label_a", "label_b")

@@ -140,6 +140,7 @@ DRIVER_PRIORITY: list[str] = [
     "q_search_hybrid_rrf",
     "q_ml_gbm_round",
     "q_ml_calibration",
+    "q_emb_centroid_sim",
     # r3-green keys with the oldest driver rows on file
     "q_ml_keyed_fit",
     "q_ml_keyed_transform",

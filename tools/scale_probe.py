@@ -77,6 +77,8 @@ PROBE_QUERIES = [
     "q_ml_gbm_round",
     # GD-fit scoring pass + 10-group combinable agg
     "q_ml_calibration",
+    # posexplode scan -> bounded centroid relation self-join
+    "q_emb_centroid_sim",
 ]
 
 TABLES = [
