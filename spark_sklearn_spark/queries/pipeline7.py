@@ -641,11 +641,9 @@ def q_text_keywords(spark, d):
 
 HAM_TOPK = 5
 
-
-@query(
-    "q_emb_hamming_knn",
-    oracle=f"""
-        WITH sig AS (
+# Sign-binarized 64-bit signatures (bit i = dim i > 0), shared by
+# q_emb_hamming_knn and q_ml_label_noise_knn (pipeline8).
+HAM_SIG_SQL = """sig AS (
           SELECT vec_id,
                  SUM(CASE WHEN i < 32 AND embedding[i + 1] > 0
                           THEN (1::BIGINT << i) ELSE 0 END) AS lo,
@@ -654,7 +652,27 @@ HAM_TOPK = 5
           FROM embeddings,
                LATERAL (SELECT unnest(generate_series(0, 63)) AS i)
           GROUP BY vec_id
-        ),
+        )"""
+
+
+def hamming_sig(emb):
+    """(vec_id, lo, hi): Spark mirror of HAM_SIG_SQL — one fused
+    O(d) fold per row, no explode."""
+
+    def word(lo_bit: int) -> F.Column:
+        return F.expr(
+            f"aggregate(sequence({lo_bit}, {lo_bit + 31}), 0L,"
+            " (a, i) -> a + IF(element_at(embedding, i + 1) > 0,"
+            f" shiftleft(1L, i - {lo_bit}), 0L))"
+        )
+
+    return emb.select("vec_id", word(0).alias("lo"), word(32).alias("hi"))
+
+
+@query(
+    "q_emb_hamming_knn",
+    oracle=f"""
+        WITH {HAM_SIG_SQL},
         probes AS (SELECT * FROM sig WHERE vec_id % 100 = 0),
         scored AS (
           SELECT p.vec_id AS probe_id, s.vec_id AS neighbor_id,
@@ -685,17 +703,7 @@ def q_emb_hamming_knn(spark, d):
     partition by probe. Exact Hamming on both engines — no float
     anywhere past the sign."""
     emb = load(spark, d, "embeddings")
-
-    def word(lo_bit: int) -> F.Column:
-        return F.expr(
-            f"aggregate(sequence({lo_bit}, {lo_bit + 31}), 0L,"
-            " (a, i) -> a + IF(element_at(embedding, i + 1) > 0,"
-            f" shiftleft(1L, i - {lo_bit}), 0L))"
-        )
-
-    sig = emb.select(
-        "vec_id", word(0).alias("lo"), word(32).alias("hi")
-    )
+    sig = hamming_sig(emb)
     probes = sig.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("probe_id"),
         F.col("lo").alias("p_lo"),

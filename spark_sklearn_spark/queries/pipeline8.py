@@ -2733,3 +2733,153 @@ def q_emb_centroid_sim(spark, d):
         .alias("cos_q6"),
         (F.col("na") + F.col("nb") - 2 * F.col("dot")).alias("dist2_q12"),
     ).orderBy("label_a", "label_b")
+
+
+# --------------------------------------------------------------------------
+# Label-noise audit via k-NN neighbor agreement (declared)
+# --------------------------------------------------------------------------
+
+# The label-quality gate a training pipeline runs before trusting a
+# labeled corpus: for every vector, how many of its k nearest
+# neighbors share its label? Low agreement flags probable
+# mislabels (confident-learning's cheap cousin). Neighbors rank by
+# EXACT Hamming distance over the shared sign-binarized 64-bit
+# signatures (pipeline7.hamming_sig — two XOR+popcount codegen ops
+# per pair, no float anywhere), so ranks, agreements, and counts are
+# all exact integers on both engines. Probes are a FIXED-SIZE
+# deterministic panel (the NOISE_PANEL smallest ids): the audit is a
+# panel ESTIMATE of per-label noise, and its cost is panel x corpus
+# — LINEAR in data (full-probe emission measured ratio 6.6 at the 5x
+# fixture before the panel cut it to ~1.2). Neighbors still rank
+# over ALL vectors, so the statistic itself is exact per probe; at
+# 100 TB the candidate side can additionally route through
+# IVF/banded neighbors (q_sim_ann_ivf_kmeans) without changing the
+# output contract.
+NOISE_K = 5
+NOISE_PANEL = 500  # fixed-size probe panel: audit cost linear in corpus
+
+
+_NOISE_ORACLE = f"""
+    WITH {{HAM_SIG}},
+    lab AS (
+      SELECT s.vec_id, s.lo, s.hi, e.label
+      FROM sig s JOIN embeddings e ON e.vec_id = s.vec_id
+    ),
+    panel AS (
+      SELECT * FROM lab ORDER BY vec_id LIMIT {NOISE_PANEL}
+    ),
+    scored AS (
+      SELECT a.vec_id, a.label,
+             b.label AS n_label,
+             bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+                 AS hamming,
+             b.vec_id AS n_id
+      FROM panel a JOIN lab b ON b.vec_id <> a.vec_id
+    ),
+    ranked AS (
+      SELECT vec_id, label, n_label,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY hamming, n_id) AS rnk
+      FROM scored
+    ),
+    agree AS (
+      SELECT vec_id, label,
+             CAST(SUM(CASE WHEN n_label = label THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_agree
+      FROM ranked WHERE rnk <= {NOISE_K}
+      GROUP BY vec_id, label
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(n_agree) AS BIGINT) AS sum_agree,
+           CAST(floor(SUM(n_agree) * 1000000.0
+                      / (COUNT(*) * {NOISE_K})) AS BIGINT)
+               AS mean_agree_q6,
+           CAST(SUM(CASE WHEN 2 * n_agree <= {NOISE_K} THEN 1 ELSE 0
+                    END) AS BIGINT) AS n_suspect
+    FROM agree GROUP BY label ORDER BY label
+"""
+
+
+from .pipeline7 import HAM_SIG_SQL as _HAM_SIG_SQL
+
+
+@query(
+    "q_ml_label_noise_knn",
+    oracle=_NOISE_ORACLE.replace("{HAM_SIG}", _HAM_SIG_SQL),
+)
+def q_ml_label_noise_knn(spark, d):
+    """DECLARED label-noise audit: per-label neighbor-agreement
+    statistics — for each vector, the fraction of its {NOISE_K}
+    Hamming-nearest neighbors sharing its label, rolled up to
+    (n_vecs, mean agreement, suspect count where agreement <= 1/2)
+    per label. The cheap structural stand-in for confident-learning
+    label audits, and the go/no-go gate before a labeled corpus
+    feeds training. Everything is exact integer arithmetic: shared
+    sign-signatures (pipeline7.hamming_sig), XOR+popcount distances,
+    integer rank tie-break (hamming, id), integer agreement counts;
+    the single quantized mean divides exact integers identically on
+    both engines. Plan: signature build is one fused fold per row;
+    the FIXED-SIZE probe panel broadcasts into the candidate scan
+    (BroadcastNestedLoopJoin, NOT CartesianProduct — panel x corpus,
+    linear in data); per-probe windows partition by vec_id. Module
+    comment has the panel-estimate and 100 TB candidate-set
+    arguments."""
+    from .pipeline7 import hamming_sig
+
+    emb = load(spark, d, "embeddings")
+    sig = hamming_sig(emb)
+    lab = sig.join(emb.select("vec_id", "label"), "vec_id")
+    # Broadcast the FIXED-SIZE panel into the candidate scan (the
+    # side that grows with the corpus), mirroring q_emb_hamming_knn.
+    panel = lab.orderBy("vec_id").limit(NOISE_PANEL).select(
+        F.col("vec_id").alias("p_id"),
+        F.col("lo").alias("p_lo"),
+        F.col("hi").alias("p_hi"),
+        F.col("label").alias("p_label"),
+    )
+    scored = lab.join(
+        F.broadcast(panel), lab.vec_id != panel.p_id
+    ).select(
+        F.col("p_id").alias("vec_id"),
+        F.col("p_label").alias("label"),
+        F.col("label").alias("n_label"),
+        (
+            F.bit_count(F.col("p_lo").bitwiseXOR(F.col("lo")))
+            + F.bit_count(F.col("p_hi").bitwiseXOR(F.col("hi")))
+        ).alias("hamming"),
+        F.col("vec_id").alias("n_id"),
+    )
+    w = Window.partitionBy("vec_id").orderBy("hamming", "n_id")
+    agree = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= NOISE_K)
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(
+                F.when(F.col("n_label") == F.col("label"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_agree")
+        )
+    )
+    return (
+        agree.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum("n_agree").cast("long").alias("sum_agree"),
+            F.floor(
+                F.sum("n_agree")
+                * 1000000.0
+                / (F.count(F.lit(1)) * NOISE_K)
+            )
+            .cast("long")
+            .alias("mean_agree_q6"),
+            F.sum(
+                F.when(2 * F.col("n_agree") <= NOISE_K, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_suspect"),
+        )
+        .orderBy("label")
+    )

@@ -141,6 +141,7 @@ DRIVER_PRIORITY: list[str] = [
     "q_ml_gbm_round",
     "q_ml_calibration",
     "q_emb_centroid_sim",
+    "q_ml_label_noise_knn",
     # r3-green keys with the oldest driver rows on file
     "q_ml_keyed_fit",
     "q_ml_keyed_transform",

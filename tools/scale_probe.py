@@ -79,6 +79,8 @@ PROBE_QUERIES = [
     "q_ml_calibration",
     # posexplode scan -> bounded centroid relation self-join
     "q_emb_centroid_sim",
+    # broadcast signature self-score (quadratic pairs, codegen XOR)
+    "q_ml_label_noise_knn",
 ]
 
 TABLES = [
