@@ -2883,3 +2883,111 @@ def q_ml_label_noise_knn(spark, d):
         )
         .orderBy("label")
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental ingestion dedup gate (declared)
+# --------------------------------------------------------------------------
+
+# The production ingestion path: a NEW batch arrives and each incoming
+# doc is admitted, exact-dropped, or near-dropped against the EXISTING
+# corpus — the incremental form of the dedup funnel (you never re-dedup
+# the whole corpus per batch). Split rule doc_id % 5 (the fixture's
+# batch stand-in, same idiom as q_dq_schema_drift). Tier 1: md5 text
+# hash equi-join. Tier 2: portable MinHash band buckets — but the
+# existing side PRE-AGGREGATES to one (bucket -> min doc_id) row per
+# bucket BEFORE the join, so a boilerplate cluster of any size costs
+# one row, and the join fan-out is exactly |incoming band rows| —
+# linear, the same lesson as q_dedup_editdist's star pairing.
+
+
+def _inc_oracle() -> str:
+    return f"""
+    WITH {_mh_bands_sql()},
+    inc AS (
+      SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 5 = 0
+    ),
+    ex AS (
+      SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 5 <> 0
+    ),
+    exact AS (
+      SELECT i.doc_id, MIN(e.doc_id) AS match_id
+      FROM inc i JOIN ex e ON e.h = i.h GROUP BY i.doc_id
+    ),
+    ex_buckets AS (
+      SELECT band, h0, h1, MIN(doc_id) AS match_id
+      FROM bands WHERE doc_id % 5 <> 0 GROUP BY band, h0, h1
+    ),
+    nearm AS (
+      SELECT b.doc_id, MIN(e.match_id) AS match_id
+      FROM bands b
+      JOIN ex_buckets e
+        ON e.band = b.band AND e.h0 = b.h0 AND e.h1 = b.h1
+      WHERE b.doc_id % 5 = 0
+      GROUP BY b.doc_id
+    )
+    SELECT i.doc_id,
+           CASE WHEN x.doc_id IS NOT NULL THEN 'exact'
+                WHEN n.doc_id IS NOT NULL THEN 'near'
+                ELSE 'new' END AS verdict,
+           COALESCE(x.match_id, n.match_id, -1) AS match_id
+    FROM inc i
+    LEFT JOIN exact x ON x.doc_id = i.doc_id
+    LEFT JOIN nearm n ON n.doc_id = i.doc_id
+    ORDER BY i.doc_id
+    """
+
+
+@query("q_dedup_incremental", oracle=_inc_oracle())
+def q_dedup_incremental(spark, d):
+    """DECLARED incremental ingestion dedup: every incoming-batch doc
+    (doc_id % 5 = 0) gets a verdict against the existing corpus —
+    'exact' (md5 equi-join match), 'near' (shares a portable MinHash
+    band bucket with an existing doc), or 'new' — plus the minimum
+    matching existing id. This is the per-batch form of the dedup
+    funnel: production never re-pairs the whole corpus on ingest, it
+    probes the incoming batch against materialized corpus indexes
+    (here the hash set and the band buckets; both sides are built
+    in-query from the same scan for the declared contract). Scale:
+    the existing band side pre-aggregates to one min-id row PER
+    BUCKET before the join, so arbitrarily large dup clusters cost
+    one row and the probe fan-out is |incoming band rows| — linear;
+    both verdict joins are key equi-joins. All comparisons are hash
+    equality and integer mins — no floats anywhere."""
+    docs = load(spark, d, "documents")
+    hashed = docs.select("doc_id", F.md5("text").alias("h"))
+    inc = hashed.filter(F.col("doc_id") % 5 == 0)
+    ex = hashed.filter(F.col("doc_id") % 5 != 0)
+    exact = (
+        inc.join(
+            ex.select(F.col("h"), F.col("doc_id").alias("e_id")), "h"
+        )
+        .groupBy("doc_id")
+        .agg(F.min("e_id").alias("x_match"))
+    )
+    bands = _mh_capped_and_bands(spark, d)[1]
+    ex_buckets = (
+        bands.filter(F.col("doc_id") % 5 != 0)
+        .groupBy("band", "h0", "h1")
+        .agg(F.min("doc_id").alias("b_match"))
+    )
+    nearm = (
+        bands.filter(F.col("doc_id") % 5 == 0)
+        .join(ex_buckets, ["band", "h0", "h1"])
+        .groupBy("doc_id")
+        .agg(F.min("b_match").alias("n_match"))
+    )
+    return (
+        inc.select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(nearm, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("x_match").isNotNull(), "exact")
+            .when(F.col("n_match").isNotNull(), "near")
+            .otherwise("new")
+            .alias("verdict"),
+            F.coalesce("x_match", "n_match", F.lit(-1)).alias("match_id"),
+        )
+        .orderBy("doc_id")
+    )

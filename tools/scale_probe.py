@@ -81,6 +81,8 @@ PROBE_QUERIES = [
     "q_emb_centroid_sim",
     # broadcast signature self-score (quadratic pairs, codegen XOR)
     "q_ml_label_noise_knn",
+    # batch-vs-corpus probe: hash equi-join + bucket-min band join
+    "q_dedup_incremental",
 ]
 
 TABLES = [
