@@ -2991,3 +2991,100 @@ def q_dedup_incremental(spark, d):
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Class-balanced downsampling (declared)
+# --------------------------------------------------------------------------
+
+# The class-balancing step before training on skewed labels:
+# downsample every language to the minority language's count,
+# selecting by portable md5-head hash rank so the "random" subset is
+# deterministic, seedable (the 'bal:' salt), and IDENTICAL on both
+# engines — the same reproducible-sampling discipline as
+# q_sample_hash/q_split_train, applied per group with an exact-k
+# guarantee (hash-threshold sampling gives only expected-k). Output
+# is the per-group contract (counts + the exact id-sum checksum of
+# the kept set), not the row stream, so the declared check pins the
+# SELECTED SET without hashing thousands of rows.
+
+
+_BAL_ORACLE = f"""
+    WITH ranked AS (
+      SELECT lang, doc_id,
+             ROW_NUMBER() OVER (
+                 PARTITION BY lang
+                 ORDER BY {{H}} , doc_id) AS rk
+      FROM documents
+    ),
+    mincnt AS (
+      SELECT MIN(cnt) AS k FROM (
+        SELECT COUNT(*) AS cnt FROM documents GROUP BY lang
+      )
+    )
+    SELECT r.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_before,
+           CAST(SUM(CASE WHEN r.rk <= m.k THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN r.rk <= m.k THEN r.doc_id ELSE 0 END)
+                AS BIGINT) AS sum_kept_ids
+    FROM ranked r CROSS JOIN mincnt m
+    GROUP BY r.lang
+    ORDER BY r.lang
+"""
+
+
+def _bal_oracle() -> str:
+    from ._helpers import sql_h56
+
+    return _BAL_ORACLE.replace(
+        "{H}", sql_h56("'bal:' || CAST(doc_id AS VARCHAR)")
+    )
+
+
+@query("q_sample_balanced", oracle=_bal_oracle())
+def q_sample_balanced(spark, d):
+    """DECLARED class-balanced downsampling: every language keeps
+    exactly min-group-count docs, chosen by portable md5-head hash
+    rank (salted, so re-balancing with a different salt draws a
+    different deterministic subset) — the skew-equalizing step
+    q_sample_stratified (proportional) and q_sample_temperature
+    (power-law reweighting) bracket. Contract output is per-group
+    (n_before, n_kept, exact id-sum checksum of the kept set): the
+    checksum pins the SELECTED rows, not just their count. Plan: one
+    hash-rank window per language partition + a broadcast 1-row min
+    count; at 100 TB the per-group sort is the cost — the docstringed
+    escape is hash-threshold selection (expected-k, no sort) when
+    exact-k isn't required."""
+    from ._helpers import h56
+
+    docs = load(spark, d, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        h56("concat('bal:', cast(doc_id as string))"), "doc_id"
+    )
+    ranked = docs.select(
+        "lang", "doc_id", F.row_number().over(w).alias("rk")
+    )
+    mincnt = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.min("cnt").alias("k"))
+    )
+    return (
+        ranked.crossJoin(F.broadcast(mincnt))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_before"),
+            F.sum(F.when(F.col("rk") <= F.col("k"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.sum(
+                F.when(F.col("rk") <= F.col("k"), F.col("doc_id")).otherwise(
+                    0
+                )
+            )
+            .cast("long")
+            .alias("sum_kept_ids"),
+        )
+        .orderBy("lang")
+    )

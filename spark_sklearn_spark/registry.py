@@ -143,6 +143,7 @@ DRIVER_PRIORITY: list[str] = [
     "q_emb_centroid_sim",
     "q_ml_label_noise_knn",
     "q_dedup_incremental",
+    "q_sample_balanced",
     # r3-green keys with the oldest driver rows on file
     "q_ml_keyed_fit",
     "q_ml_keyed_transform",
