@@ -191,6 +191,58 @@ NOTES = {
         "scan is an equi-join on the CELL key — members arrive "
         "cell-partitioned, only nprobe cells are touched per probe."
     ),
+    "q_ml_tree_depth2": (
+        "Hist-mode tree growth: two scans collapsing to bucket "
+        "histograms; the 1-row root relation broadcasts into the "
+        "second scan to route rows to leaves — no row-level sort, no "
+        "pair join."
+    ),
+    "q_dedup_editdist": (
+        "Funnel-ordered edit-distance tier: exact-dedup reps (hash "
+        "agg), banded signatures, STAR pairing via a per-bucket min "
+        "window (m-1 edges, linear), then the clipped-head "
+        "Levenshtein verify join — candidate-bounded, codegen DP."
+    ),
+    "q_ts_survival": (
+        "Kaplan-Meier: one combinable per-user agg is the only "
+        "row-scale shuffle; risk sets and the ln-survival cumsum are "
+        "windows over the horizon-bounded (<=49 row) relation."
+    ),
+    "q_search_hybrid_rrf": (
+        "Hybrid RRF: two TakeOrderedAndProject retrieval heads (BM25, "
+        "integer-distance vector) + a 20-row full outer join — the "
+        "fusion is metadata-sized, the cost is the two scans."
+    ),
+    "q_ml_gbm_round": (
+        "Boosting step: per-bucket (n, sum) combinable agg over "
+        "milli-quantized targets + ONE prefix window; variance-"
+        "reduction scores on <=55 candidate rows, TakeOrdered top-5."
+    ),
+    "q_ml_calibration": (
+        "Reliability bins: three map-side GD passes (1-row weight "
+        "relation broadcast into the scan) + one 10-group combinable "
+        "agg; the calibration table is 10 rows."
+    ),
+    "q_emb_centroid_sim": (
+        "Separation matrix: posexplode scan -> (label, dim) decimal "
+        "means (metadata-sized), then a dim equi-join on that bounded "
+        "relation; dot/norms/dist2 exact integers."
+    ),
+    "q_ml_label_noise_knn": (
+        "Label-noise audit: fused per-row signature fold, FIXED-SIZE "
+        "probe panel broadcast into the candidate scan (panel x "
+        "corpus, linear), per-probe rank windows — XOR+popcount only."
+    ),
+    "q_dedup_incremental": (
+        "Ingestion gate: md5 equi-join for the exact tier; the "
+        "existing band side pre-aggregates to one min-id row per "
+        "bucket, so the near-tier probe join fan-out is linear in "
+        "incoming band rows."
+    ),
+    "q_sample_balanced": (
+        "Balanced downsample: salted hash-rank window per language "
+        "partition + broadcast 1-row min count; exact-k per group."
+    ),
     "q_emb_pq_adc": (
         "PQ: codebook (8x16) and per-probe LUTs broadcast; encoding "
         "is a per-(vec, subspace) argmin window after a broadcast "
