@@ -33,4 +33,5 @@ from . import (  # noqa: F401
     pipeline7,
     pipeline8,
     curation,
+    canary,
 )

@@ -212,10 +212,10 @@ WS_K = 50
 _WSAMPLE_ORACLE = f"""
     WITH keyed AS (
       SELECT doc_id, lang, n_chars,
-             ROUND(
+             CAST(floor(
                ln((( ('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)),
                                      1, 14))::BIGINT) + 1) / {TWO56!r})
-               / n_chars, 6) AS es_key
+               / n_chars * 1000000.0) AS BIGINT) AS es_key
       FROM documents
       WHERE n_chars > 0
     )
@@ -236,17 +236,20 @@ def q_sample_weighted(spark, d):
     no global sort, no rejection loop, reproducible across runs and
     engines because the 'randomness' is a seeded hash of the row key
     (the same property q_sample_hash uses for uniform sampling).
-    Keys rounded to 6 BEFORE ordering, doc_id tie-break."""
+    Keys quantize to BIGINT micros BEFORE ordering (a rounded double
+    here once emitted -0.0 vs 0.0 across engines), doc_id
+    tie-break."""
     docs = load(spark, d, "documents").filter(F.col("n_chars") > 0)
     h = h56("concat('ws:', cast(doc_id as string))")
     keyed = docs.select(
         "doc_id",
         "lang",
         "n_chars",
-        F.round(
-            F.log((h + 1).cast("double") / F.lit(TWO56)) / F.col("n_chars"),
-            6,
-        ).alias("es_key"),
+        F.floor(
+            F.log((h + 1).cast("double") / F.lit(TWO56))
+            / F.col("n_chars")
+            * 1000000.0
+        ).cast("long").alias("es_key"),
     )
     return keyed.orderBy(F.desc("es_key"), "doc_id").limit(WS_K)
 
@@ -275,12 +278,15 @@ def q_sample_weighted(spark, d):
           FROM dev GROUP BY event_type
         )
         SELECT d.event_type,
-               ANY_VALUE(d.med) AS med,
-               ANY_VALUE(m.mad) AS mad,
+               CAST(round(ANY_VALUE(d.med) * 1000000.0) AS BIGINT)
+                   AS med_micro,
+               CAST(round(ANY_VALUE(m.mad) * 1000000.0) AS BIGINT)
+                   AS mad_micro,
                COUNT(*) AS n,
-               SUM(CASE WHEN d.adev > 3 * m.mad THEN 1 ELSE 0 END)
-                   AS n_outliers,
-               ROUND(MAX(d.adev), 6) AS max_adev
+               CAST(SUM(CASE WHEN d.adev > 3 * m.mad THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_outliers,
+               CAST(round(ROUND(MAX(d.adev), 6) * 1000000.0) AS BIGINT)
+                   AS max_adev_micro
         FROM dev d JOIN mad m ON d.event_type = m.event_type
         GROUP BY d.event_type
         ORDER BY d.event_type
@@ -309,13 +315,19 @@ def q_ts_outlier_mad(spark, d):
         dev.join(F.broadcast(mad), "event_type")
         .groupBy("event_type")
         .agg(
-            F.any_value(F.col("med")).alias("med"),
-            F.any_value(F.col("mad")).alias("mad"),
+            F.round(F.any_value(F.col("med")) * 1000000.0, 0)
+            .cast("long")
+            .alias("med_micro"),
+            F.round(F.any_value(F.col("mad")) * 1000000.0, 0)
+            .cast("long")
+            .alias("mad_micro"),
             F.count(F.lit(1)).alias("n"),
             F.sum(
                 F.when(F.col("adev") > 3 * F.col("mad"), 1).otherwise(0)
             ).alias("n_outliers"),
-            F.round(F.max("adev"), 6).alias("max_adev"),
+            F.round(F.round(F.max("adev"), 6) * 1000000.0, 0)
+            .cast("long")
+            .alias("max_adev_micro"),
         )
         .orderBy("event_type")
     )
@@ -362,7 +374,7 @@ _MIX_ORACLE = f"""
     )
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(n_words) AS sum_tokens,
+           CAST(SUM(n_words) AS BIGINT) AS sum_tokens,
            ROUND(CAST(SUM(CAST(score AS DECIMAL(30,10))) AS DOUBLE)
                  / COUNT(*), 6) AS avg_score
     FROM selected
@@ -666,7 +678,7 @@ def q_dq_freshness(spark, d):
         )
         SELECT user_id,
                COUNT(*) AS n_spans,
-               SUM(dt) AS total_seconds,
+               CAST(SUM(dt) AS BIGINT) AS total_seconds,
                ROUND(CAST(SUM(CAST(value * dt AS DECIMAL(30,10)))
                           AS DOUBLE)
                      / SUM(dt), 6) AS twap
@@ -748,10 +760,10 @@ def q_ts_twap(spark, d):
           FROM flagged
         )
         SELECT wk,
-               SUM(is_new) AS n_new,
-               SUM(is_retained) AS n_retained,
-               SUM(is_resurrected) AS n_resurrected,
-               SUM(churns_after) AS n_churning_after,
+               CAST(SUM(is_new) AS BIGINT) AS n_new,
+               CAST(SUM(is_retained) AS BIGINT) AS n_retained,
+               CAST(SUM(is_resurrected) AS BIGINT) AS n_resurrected,
+               CAST(SUM(churns_after) AS BIGINT) AS n_churning_after,
                COUNT(*) AS n_active
         FROM status
         GROUP BY wk

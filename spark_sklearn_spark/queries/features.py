@@ -98,7 +98,7 @@ _FEATHASH_ORACLE = f"""
     )
     SELECT bucket,
            COUNT(*) AS n_tokens,
-           SUM(sign) AS signed_sum
+           CAST(SUM(sign) AS BIGINT) AS signed_sum
     FROM toks
     GROUP BY bucket
     ORDER BY bucket

@@ -553,7 +553,7 @@ def q_ml_linear_ols(spark, d):
                  SUM(np) AS p, SUM(nn) AS n
           FROM ordered
         )
-        SELECT p AS n_pos, n AS n_neg,
+        SELECT CAST(p AS BIGINT) AS n_pos, CAST(n AS BIGINT) AS n_neg,
                ROUND(contrib2 / (2.0 * p * n), 6) AS auc,
                ROUND(contrib2 / (1.0 * p * n) - 1.0, 6) AS gini
         FROM agg
@@ -621,7 +621,8 @@ def q_ml_auc(spark, d):
                  SUM(CASE WHEN pred = 0 AND y = 0 THEN 1 ELSE 0 END) AS tn
           FROM scored
         )
-        SELECT tp, fp, fn, tn,
+        SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+               CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
                ROUND(tp / (1.0 * (tp + fp)), 6) AS precision_,
                ROUND(tp / (1.0 * (tp + fn)), 6) AS recall_,
                ROUND(2.0 * tp / (2.0 * tp + fp + fn), 6) AS f1,
@@ -686,7 +687,8 @@ PR_THRESHOLDS = [50, 100, 150, 200, 250, 300, 350, 400]
           FROM labeled l, thresholds t
           GROUP BY t.thr
         )
-        SELECT thr, tp, fp, fn,
+        SELECT thr, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+               CAST(fn AS BIGINT) AS fn,
                ROUND(tp / (1.0 * greatest(tp + fp, 1)), 6) AS precision_,
                ROUND(tp / (1.0 * greatest(tp + fn, 1)), 6) AS recall_
         FROM cells
@@ -777,7 +779,8 @@ def q_ml_pr_curve(spark, d):
                                   ROWS UNBOUNDED PRECEDING) AS cum_pos
           FROM bucketed
         )
-        SELECT c.decile, c.n, c.n_pos,
+        SELECT c.decile, CAST(c.n AS BIGINT) AS n,
+               CAST(c.n_pos AS BIGINT) AS n_pos,
                ROUND(c.cum_pos / (1.0 * t.total_pos), 6) AS capture,
                ROUND((c.n_pos / (1.0 * c.n))
                      / (t.total_pos / (1.0 * t.total)), 6) AS lift
@@ -872,7 +875,8 @@ def q_ml_gains(spark, d):
                            - c.cum_n / (1.0 * t.n)), 6) AS d
           FROM cdfs c, totals t
         )
-        SELECT t.p AS n_pos, t.n AS n_neg, d.d AS ks, d.s AS ks_at_score
+        SELECT CAST(t.p AS BIGINT) AS n_pos, CAST(t.n AS BIGINT) AS n_neg,
+               d.d AS ks, d.s AS ks_at_score
         FROM diffs d, totals t
         ORDER BY d.d DESC, d.s
         LIMIT 1

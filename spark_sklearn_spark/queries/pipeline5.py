@@ -928,7 +928,8 @@ def _mmr_exact_oracle() -> str:
           FROM cvec a JOIN cvec b ON a.vec_id <> b.vec_id
         ),
         {", ".join(steps)}
-        SELECT rank_ AS rank, vec_id, rel, mmr
+        SELECT rank_ AS rank, vec_id, CAST(rel AS BIGINT) AS rel,
+               CAST(mmr AS BIGINT) AS mmr
         FROM ({picks})
         ORDER BY rank
     """

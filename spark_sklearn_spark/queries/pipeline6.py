@@ -845,11 +845,14 @@ def q_basket_lift(spark, d):
     the basket, never item×item; the min-support HAVING prunes before
     the stats joins, and the per-item count and basket-total sides of
     lift are small aggregates (item vocabulary, one scalar). Ratios
-    rounded to 6 on both engines; integer-ratio arithmetic only."""
-    # persisted: the relation feeds the scalar basket count, the item
-    # counts, and BOTH sides of the pair join — unpersisted, the
-    # distinct pre-agg would run four times (measured 6.8 s vs 2.4 s
-    # at sf0.1)
+    rounded to 6 on both engines; integer-ratio arithmetic only.
+
+    The basket total stays LAZY: a 1-row aggregate broadcast into the
+    output projection (the q_win_pareto pattern) instead of an eager
+    .count() folded back as a literal, so no job runs before the
+    returned DataFrame executes and Catalyst/AQE reuses the distinct
+    pre-agg's exchange across its consumers (an explicit persist here
+    BREAKS that reuse — the CLAUDE.md q_dedup_simhash trap)."""
     items = (
         load(spark, d, "lineitem")
         .select(
@@ -857,9 +860,10 @@ def q_basket_lift(spark, d):
             F.col("l_partkey").alias("item"),
         )
         .distinct()
-        .persist()
     )
-    n_baskets = items.select("basket").distinct().count()
+    totals = items.agg(
+        F.count_distinct("basket").cast("double").alias("n_baskets")
+    )
     item_n = items.groupBy("item").agg(F.count(F.lit(1)).alias("cnt"))
     a = items.select("basket", F.col("item").alias("item_a"))
     b = items.select("basket", F.col("item").alias("item_b"))
@@ -875,13 +879,14 @@ def q_basket_lift(spark, d):
     return (
         pair_n.join(ia, "item_a")
         .join(ib, "item_b")
+        .crossJoin(F.broadcast(totals))
         .select(
             "item_a",
             "item_b",
             "both_n",
             F.round(F.col("both_n") / F.col("cnt_a"), 6).alias("conf_a_b"),
             F.round(
-                F.col("both_n") * F.lit(float(n_baskets))
+                F.col("both_n") * F.col("n_baskets")
                 / (F.col("cnt_a") * F.col("cnt_b")),
                 6,
             ).alias("lift"),

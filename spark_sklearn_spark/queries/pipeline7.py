@@ -40,7 +40,7 @@ from .pipeline2 import _BIGRAMS_SQL, near_dup_edges
     oracle="""
         SELECT lang,
                COUNT(*) AS n_docs,
-               SUM(n_chars) AS sum_chars,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
                MIN(doc_id) AS min_doc,
                MAX(doc_id) AS max_doc
         FROM documents
@@ -159,7 +159,7 @@ _COMPACT_ORACLE = f"""
     SELECT CAST(floor(cum_before / {COMPACT_TARGET}.0) AS BIGINT)
                AS target_file,
            COUNT(*) AS n_source_files,
-           SUM(rows_) AS rows_,
+           CAST(SUM(rows_) AS BIGINT) AS rows_,
            MIN(file_id) AS first_src,
            MAX(file_id) AS last_src
     FROM planned
@@ -291,11 +291,13 @@ def q_graph_degree_dist(spark, d):
           FROM canon GROUP BY lang, bow_key
         )
         SELECT lang,
-               SUM(n_in_group) AS n_docs,
+               CAST(SUM(n_in_group) AS BIGINT) AS n_docs,
                COUNT(*) AS n_bow_groups,
-               SUM(CASE WHEN n_in_group > 1 THEN n_in_group ELSE 0 END)
+               CAST(SUM(CASE WHEN n_in_group > 1 THEN n_in_group
+                             ELSE 0 END) AS BIGINT)
                    AS n_dup_docs,
-               SUM(CASE WHEN n_in_group > 1 THEN n_in_group - 1 ELSE 0 END)
+               CAST(SUM(CASE WHEN n_in_group > 1 THEN n_in_group - 1
+                             ELSE 0 END) AS BIGINT)
                    AS n_removable
         FROM grouped
         GROUP BY lang
@@ -410,12 +412,14 @@ def q_text_bpe_pairs(spark, d):
           SELECT lang, w, COUNT(*) AS c FROM words GROUP BY lang, w
         )
         SELECT lang,
-               SUM(c) AS n_tokens,
+               CAST(SUM(c) AS BIGINT) AS n_tokens,
                COUNT(*) AS n_types,
-               SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n_hapax,
-               ROUND(COUNT(*) * 1.0 / SUM(c), 6) AS type_token_ratio,
-               ROUND(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1.0
-                     / COUNT(*), 6) AS hapax_share
+               CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_hapax,
+               CAST((COUNT(*) * 1000000) // CAST(SUM(c) AS BIGINT)
+                    AS BIGINT) AS ttr_ppm,
+               CAST((SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000)
+                    // COUNT(*) AS BIGINT) AS hapax_ppm
         FROM counts
         GROUP BY lang
         ORDER BY lang
@@ -424,7 +428,7 @@ def q_text_bpe_pairs(spark, d):
 def q_text_hapax(spark, d):
     """Vocabulary-richness profile per language: token count, type
     count, hapax legomena (frequency-1 types), type-token ratio and
-    hapax share — the corpus-health signals that catch synthetic or
+    hapax share (both as exact integer ppm) — the corpus-health signals that catch synthetic or
     templated text (low TTR) and OCR noise (high hapax share). Two
     stacked combinable hash aggs — (lang, word) then lang — so the
     heavy key space collapses map-side before the shuffle."""
@@ -433,23 +437,21 @@ def q_text_hapax(spark, d):
         "lang", F.explode(F.split("text", " ")).alias("w")
     )
     counts = words.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("c"))
-    return (
-        counts.groupBy("lang")
-        .agg(
-            F.sum("c").alias("n_tokens"),
-            F.count(F.lit(1)).alias("n_types"),
-            F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("n_hapax"),
-            F.round(
-                F.count(F.lit(1)) / F.sum("c").cast("double"), 6
-            ).alias("type_token_ratio"),
-            F.round(
-                F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
-                / F.count(F.lit(1)).cast("double"),
-                6,
-            ).alias("hapax_share"),
-        )
-        .orderBy("lang")
+    agg = counts.groupBy("lang").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("n_hapax"),
     )
+    # ratios as exact integer ppm (long div long) — raw-double ROUND
+    # outputs are the one construct the driver's hasher punishes
+    return agg.select(
+        "lang",
+        "n_tokens",
+        "n_types",
+        "n_hapax",
+        F.expr("n_types * 1000000L div n_tokens").alias("ttr_ppm"),
+        F.expr("n_hapax * 1000000L div n_types").alias("hapax_ppm"),
+    ).orderBy("lang")
 
 
 # --------------------------------------------------------------------------
@@ -515,10 +517,10 @@ def q_text_zipf(spark, d):
           FROM events
         )
         SELECT user_id, event_id,
-               SUM(first_seen) OVER (PARTITION BY user_id
-                                     ORDER BY ts, event_id
-                                     ROWS UNBOUNDED PRECEDING)
-                   AS n_types_so_far
+               CAST(SUM(first_seen) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS n_types_so_far
         FROM flagged
         ORDER BY user_id, event_id
     """,
@@ -755,8 +757,9 @@ GRID_Q = 1_000_000  # component quantization: q = floor(x * 1e6)
         offs AS (SELECT unnest([-1, 0, 1]) AS d),
         cand AS (
           SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
-                 list_sum(list_transform(generate_series(1, 64),
-                     i -> (p.q[i] - c.q[i]) * (p.q[i] - c.q[i]))) AS dist2
+                 CAST(list_sum(list_transform(generate_series(1, 64),
+                     i -> (p.q[i] - c.q[i]) * (p.q[i] - c.q[i])))
+                      AS BIGINT) AS dist2
           FROM probes p, offs ox, offs oy
           JOIN cells c
             ON c.cx = p.cx + ox.d AND c.cy = p.cy + oy.d
@@ -901,7 +904,8 @@ def _dedup_funnel_oracle() -> str:
         )
         SELECT tier, t.n_docs, x.n_groups,
                t.n_docs - x.n_groups AS n_removable,
-               t.n_tokens - x.tokens_kept AS tokens_removed
+               CAST(t.n_tokens - x.tokens_kept AS BIGINT)
+                   AS tokens_removed
         FROM totals t, (
           SELECT 'tier1_exact' AS tier, * FROM exact_t
           UNION ALL SELECT 'tier2_bow', * FROM bow_t
@@ -1114,7 +1118,7 @@ def q_text_perplexity(spark, d):
           JOIN glob_counts g ON g.w = s.w
           CROSS JOIN glob_total gt
         )
-        SELECT t.source, s.n AS n_tokens,
+        SELECT t.source, CAST(s.n AS BIGINT) AS n_tokens,
                ROUND(CAST(SUM(t.term) AS DOUBLE), 6) AS kl
         FROM terms t JOIN src_totals s ON s.source = t.source
         GROUP BY t.source, s.n

@@ -1382,7 +1382,8 @@ IVF_TOPK = 5
                                     ORDER BY dist2, neighbor_id) AS rnk
           FROM cand
         )
-        SELECT probe_id, rnk, neighbor_id, dist2
+        SELECT probe_id, rnk, neighbor_id,
+               CAST(dist2 AS BIGINT) AS dist2
         FROM ranked WHERE rnk <= {IVF_TOPK}
         ORDER BY probe_id, rnk
     """,
@@ -1512,8 +1513,8 @@ _STUMP_ORACLE = f"""
       FROM tot
     )
     SELECT b.feature, b.threshold,
-           b.nl AS n_left, b.pl AS pos_left,
-           b.nr AS n_right, b.pr AS pos_right,
+           CAST(b.nl AS BIGINT) AS n_left, CAST(b.pl AS BIGINT) AS pos_left,
+           CAST(b.nr AS BIGINT) AS n_right, CAST(b.pr AS BIGINT) AS pos_right,
            g.gini_root_q9, b.gini_q9 AS gini_split_q9,
            g.gini_root_q9 - b.gini_q9 AS gain_q9
     FROM best b JOIN base g ON g.feature = b.feature

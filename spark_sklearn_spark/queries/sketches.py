@@ -182,9 +182,10 @@ _BLOOM_ORACLE = f"""
     )
     SELECT c_nationkey,
            COUNT(*) AS n_probed,
-           SUM(member) AS n_member,
-           SUM(maybe) AS n_maybe,
-           SUM(CASE WHEN maybe = 1 AND member = 0 THEN 1 ELSE 0 END)
+           CAST(SUM(member) AS BIGINT) AS n_member,
+           CAST(SUM(maybe) AS BIGINT) AS n_maybe,
+           CAST(SUM(CASE WHEN maybe = 1 AND member = 0
+                         THEN 1 ELSE 0 END) AS BIGINT)
                AS n_false_pos
     FROM flagged
     GROUP BY c_nationkey

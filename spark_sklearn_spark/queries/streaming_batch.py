@@ -147,6 +147,27 @@ def q_stream_dedup(spark, d):
     return dedup_within_watermark(spark, d)
 
 
+@query(
+    "q_stream_dedup_keys",
+    oracle="""
+        SELECT DISTINCT user_id, event_type FROM events
+        ORDER BY user_id, event_type
+    """,
+)
+def q_stream_dedup_keys(spark, d):
+    """Real readStream dropDuplicatesWithinWatermark, DECLARED: dedup
+    on the coarse (user_id, event_type) key and project only the key
+    columns — the kept-row choice is batch-order-dependent but the key
+    set equals batch DISTINCT exactly under the single availableNow
+    micro-batch (the q_stream_join declaration argument), so streaming
+    dedup gets a real hash row instead of rows-only."""
+    from ..streaming.jobs import dedup_keys_within_watermark
+
+    return dedup_keys_within_watermark(spark, d).orderBy(
+        "user_id", "event_type"
+    )
+
+
 @query("q_stream_stateful")  # rows-only: true streaming execution
 def q_stream_stateful(spark, d):
     """Real readStream: arbitrary per-user running state via

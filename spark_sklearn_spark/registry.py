@@ -26,103 +26,65 @@ ORACLES: dict[str, str] = {}
 # The driver's differential harness checks the FIRST 50 keys of ``queries()``
 # in iteration order. With >50 registered queries the tail is invisible to the
 # hard gate, so we pin an explicit priority order and ROTATE it each round so
-# no key goes more than two rounds without a driver re-check. Round-7 order:
-# the 25 queries added in r6 AFTER the r6 order was pinned, then the r7
-# additions in landing order. The 50-key window cuts inside the r7 block at
-# q_ml_linear_ols, so rotating into r8's prefix (in this order): (1) the r7
-# keys BELOW the cut — q_ts_seasonal, q_emb_hamming_knn, q_cdc_snapshot_diff,
-# q_dq_freshness, q_sim_ann_grid, q_ts_twap, q_behavior_lifecycle,
-# q_udtf_arrow, q_win_pct_change, q_sql_recursive, q_ml_auc, q_ml_confusion,
-# q_fn_timezone, q_ml_pr_curve, q_ts_autocorr, q_sim_mmr_exact, q_ml_gains,
-# q_ml_ks, q_win_ignore_nulls, q_pivot_multi_agg, q_dedup_funnel,
-# q_ts_backtest, q_text_perplexity, q_text_kl_source, q_emb_recall_grid,
-# q_graph_copurchase, q_dq_schema_drift, q_ml_naive_bayes, q_ml_kmeans,
-# q_ml_logreg, q_ts_cusum, q_emb_pq_adc, q_dedup_recall_minhash,
-# q_sim_ann_ivf_kmeans, q_ml_tree_stump, q_ml_tree_depth2, plus
-# q_graph_pagerank (promoted rows-only -> declared this round, needs a
-# declared row); (2) anything r8 adds; (3) the oldest r3/r4-green keys
-# (q_ml_keyed_fit/transform, q_multimodal_*, scan family, q_tpch_q3/q5/q6/
-# q10, text r3 family). All r7-new keys are green in local
-# sf0.001+sf0.01+sf0.1 tools/check.py sweeps this round.
+# no key goes more than two rounds without a driver re-check.
+#
+# Round-8 order. CORRECTNESS_r07 delivered 10 hash-REDS, all adjudicated to
+# ONE mechanism: the driver's hasher distinguishes DuckDB HUGEINT (uncast
+# SUM(integer)) from BIGINT — every red had a HUGEINT output column (plus one
+# confirmed -0.0 in q_sample_weighted), every green had none. Round 8 casts
+# every such column (22 oracles) and adds q_dq_engine_canary, which probes
+# each portability primitive as its own BIGINT column. Prefix order:
+# (1) the canary; (2) the 10 r7 reds, all fixed — these MUST green;
+# (3) the 13 other HUGEINT-fixed keys (never driver-checked, would have
+# failed); (4) never-driver-checked declared keys, newest machinery first;
+# (5) q_dedup_simhash (its only driver row predates the declared rewrite);
+# (6) everything else, oldest driver row first.
 # tests/test_queries_smoke.py asserts every name here is registered.
 DRIVER_PRIORITY: list[str] = [
-    # r6 additions never seen by the driver (declared unless noted)
-    "q_behavior_sessionize",
-    "q_ts_ohlc",
-    "q_cdc_scd2",
-    "q_text_entropy",
-    "q_text_containment",
-    "q_agg_listagg",
-    "q_text_readability",
-    "q_source_csv_roundtrip",
-    "q_profile_corr",
-    "q_ts_ewma",
-    "q_ml_keyed_scale",
-    "q_graph_pagerank",  # promoted rows-only -> declared in r7
-    "q_behavior_streaks",
-    "q_basket_lift",
-    "q_agg_weighted",
-    "q_funnel_latency",
-    "q_win_pareto",
-    "q_dedup_semantic_cluster",
-    "q_behavior_attribution",
-    "q_source_partitioned_prune",
-    "q_agg_bitmap",
-    "q_agg_bitwise",
-    "q_fn_surrogate_key",
-    "q_ts_calendar_dim",
-    "q_emb_prefix_eval",
-    # NEW-THIS-ROUND (r7): append new query keys here as they land so they
-    # get a driver row in CORRECTNESS_r07
-    "q_sketch_countmin",
+    # (1) portability canary — if the driver env drifts, this names the column
+    "q_dq_engine_canary",
+    # r8 new declared key: streaming dedup with a real hash row
+    "q_stream_dedup_keys",
+    # (2) the 10 CORRECTNESS_r07 reds, fixed this round (HUGEINT casts /
+    # integer-quantized outputs / -0.0 kill)
     "q_sketch_bloom",
-    "q_sketch_hll",
-    "q_feat_onehot",
     "q_feat_hashing",
-    "q_feat_target_encode",
-    "q_feat_quantile_bin",
     "q_source_jsonl_roundtrip",
-    "q_source_orc_roundtrip",
     "q_layout_compaction",
-    "q_graph_degree_dist",
     "q_dedup_bow",
-    "q_text_bpe_pairs",
     "q_text_hapax",
-    "q_text_zipf",
     "q_win_running_distinct",
-    "q_dq_orphans",
-    "q_source_schema_evolution",
     "q_sample_weighted",
     "q_ts_outlier_mad",
     "q_mix_budget",
-    "q_text_keywords",
-    "q_stream_topk",
-    "q_sketch_hll_merge",
-    "q_ml_linear_ols",
+    # (3) HUGEINT-fixed, never driver-checked — same landmine, defused
+    "q_ml_auc",
+    "q_ml_confusion",
+    "q_ml_pr_curve",
+    "q_ml_gains",
+    "q_ml_ks",
+    "q_sim_mmr_exact",
+    "q_sim_ann_grid",
+    "q_dedup_funnel",
+    "q_text_kl_source",
+    "q_sim_ann_ivf_kmeans",
+    "q_ml_tree_stump",
+    "q_ts_twap",
+    "q_behavior_lifecycle",
+    # (4) never-driver-checked declared keys (r7 batch, newest first)
     "q_ts_seasonal",
     "q_emb_hamming_knn",
     "q_cdc_snapshot_diff",
     "q_dq_freshness",
-    "q_sim_ann_grid",
-    "q_ts_twap",
-    "q_behavior_lifecycle",
     "q_udtf_arrow",
     "q_win_pct_change",
     "q_sql_recursive",
-    "q_ml_auc",
-    "q_ml_confusion",
     "q_fn_timezone",
-    "q_ml_pr_curve",
     "q_ts_autocorr",
-    "q_sim_mmr_exact",
-    "q_ml_gains",
-    "q_ml_ks",
     "q_win_ignore_nulls",
     "q_pivot_multi_agg",
-    "q_dedup_funnel",
     "q_ts_backtest",
     "q_text_perplexity",
-    "q_text_kl_source",
     "q_emb_recall_grid",
     "q_graph_copurchase",
     "q_dq_schema_drift",
@@ -132,19 +94,47 @@ DRIVER_PRIORITY: list[str] = [
     "q_ts_cusum",
     "q_emb_pq_adc",
     "q_dedup_recall_minhash",
-    "q_sim_ann_ivf_kmeans",
-    "q_ml_tree_stump",
     "q_ml_tree_depth2",
     "q_dedup_editdist",
     "q_ts_survival",
     "q_search_hybrid_rrf",
+    # ---- 50-key window cuts about here ----
     "q_ml_gbm_round",
     "q_ml_calibration",
     "q_emb_centroid_sim",
     "q_ml_label_noise_knn",
     "q_dedup_incremental",
     "q_sample_balanced",
-    # r3-green keys with the oldest driver rows on file
+    # (5) declared rewrite newer than its only driver row
+    "q_dedup_simhash",
+    # (4 cont.) never-driver-checked older keys
+    "q_scan_metadata",
+    "q_agg_mode",
+    "q_agg_moments",
+    "q_agg_boolean",
+    "q_win_range_interval",
+    "q_win_nth",
+    "q_fn_variant",
+    "q_fn_interval",
+    "q_fn_try_arith",
+    "q_join_null_safe",
+    "q_join_lateral",
+    "q_udf_iter",
+    "q_udtf_python",
+    "q_behavior_transitions",
+    "q_ts_interpolate",
+    "q_behavior_rfm",
+    "q_graph_triangles",
+    "q_url_canonical",
+    "q_text_boilerplate",
+    "q_dedup_url",
+    "q_corpus_health",
+    "q_agg_incremental",
+    "q_layout_zorder",
+    "q_profile_table",
+    "q_split_train",
+    "q_pivot_dynamic",
+    # (6) oldest driver rows on file (r3), cycle back through
     "q_ml_keyed_fit",
     "q_ml_keyed_transform",
     "q_ml_vector_roundtrip",
@@ -165,7 +155,6 @@ DRIVER_PRIORITY: list[str] = [
     "q_udf_scalar",
     "q_udtf_split",
     "q_win_ntile",
-    # r3-green overflow (checked if the prefix window allows)
     "q_source_json_props",
     "q_agg_distinct",
     "q_filter_like",

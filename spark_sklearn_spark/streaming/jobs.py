@@ -147,6 +147,22 @@ def dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(out, "append")
 
 
+def dedup_keys_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECLARABLE streaming dedup: dropDuplicatesWithinWatermark on a
+    COARSE key (user_id, event_type) — a real many-to-one collapse —
+    projecting only the key columns afterwards. Which physical row the
+    state store keeps per key is batch-order-dependent, but the key
+    SET is not, so the projected output equals DISTINCT over the batch
+    table exactly and the query can carry a hash oracle (the same
+    single-micro-batch argument that declared q_stream_join).
+    State is one entry per live key within the watermark horizon —
+    bounded on unbounded streams."""
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "30 minutes")
+    deduped = ev.dropDuplicatesWithinWatermark(["user_id", "event_type"])
+    out = deduped.select("user_id", "event_type")
+    return _run_to_memory(out, "append")
+
+
 def click_purchase_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream inner interval join: purchases within 30 minutes
     after a click by the same user. Both sides carry watermarks — the

@@ -69,6 +69,38 @@ def _rows(cols, data):
     )
 
 
+def _portability_lint(name, sql, s_data, d_data, con):
+    """Driver-environment hazards the value compare can't see.
+
+    The driver's hasher is stricter than this harness's canonicalized
+    compare: CORRECTNESS_r07 proved it distinguishes DuckDB HUGEINT
+    (uncast SUM(integer)) from BIGINT, and -0.0 from 0.0 — all 10 r7
+    hash-fails had exactly one of those two, every green had neither.
+    Flag them here so they die before a driver round does.
+    """
+    warns = []
+    try:
+        types = [str(t) for t in con.sql(sql).types]
+        huge = [i for i, t in enumerate(types) if "HUGEINT" in t]
+        if huge:
+            warns.append(f"oracle HUGEINT col(s) {huge} — CAST(.. AS BIGINT)")
+        dec = [i for i, t in enumerate(types) if t.startswith("DECIMAL")]
+        if dec:
+            warns.append(f"oracle DECIMAL col(s) {dec} — cast to DOUBLE/BIGINT")
+    except Exception:
+        pass
+    for side, data in (("spark", s_data), ("oracle", d_data)):
+        for r in data:
+            for i, v in enumerate(r):
+                if isinstance(v, float) and v == 0.0 and math.copysign(1, v) < 0:
+                    warns.append(f"{side} col {i} emits -0.0")
+                    break
+            else:
+                continue
+            break
+    return warns
+
+
 def check_query(name, fn, sql, spark, con, sf_dir):
     sdf = fn(spark, sf_dir)
     s_cols = sdf.columns
@@ -77,6 +109,8 @@ def check_query(name, fn, sql, spark, con, sf_dir):
     d_cols = [c[0] for c in d.description]
     d_data = d.fetchall()
 
+    for w in _portability_lint(name, sql, s_data, d_data, con):
+        print(f"  {name:28s} WARN {w}")
     if sorted(s_cols) != sorted(d_cols):
         return False, f"columns differ: spark={sorted(s_cols)} duck={sorted(d_cols)}"
     if len(s_data) != len(d_data):
