@@ -1,0 +1,131 @@
+"""Round-8 additions: HUGEINT/-0.0 portability hardening, the engine
+canary, the declared streaming dedup, and the lazified basket lift.
+
+The r7 driver reds proved the driver's hasher is stricter than the
+local canonicalized compare (HUGEINT vs long, -0.0 vs 0.0). These
+tests pin the repo-side guarantees that make that class of red
+impossible to reintroduce: no oracle emits HUGEINT/DECIMAL output
+columns, the canary's primitives are stable, and the fixed queries
+emit integer-typed outputs where they used to emit raw doubles.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM"
+            f" read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def test_no_oracle_emits_hugeint_or_decimal(duck):
+    """The r7 red mechanism, gated forever: every declared oracle's
+    output schema must be free of HUGEINT (uncast integer SUMs,
+    window SUMs, list_sum) and DECIMAL columns."""
+    offenders = {}
+    for name, sql in entry.oracle_sql().items():
+        rel = duck.sql(sql)
+        bad = [
+            (c, str(t))
+            for c, t in zip(rel.columns, rel.types)
+            if "HUGEINT" in str(t) or str(t).startswith("DECIMAL")
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, offenders
+
+
+def test_canary_values_pinned(spark, sf_dir, duck):
+    """The canary's columns are constants of the engine pair — pin the
+    expected values so a drift fails HERE with the mechanism named,
+    not just in a driver row."""
+    row = entry.queries()["q_dq_engine_canary"](spark, sf_dir).collect()[0]
+    assert row.n_rows == 25
+    assert row.sum_int == 300  # 0+1+..+24
+    assert row.round6_micro == 666667
+    assert row.negzero_norm == 0  # + 0.0 normalization holds
+    assert row.intdiv_floor == 3
+    assert row.ln_micro == 693147
+    assert row.iso_dow == 5  # 2024-03-15 is a Friday
+    assert row.decsum_micro == 2500000  # 25 * 0.1, exact via decimal
+    assert row.seq_desc_len == 0
+    drow = duck.execute(entry.oracle_sql()["q_dq_engine_canary"]).fetchone()
+    assert tuple(row) == tuple(drow)
+
+
+def test_fixed_reds_emit_integer_outputs(spark, sf_dir):
+    """The four r7 reds that carried ROUND(raw double) outputs now
+    emit integer (long) columns for those measures."""
+    qs = entry.queries()
+    hapax = qs["q_text_hapax"](spark, sf_dir)
+    types = dict(hapax.dtypes)
+    assert types["ttr_ppm"] == "bigint"
+    assert types["hapax_ppm"] == "bigint"
+    mad = qs["q_ts_outlier_mad"](spark, sf_dir)
+    types = dict(mad.dtypes)
+    for c in ("med_micro", "mad_micro", "max_adev_micro", "n_outliers"):
+        assert types[c] == "bigint", c
+    ws = qs["q_sample_weighted"](spark, sf_dir)
+    assert dict(ws.dtypes)["es_key"] == "bigint"
+
+
+def test_stream_dedup_keys_equals_batch_distinct(spark, sf_dir):
+    """The declared streaming dedup's key set equals batch DISTINCT
+    regardless of which physical row the state store kept."""
+    got = sorted(
+        tuple(r)
+        for r in entry.queries()["q_stream_dedup_keys"](
+            spark, sf_dir
+        ).collect()
+    )
+    from spark_sklearn_spark.sources.io import load
+
+    want = sorted(
+        tuple(r)
+        for r in load(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .collect()
+    )
+    assert got == want
+
+
+def test_basket_lift_total_stays_lazy(spark, sf_dir):
+    """The lazified basket lift carries the basket total as a PLAN
+    NODE (count(distinct basket) aggregate cross-joined in), not as an
+    eagerly-computed literal folded into the lift expression."""
+    df = entry.queries()["q_basket_lift"](spark, sf_dir)
+    plan = df._jdf.queryExecution().analyzed().toString()
+    assert "n_baskets" in plan, "basket total was folded to a literal"
+    assert df.count() > 0
+
+
+def test_check_lint_flags_hugeint(duck):
+    """tools/check.py's portability lint names HUGEINT oracle columns."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    from check import _portability_lint
+
+    warns = _portability_lint(
+        "t", "SELECT SUM(n_nationkey) AS s FROM nation", [], [], duck
+    )
+    assert any("HUGEINT" in w for w in warns)
+    warns = _portability_lint("t", "SELECT 1 AS s", [(-0.0,)], [], duck)
+    assert any("-0.0" in w for w in warns)
