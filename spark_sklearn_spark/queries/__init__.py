@@ -34,4 +34,5 @@ from . import (  # noqa: F401
     pipeline8,
     curation,
     canary,
+    pipeline9,
 )

@@ -43,8 +43,15 @@ ORACLES: dict[str, str] = {}
 DRIVER_PRIORITY: list[str] = [
     # (1) portability canary — if the driver env drifts, this names the column
     "q_dq_engine_canary",
-    # r8 new declared key: streaming dedup with a real hash row
+    # r8 new declared keys: streaming dedup hash row + pipeline9 batch
     "q_stream_dedup_keys",
+    "q_dedup_segments",
+    "q_text_novelty",
+    "q_dq_uniqueness",
+    "q_text_lang_confusion",
+    "q_join_interval_overlap",
+    "q_graph_component_sizes",
+    "q_ml_ridge",
     # (2) the 10 CORRECTNESS_r07 reds, fixed this round (HUGEINT casts /
     # integer-quantized outputs / -0.0 kill)
     "q_sketch_bloom",

@@ -115,6 +115,75 @@ def test_basket_lift_total_stays_lazy(spark, sf_dir):
     assert df.count() > 0
 
 
+def test_r8_additions_are_scalable(spark, sf_dir):
+    """Round-8 queries: no cartesians, no single-partition exchanges.
+    The interval-overlap join in particular must be an equi join on
+    (user, bucket) — the theta overlap form would be a BNLJ."""
+    from spark_sklearn_spark.plans import assert_scalable
+
+    qs = entry.queries()
+    # q_basket_lift is exempt: its lazy 1-row basket-total aggregate
+    # legitimately plans as a global agg (SinglePartition on ONE row)
+    # cross-joined via BNLJ into the output — the q_win_pareto shape.
+    for name in [
+        "q_dedup_segments",
+        "q_text_novelty",
+        "q_text_lang_confusion",
+        "q_join_interval_overlap",
+    ]:
+        assert_scalable(qs[name](spark, sf_dir))
+
+
+def test_interval_overlap_is_equi_join(spark, sf_dir):
+    """The physical plan must contain a hash/sort-merge join keyed on
+    user_id+bucket, and no BroadcastNestedLoopJoin."""
+    df = entry.queries()["q_join_interval_overlap"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "bucket" in plan
+
+
+def test_interval_overlap_matches_theta_join(spark, sf_dir):
+    """Bucket-explode equi join == the naive theta overlap join (the
+    one-sided-explode variant missed pairs whose partner started a
+    bucket earlier; this pins the both-side fix)."""
+    from spark_sklearn_spark.queries.pipeline9 import OVL_BUCKET_US
+    from spark_sklearn_spark.sources.io import load
+
+    ev = load(spark, sf_dir, "events")
+
+    def iv(etype, idname):
+        from pyspark.sql import functions as F
+
+        return ev.filter(F.col("event_type") == etype).select(
+            "user_id",
+            F.col("event_id").alias(idname),
+            F.unix_micros("ts").alias(f"{idname}_lo"),
+            (F.unix_micros("ts") + OVL_BUCKET_US).alias(f"{idname}_hi"),
+        )
+
+    from pyspark.sql import functions as F
+
+    v, p = iv("view", "va"), iv("purchase", "pa")
+    naive = (
+        v.join(p, "user_id")
+        .filter(
+            (F.col("va_lo") < F.col("pa_hi"))
+            & (F.col("pa_lo") < F.col("va_hi"))
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_overlaps"))
+    )
+    want = sorted(tuple(r) for r in naive.collect())
+    got = sorted(
+        (r.user_id, r.n_overlaps)
+        for r in entry.queries()["q_join_interval_overlap"](
+            spark, sf_dir
+        ).collect()
+    )
+    assert got == want
+
+
 def test_check_lint_flags_hugeint(duck):
     """tools/check.py's portability lint names HUGEINT oracle columns."""
     import sys
