@@ -83,6 +83,15 @@ PROBE_QUERIES = [
     "q_ml_label_noise_knn",
     # batch-vs-corpus probe: hash equi-join + bucket-min band join
     "q_dedup_incremental",
+    # round-8: segment explode + count join, gram first-occurrence,
+    # five combinable audits, scoring projection agg, bucket-explode
+    # interval join, decimal-moments ridge solve
+    "q_dedup_segments",
+    "q_text_novelty",
+    "q_dq_uniqueness",
+    "q_text_lang_confusion",
+    "q_join_interval_overlap",
+    "q_ml_ridge",
 ]
 
 TABLES = [
