@@ -35,4 +35,5 @@ from . import (  # noqa: F401
     curation,
     canary,
     pipeline9,
+    pipeline10,
 )

@@ -52,6 +52,9 @@ DRIVER_PRIORITY: list[str] = [
     "q_join_interval_overlap",
     "q_graph_component_sizes",
     "q_ml_ridge",
+    "q_sketch_hist_quantiles",
+    "q_mix_epochs",
+    "q_source_csv_dirty",
     # (2) the 10 CORRECTNESS_r07 reds, fixed this round (HUGEINT casts /
     # integer-quantized outputs / -0.0 kill)
     "q_sketch_bloom",

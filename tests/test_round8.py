@@ -184,6 +184,48 @@ def test_interval_overlap_matches_theta_join(spark, sf_dir):
     assert got == want
 
 
+def test_continuation_queries_are_scalable(spark, sf_dir):
+    """Histogram quantiles + epoch planning: windows run over the
+    bounded bin relation / per-source masses, never the data."""
+    from spark_sklearn_spark.plans import assert_scalable
+
+    qs = entry.queries()
+    assert_scalable(qs["q_sketch_hist_quantiles"](spark, sf_dir))
+    assert_scalable(qs["q_mix_epochs"](spark, sf_dir))
+
+
+def test_hist_quantiles_match_exact_on_bin_edges(spark, sf_dir):
+    """The histogram p-quantile bin must CONTAIN the exact percentile
+    value (sanity: the sketch's error is bounded by one bin width)."""
+    from spark_sklearn_spark.queries.pipeline10 import HQ_BIN
+    from spark_sklearn_spark.sources.io import load
+    from pyspark.sql import functions as F
+
+    ev = load(spark, sf_dir, "events")
+    exact = {
+        r.event_type: r.p50
+        for r in ev.groupBy("event_type")
+        .agg(F.percentile("value", F.lit(0.5)).alias("p50"))
+        .collect()
+    }
+    sketch = {
+        r.event_type: r.p50_bin
+        for r in entry.queries()["q_sketch_hist_quantiles"](
+            spark, sf_dir
+        ).collect()
+    }
+    for et, bin_ in sketch.items():
+        lo, hi = bin_ * HQ_BIN, (bin_ + 1) * HQ_BIN
+        assert lo <= exact[et] <= hi, (et, lo, exact[et], hi)
+
+
+def test_csv_dirty_flags_exactly_three(spark, sf_dir):
+    """All three injected fault lines land in _corrupt_record, none in
+    the good set (the hash also pins this; fail loudly here first)."""
+    rows = entry.queries()["q_source_csv_dirty"](spark, sf_dir).collect()
+    assert all(r.n_corrupt_total == 3 for r in rows)
+
+
 def test_check_lint_flags_hugeint(duck):
     """tools/check.py's portability lint names HUGEINT oracle columns."""
     import sys

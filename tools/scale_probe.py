@@ -92,6 +92,9 @@ PROBE_QUERIES = [
     "q_text_lang_confusion",
     "q_join_interval_overlap",
     "q_ml_ridge",
+    # r8 continuation: bounded-bin quantile sketch, epoch planning
+    "q_sketch_hist_quantiles",
+    "q_mix_epochs",
 ]
 
 TABLES = [
