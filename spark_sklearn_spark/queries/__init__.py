@@ -36,4 +36,5 @@ from . import (  # noqa: F401
     canary,
     pipeline9,
     pipeline10,
+    pca_power,
 )

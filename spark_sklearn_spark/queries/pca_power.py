@@ -1,0 +1,174 @@
+"""Declared PCA via integer-exact power iteration.
+
+q_emb_pca (pipeline4) is rows-only because MLlib's SVD internals
+can't be SQL-mirrored. This operator makes the leading principal
+direction HASH-VERIFIABLE by rebuilding the whole pipeline in exact
+integer arithmetic:
+
+  1. quantize embedding components to milli (floor(x*1e3) BIGINT),
+  2. center per dimension with an integer-division mean,
+  3. Gram/covariance matrix by a per-vector position self-join —
+     combinable SUM per (i, j) cell, damped by a constant //1024
+     integer division so every later product stays inside int64,
+  4. three unrolled power-iteration rounds, renormalizing the iterate
+     to max-abs 512 by integer division each round.
+
+Signed integer division is the portability crux: covariance entries
+go negative, and a floor-vs-truncate disagreement shifts cells by one
+(measured: exactly that off-by-one before this was pinned). DuckDB
+`//` and Spark `div` both TRUNCATE toward zero on integers, so the
+native operators pair exactly — do NOT "fix" either side with a
+floor identity.
+
+Scale: the Gram build is the textbook distributed O(n*d^2) combinable
+aggregate (d=64 -> 4096 cells); every later stage runs on the
+BOUNDED 4096-cell matrix / 64-row iterate, broadcast to the executors.
+Output is the full 3-round trajectory (v1, v2, v3 per dimension), so
+the hash pins not just the answer but the convergence path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.io import load
+
+PP_DIM = 64
+PP_Q = 1000  # milli quantization of components
+PP_DAMP = 1024  # constant floor-div damping of Gram cells
+PP_VSCALE = 512  # iterate renormalized to max-abs this each round
+PP_ROUNDS = 3
+
+
+def _pca_oracle() -> str:
+    rounds = []
+    prev = "v0"
+    for r in range(1, PP_ROUNDS + 1):
+        rounds.append(f"""w{r} AS (
+          SELECT c.i AS i, CAST(SUM(c.m * v.v) AS BIGINT) AS w
+          FROM cells c JOIN {prev} v ON v.i = c.j
+          GROUP BY c.i
+        ), m{r} AS (SELECT MAX(ABS(w)) AS ma FROM w{r}),
+        v{r} AS (
+          SELECT i, CAST((w * {PP_VSCALE}) // ma AS BIGINT) AS v
+          FROM w{r}, m{r}
+        )""")
+        prev = f"v{r}"
+    vcols = ", ".join(
+        f"v{r}.v AS v{r}" for r in range(1, PP_ROUNDS + 1)
+    )
+    vjoins = " ".join(
+        f"JOIN v{r} ON v{r}.i = v1.i" for r in range(2, PP_ROUNDS + 1)
+    )
+    return f"""
+        WITH vals AS (
+          SELECT vec_id, i,
+                 CAST(floor(CAST(embedding[i] AS DOUBLE) * {PP_Q})
+                      AS BIGINT) AS q
+          FROM embeddings,
+               LATERAL (SELECT unnest(generate_series(1, {PP_DIM})) AS i)
+        ),
+        means AS (
+          SELECT i, CAST(SUM(q) AS BIGINT) AS s, COUNT(*) AS n
+          FROM vals GROUP BY i
+        ),
+        cent AS (
+          SELECT v.vec_id, v.i,
+                 v.q - CAST(m.s // m.n AS BIGINT) AS c
+          FROM vals v JOIN means m ON m.i = v.i
+        ),
+        cells AS (
+          SELECT a.i AS i, b.i AS j,
+                 CAST(SUM(a.c * b.c) // {PP_DAMP} AS BIGINT) AS m
+          FROM cent a JOIN cent b ON a.vec_id = b.vec_id
+          GROUP BY a.i, b.i
+        ),
+        v0 AS (
+          SELECT unnest(generate_series(1, {PP_DIM})) AS i,
+                 CAST({PP_VSCALE} AS BIGINT) AS v
+        ),
+        {", ".join(rounds)}
+        SELECT v1.i AS dim, {vcols}
+        FROM v1 {vjoins}
+        ORDER BY dim
+    """
+
+
+def _idiv(a, b):
+    """Truncating integer division — Spark `div` == DuckDB `//`."""
+    return F.expr(f"{a} div {b}")
+
+
+@query("q_emb_pca_power", oracle=_pca_oracle())
+def q_emb_pca_power(spark, d):
+    """Leading principal direction by integer-exact power iteration —
+    the DECLARED twin of rows-only q_emb_pca (see module docstring
+    for the quantize / center / damped-Gram / renormalize
+    construction and why signed `div` semantics are the portability
+    crux).
+    Plan: posexplode -> per-dim mean (combinable) -> per-vector
+    position self-join into the 4096-cell Gram agg (the one
+    data-sized shuffle, O(n*d^2) map-side combinable) -> three
+    matvec+renorm rounds over the bounded matrix with the 64-row
+    iterate broadcast. Output = the full iterate trajectory."""
+    emb = load(spark, d, "embeddings")
+    vals = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.expr(
+                f"transform(embedding,"
+                f" x -> cast(floor(cast(x as double) * {PP_Q}) as bigint))"
+            )
+        ).alias("i0", "q"),
+    ).select("vec_id", (F.col("i0") + 1).alias("i"), "q")
+    means = vals.groupBy("i").agg(
+        F.sum("q").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    cent = (
+        vals.join(F.broadcast(means), "i")
+        .select(
+            "vec_id",
+            "i",
+            (F.col("q") - _idiv("s", "n")).alias("c"),
+        )
+    )
+    a = cent.select("vec_id", F.col("i").alias("i"), F.col("c").alias("ca"))
+    b = cent.select(
+        "vec_id", F.col("i").alias("j"), F.col("c").alias("cb")
+    )
+    cells = (
+        a.join(b, "vec_id")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("s"))
+        .select("i", "j", _idiv("s", str(PP_DAMP)).alias("m"))
+        .persist()
+    )
+    v = spark.range(1, PP_DIM + 1).select(
+        F.col("id").alias("i"), F.lit(PP_VSCALE).cast("long").alias("v")
+    )
+    iterates = []
+    for _ in range(PP_ROUNDS):
+        w = (
+            cells.join(
+                F.broadcast(v.select(F.col("i").alias("j"), "v")), "j"
+            )
+            .groupBy("i")
+            .agg(F.sum(F.col("m") * F.col("v")).alias("w"))
+        )
+        ma = w.agg(F.max(F.abs(F.col("w"))).alias("ma"))
+        v = (
+            w.crossJoin(F.broadcast(ma))
+            .select(
+                "i",
+                _idiv(f"(w * {PP_VSCALE})", "ma").alias("v"),
+            )
+            .localCheckpoint()
+        )
+        iterates.append(v)
+    out = iterates[0].select("i", F.col("v").alias("v1"))
+    for r, it in enumerate(iterates[1:], start=2):
+        out = out.join(it.select("i", F.col("v").alias(f"v{r}")), "i")
+    return out.select(F.col("i").alias("dim"), "v1", "v2", "v3").orderBy(
+        "dim"
+    )

@@ -55,6 +55,7 @@ DRIVER_PRIORITY: list[str] = [
     "q_sketch_hist_quantiles",
     "q_mix_epochs",
     "q_source_csv_dirty",
+    "q_emb_pca_power",
     # (2) the 10 CORRECTNESS_r07 reds, fixed this round (HUGEINT casts /
     # integer-quantized outputs / -0.0 kill)
     "q_sketch_bloom",

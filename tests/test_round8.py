@@ -226,6 +226,50 @@ def test_csv_dirty_flags_exactly_three(spark, sf_dir):
     assert all(r.n_corrupt_total == 3 for r in rows)
 
 
+def test_pca_power_aligns_with_numpy(spark, sf_dir):
+    """The integer iterate must track numpy running the SAME three
+    float power-iteration rounds from the same start (cos > 0.97).
+    Note this tests arithmetic fidelity, not spectral convergence —
+    the synthetic embeddings are near-isotropic (lambda1 ~ lambda2),
+    so no 3-round method converges to the true eigenvector here."""
+    import numpy as np
+
+    from spark_sklearn_spark.queries.pca_power import (
+        PP_Q,
+        PP_ROUNDS,
+        PP_VSCALE,
+    )
+    from spark_sklearn_spark.sources.io import load
+
+    X = np.array(
+        [
+            r.embedding
+            for r in load(spark, sf_dir, "embeddings")
+            .select("embedding")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    Q = np.floor(X * PP_Q)
+    C = Q - np.trunc(Q.sum(axis=0) / len(Q))
+    cov = C.T @ C
+    v = np.full(C.shape[1], float(PP_VSCALE))
+    for _ in range(PP_ROUNDS):
+        w = cov @ v
+        v = w * PP_VSCALE / np.abs(w).max()
+    v3 = np.array(
+        [
+            r.v3
+            for r in entry.queries()["q_emb_pca_power"](spark, sf_dir)
+            .orderBy("dim")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    cos = (v3 @ v) / (np.linalg.norm(v3) * np.linalg.norm(v))
+    assert cos > 0.97, cos
+
+
 def test_check_lint_flags_hugeint(duck):
     """tools/check.py's portability lint names HUGEINT oracle columns."""
     import sys

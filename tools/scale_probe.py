@@ -92,9 +92,11 @@ PROBE_QUERIES = [
     "q_text_lang_confusion",
     "q_join_interval_overlap",
     "q_ml_ridge",
-    # r8 continuation: bounded-bin quantile sketch, epoch planning
+    # r8 continuation: bounded-bin quantile sketch, epoch planning,
+    # integer Gram + power iteration
     "q_sketch_hist_quantiles",
     "q_mix_epochs",
+    "q_emb_pca_power",
 ]
 
 TABLES = [
