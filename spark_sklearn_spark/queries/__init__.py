@@ -37,4 +37,5 @@ from . import (  # noqa: F401
     pipeline9,
     pipeline10,
     pca_power,
+    pipeline11,
 )

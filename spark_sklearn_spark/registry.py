@@ -56,6 +56,10 @@ DRIVER_PRIORITY: list[str] = [
     "q_mix_epochs",
     "q_source_csv_dirty",
     "q_emb_pca_power",
+    "q_dq_rules",
+    "q_behavior_ltv",
+    "q_fn_editdist",
+    "q_ml_ols2",
     # (2) the 10 CORRECTNESS_r07 reds, fixed this round (HUGEINT casts /
     # integer-quantized outputs / -0.0 kill)
     "q_sketch_bloom",

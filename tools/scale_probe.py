@@ -97,6 +97,9 @@ PROBE_QUERIES = [
     "q_sketch_hist_quantiles",
     "q_mix_epochs",
     "q_emb_pca_power",
+    # r8 continuation 2: one-scan rule audit, integer-cents LTV cumsum
+    "q_dq_rules",
+    "q_behavior_ltv",
 ]
 
 TABLES = [
