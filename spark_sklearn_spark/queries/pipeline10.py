@@ -228,7 +228,7 @@ def q_source_csv_dirty(spark, d):
         [("not_a_number,xx,12",), ("9,en,notanumber",), ("garbage line",)],
         "value string",
     )
-    lines.unionAll(bad).coalesce(1).write.mode("overwrite").text(path)
+    lines.unionAll(bad).write.mode("overwrite").text(path)
     back = (
         spark.read.schema(
             "doc_id bigint, lang string, n_chars bigint,"
