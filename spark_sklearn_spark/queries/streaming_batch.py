@@ -140,6 +140,40 @@ def q_stream_watermark(spark, d):
     return windowed_counts_with_watermark(spark, d)
 
 
+@query(
+    "q_stream_watermark_final",
+    oracle="""
+        WITH mx AS (
+          SELECT MAX(ts) - INTERVAL 10 MINUTE AS wm FROM events
+        )
+        SELECT CAST(date_trunc('hour', e.ts) AS TIMESTAMP)
+                   AS window_start,
+               e.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events e, mx
+        WHERE CAST(date_trunc('hour', e.ts) AS TIMESTAMP)
+              + INTERVAL 1 HOUR <= mx.wm
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+)
+def q_stream_watermark_final(spark, d):
+    """Watermarked append-mode windows, DECLARED: the emitted set
+    after one availableNow pass is exactly the windows whose END is
+    at or below the final watermark (max event ts - 10 min) — pinned
+    empirically (719 of 720 fixture windows emit; the last hour is
+    withheld as unfinalized). The oracle reproduces that emission
+    rule in SQL, so the watermark SEMANTICS — not just row counts —
+    are hash-checked. Exact end==watermark ties are unreachable with
+    microsecond fixture timestamps (rule measured strict-or-equal
+    indistinguishable)."""
+    return (
+        windowed_counts_with_watermark(spark, d)
+        .select("window_start", "event_type", F.col("n"))
+        .orderBy("window_start", "event_type")
+    )
+
+
 @query("q_stream_dedup")  # rows-only: true streaming execution
 def q_stream_dedup(spark, d):
     """Real readStream: dropDuplicatesWithinWatermark on event_id —
@@ -173,6 +207,29 @@ def q_stream_stateful(spark, d):
     """Real readStream: arbitrary per-user running state via
     applyInPandasWithState."""
     return running_user_state(spark, d)
+
+
+@query(
+    "q_stream_stateful_final",
+    oracle="""
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               MAX(value) AS max_value
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+)
+def q_stream_stateful_final(spark, d):
+    """applyInPandasWithState, DECLARED: with a single availableNow
+    micro-batch each user's state updates exactly once, so the
+    update-mode emission IS the final state — per-user event count
+    and running max, which must equal the batch aggregate bit-for-bit
+    (count is integral; max never sums floats). This closes the
+    arbitrary-stateful row of the streaming matrix with a real hash
+    check while q_stream_stateful keeps exercising the multi-update
+    path rows-only."""
+    return running_user_state(spark, d).orderBy("user_id")
 
 
 @query(

@@ -60,6 +60,8 @@ DRIVER_PRIORITY: list[str] = [
     "q_behavior_ltv",
     "q_fn_editdist",
     "q_ml_ols2",
+    "q_stream_watermark_final",
+    "q_stream_stateful_final",
     # (2) the 10 CORRECTNESS_r07 reds, fixed this round (HUGEINT casts /
     # integer-quantized outputs / -0.0 kill)
     "q_sketch_bloom",
