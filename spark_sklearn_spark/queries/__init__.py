@@ -38,4 +38,5 @@ from . import (  # noqa: F401
     pipeline10,
     pca_power,
     pipeline11,
+    multimodal_hash,
 )

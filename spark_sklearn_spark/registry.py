@@ -62,6 +62,7 @@ DRIVER_PRIORITY: list[str] = [
     "q_ml_ols2",
     "q_stream_watermark_final",
     "q_stream_stateful_final",
+    "q_multimodal_hash",
     # (2) the 10 CORRECTNESS_r07 reds, fixed this round (HUGEINT casts /
     # integer-quantized outputs / -0.0 kill)
     "q_sketch_bloom",
