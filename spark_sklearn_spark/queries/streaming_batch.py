@@ -285,6 +285,31 @@ def q_stream_static_join(spark, d):
     return stream_static_enrich(spark, d).orderBy("cohort_day", "event_type")
 
 
+@query(
+    "q_stream_upsert_final",
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(30,10))) AS DOUBLE),
+                     2) AS sum_value
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+)
+def q_stream_upsert_final(spark, d):
+    """foreachBatch MERGE maintenance, DECLARED: the algebraic merge
+    (count/decimal-sum absorb per-batch deltas) guarantees the
+    maintained table equals the from-scratch aggregate over
+    everything ingested — so after the availableNow pass the table
+    must hash-match the batch SQL exactly, proving the sink-side
+    streaming path (partial agg -> versioned MERGE -> table read)
+    end-to-end, not merely rows>0."""
+    from ..streaming.jobs import foreach_batch_upsert
+
+    return foreach_batch_upsert(spark, d)
+
+
 @query("q_stream_foreach_upsert")  # rows-only: true streaming execution
 def q_stream_foreach_upsert(spark, d):
     """Real foreachBatch sink: each micro-batch's partial aggregate
