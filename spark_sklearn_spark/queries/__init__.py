@@ -39,4 +39,5 @@ from . import (  # noqa: F401
     pca_power,
     pipeline11,
     multimodal_hash,
+    abtest,
 )

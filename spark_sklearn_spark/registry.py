@@ -64,6 +64,7 @@ DRIVER_PRIORITY: list[str] = [
     "q_stream_stateful_final",
     "q_multimodal_hash",
     "q_stream_upsert_final",
+    "q_ml_ttest",
     # (2) the 10 CORRECTNESS_r07 reds, fixed this round (HUGEINT casts /
     # integer-quantized outputs / -0.0 kill)
     "q_sketch_bloom",
