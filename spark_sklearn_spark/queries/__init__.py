@@ -40,4 +40,5 @@ from . import (  # noqa: F401
     pipeline11,
     multimodal_hash,
     abtest,
+    kcore,
 )

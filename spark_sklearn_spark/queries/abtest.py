@@ -128,3 +128,89 @@ def q_ml_ttest(spark, d):
         "cast(floor((m1 - m2) * 1000000.0d) as bigint) AS dmean_micro",
         f"cast(floor({_T_STAT} * 1000000.0d) as bigint) AS t_micro",
     ).orderBy("iso_dow")
+
+
+# --------------------------------------------------------------------------
+# Chi-square test of independence (event_type x ISO weekday)
+# --------------------------------------------------------------------------
+
+_CHI2_ORACLE = """
+    WITH cells AS (
+      SELECT CAST(isodow(ts) AS BIGINT) AS iso_dow, event_type,
+             COUNT(*) AS o
+      FROM events GROUP BY iso_dow, event_type
+    ),
+    rows_ AS (
+      SELECT iso_dow, CAST(SUM(o) AS BIGINT) AS r FROM cells
+      GROUP BY iso_dow
+    ),
+    cols_ AS (
+      SELECT event_type, CAST(SUM(o) AS BIGINT) AS c FROM cells
+      GROUP BY event_type
+    ),
+    tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+    terms AS (
+      SELECT CAST(
+               ((ce.o * t.n - r.r * co.c) * 1.0
+                * (ce.o * t.n - r.r * co.c))
+               / (1.0 * r.r * co.c * t.n)
+               AS DECIMAL(30,10)) AS term
+      FROM cells ce
+      JOIN rows_ r ON r.iso_dow = ce.iso_dow
+      JOIN cols_ co ON co.event_type = ce.event_type
+      CROSS JOIN tot t
+    ),
+    counts AS (
+      SELECT (SELECT COUNT(*) FROM rows_) AS n_rows,
+             (SELECT COUNT(*) FROM cols_) AS n_cols
+    )
+    SELECT CAST((n_rows - 1) * (n_cols - 1) AS BIGINT) AS dof,
+           CAST(floor(CAST((SELECT SUM(term) FROM terms) AS DOUBLE)
+                      * 1000000.0) AS BIGINT) AS chi2_micro
+    FROM counts
+"""
+
+
+@query("q_ml_chi2", oracle=_CHI2_ORACLE)
+def q_ml_chi2(spark, d):
+    """Chi-square test of independence between event type and ISO
+    weekday. Per-cell terms use the all-integer identity
+    (o*N - r*c)^2 / (r*c*N) — numerators are exact int64 products —
+    and quantize to DECIMAL(30,10) BEFORE the final sum, so
+    aggregation order cannot move the statistic (the q_text_kl_source
+    construction). One count agg over the bounded (dow x type) grid,
+    two marginal rollups of it, a 35-row term join: everything after
+    the first scan is metadata-sized."""
+    ev = load(spark, d, "events")
+    cells = ev.groupBy(
+        (((F.dayofweek("ts") + 5) % 7) + 1).cast("long").alias("iso_dow"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rows_ = cells.groupBy("iso_dow").agg(F.sum("o").alias("r"))
+    cols_ = cells.groupBy("event_type").agg(F.sum("o").alias("c"))
+    tot = cells.agg(F.sum("o").alias("n"))
+    terms = (
+        cells.join(F.broadcast(rows_), "iso_dow")
+        .join(F.broadcast(cols_), "event_type")
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "cast(((o * n - r * c) * 1.0d * (o * n - r * c))"
+            " / (1.0d * r * c * n) as decimal(30,10)) as term"
+        )
+    )
+    chi2 = terms.agg(
+        F.expr(
+            "cast(floor(cast(sum(term) as double) * 1000000.0d)"
+            " as bigint)"
+        ).alias("chi2_micro")
+    )
+    counts = rows_.agg(F.count(F.lit(1)).alias("n_rows")).crossJoin(
+        cols_.agg(F.count(F.lit(1)).alias("n_cols"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(chi2))
+        .selectExpr(
+            "cast((n_rows - 1) * (n_cols - 1) as bigint) AS dof",
+            "chi2_micro",
+        )
+    )

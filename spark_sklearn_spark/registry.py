@@ -65,6 +65,8 @@ DRIVER_PRIORITY: list[str] = [
     "q_multimodal_hash",
     "q_stream_upsert_final",
     "q_ml_ttest",
+    "q_ml_chi2",
+    "q_graph_kcore",
     # (2) the 10 CORRECTNESS_r07 reds, fixed this round (HUGEINT casts /
     # integer-quantized outputs / -0.0 kill)
     "q_sketch_bloom",
