@@ -270,6 +270,103 @@ def test_pca_power_aligns_with_numpy(spark, sf_dir):
     assert cos > 0.97, cos
 
 
+def test_kcore_reaches_fixpoint(spark, sf_dir):
+    """On the fixture the peel stabilizes within the three unrolled
+    rounds: rounds 2 and 3 must match (so the bounded unroll IS the
+    2-core here, not a truncation)."""
+    rows = {
+        r.round: (r.n_nodes, r.sum_nodes, r.n_edges)
+        for r in entry.queries()["q_graph_kcore"](spark, sf_dir).collect()
+    }
+    assert rows[2] == rows[3], rows
+
+
+def test_kcore_nodes_have_min_degree(spark, sf_dir):
+    """Every surviving node of the final round has degree >= k within
+    the surviving edge set — the defining 2-core property."""
+    from spark_sklearn_spark.queries.kcore import KCORE_K, near_dup_edges
+    from pyspark.sql import functions as F
+
+    edges = near_dup_edges(spark, sf_dir).select("doc_a", "doc_b")
+    # replay the peel
+    for _ in range(3):
+        deg = (
+            edges.select(F.col("doc_a").alias("doc_id"))
+            .unionAll(edges.select(F.col("doc_b").alias("doc_id")))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("dg"))
+        )
+        keep = deg.filter(F.col("dg") >= KCORE_K).select("doc_id")
+        edges = (
+            edges.join(
+                keep.withColumnRenamed("doc_id", "doc_a"), "doc_a", "semi"
+            )
+            .join(
+                keep.withColumnRenamed("doc_id", "doc_b"), "doc_b", "semi"
+            )
+            .localCheckpoint()
+        )
+    final_deg = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(edges.select(F.col("doc_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("dg"))
+    )
+    bad = final_deg.filter(F.col("dg") < KCORE_K).count()
+    assert bad == 0
+
+
+def test_ttest_and_chi2_match_numpy(spark, sf_dir):
+    """Welch t and chi-square statistics agree with a straight numpy
+    computation on the same data (within the micro quantization)."""
+    import numpy as np
+
+    from spark_sklearn_spark.sources.io import load
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("ts", "event_type", "value")
+        .collect()
+    )
+    # t-test, pooled over one weekday to spot-check
+    trows = entry.queries()["q_ml_ttest"](spark, sf_dir).collect()
+    for tr in trows[:2]:
+        iso = tr.iso_dow
+        a = np.array(
+            [
+                r.value
+                for r in ev
+                if r.event_type == "click"
+                and ((r.ts.isoweekday()) == iso)
+            ]
+        )
+        b = np.array(
+            [
+                r.value
+                for r in ev
+                if r.event_type == "purchase"
+                and ((r.ts.isoweekday()) == iso)
+            ]
+        )
+        t = (a.mean() - b.mean()) / np.sqrt(
+            a.var(ddof=1) / len(a) + b.var(ddof=1) / len(b)
+        )
+        assert abs(tr.t_micro / 1e6 - t) < 1e-3, (iso, tr.t_micro, t)
+    # chi-square
+    crow = entry.queries()["q_ml_chi2"](spark, sf_dir).collect()[0]
+    types = sorted({r.event_type for r in ev})
+    dows = sorted({r.ts.isoweekday() for r in ev})
+    obs = np.zeros((len(dows), len(types)))
+    for r in ev:
+        obs[dows.index(r.ts.isoweekday()), types.index(r.event_type)] += 1
+    rtot = obs.sum(axis=1, keepdims=True)
+    ctot = obs.sum(axis=0, keepdims=True)
+    exp = rtot @ ctot / obs.sum()
+    chi2 = ((obs - exp) ** 2 / exp).sum()
+    assert crow.dof == (len(dows) - 1) * (len(types) - 1)
+    assert abs(crow.chi2_micro / 1e6 - chi2) < 1e-3, (crow.chi2_micro, chi2)
+
+
 def test_check_lint_flags_hugeint(duck):
     """tools/check.py's portability lint names HUGEINT oracle columns."""
     import sys
