@@ -67,6 +67,14 @@ DRIVER_PRIORITY: list[str] = [
     "q_ml_ttest",
     "q_ml_chi2",
     "q_graph_kcore",
+    "q_dq_benford",
+    "q_behavior_pathing",
+    "q_ts_rolling_median",
+    "q_ts_holt",
+    "q_ts_theilsen",
+    "q_ml_knn_classify",
+    "q_ml_als_round",
+    "q_text_bpe_merge",
     # (2) the 10 CORRECTNESS_r07 reds, fixed this round (HUGEINT casts /
     # integer-quantized outputs / -0.0 kill)
     "q_sketch_bloom",

@@ -488,3 +488,33 @@ def test_split_train_is_single_scan_agg(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_split_train")
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pipeline12_batch_is_scalable(spark, sf_dir):
+    """Round-8 pipeline12 queries: the event-relation stages (pathing
+    window, ALS solves, BPE recount) must stay free of cartesians and
+    single-partition exchanges. Benford / holt / theilsen / the kNN
+    panel join legitimately carry a bounded-side broadcast nested
+    loop (1-row totals or a fixed probe panel — the q_emb_hamming_knn
+    posture), so they assert with allow_cartesian."""
+    from spark_sklearn_spark.plans import assert_scalable
+
+    from spark_sklearn_spark.plans.inspect import executed_plan
+
+    qs = entry.queries()
+    for name in ["q_behavior_pathing", "q_ml_als_round"]:
+        assert_scalable(qs[name](spark, sf_dir))
+    # the rest stage their statistics on bounded relations (9-digit /
+    # calendar-grain / probe-panel / 1-row argmax), where a global agg's
+    # SinglePartition exchange and a bounded-side BNLJ are by design;
+    # the property that must hold is: no true cartesian anywhere
+    for name in [
+        "q_dq_benford",
+        "q_ts_rolling_median",
+        "q_ts_holt",
+        "q_ts_theilsen",
+        "q_ml_knn_classify",
+        "q_text_bpe_merge",
+    ]:
+        plan = executed_plan(qs[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name

@@ -381,3 +381,196 @@ def test_check_lint_flags_hugeint(duck):
     assert any("HUGEINT" in w for w in warns)
     warns = _portability_lint("t", "SELECT 1 AS s", [(-0.0,)], [], duck)
     assert any("-0.0" in w for w in warns)
+
+
+# ---------------------------------------------------------------------------
+# pipeline12 batch (benford / pathing / rolling median / holt / theilsen /
+# knn-classify / als / bpe-merge)
+# ---------------------------------------------------------------------------
+
+
+def test_benford_shares_and_terms(spark, sf_dir):
+    """Digits are 1..9, observed shares sum to ~1e6 ppm, expected
+    shares match log10(1+1/d), and chi-square terms are nonnegative."""
+    import math
+
+    rows = entry.queries()["q_dq_benford"](spark, sf_dir).collect()
+    digits = [r.first_digit for r in rows]
+    assert digits == sorted(digits) and set(digits) <= set(range(1, 10))
+    assert abs(sum(r.obs_ppm for r in rows) - 1_000_000) <= len(rows)
+    for r in rows:
+        exp = math.floor(math.log10(1 + 1 / r.first_digit) * 1e6)
+        assert r.benford_ppm == exp, (r.first_digit, r.benford_ppm, exp)
+        assert r.term_micro >= 0
+
+
+def test_pathing_paths_end_in_purchase(spark, sf_dir):
+    rows = entry.queries()["q_behavior_pathing"](spark, sf_dir).collect()
+    assert rows, "no conversion paths on fixture"
+    assert all(r.path.endswith(">purchase") for r in rows)
+    assert all(r.n_conversions >= r.n_users > 0 for r in rows)
+    ns = [r.n_conversions for r in rows]
+    assert ns == sorted(ns, reverse=True)
+
+
+def test_rolling_median_matches_pandas(spark, sf_dir):
+    """med7_micro equals pandas' rolling(7, min_periods=1).median of
+    the same daily series (exact selection on identical doubles)."""
+    import pandas as pd
+
+    df = entry.queries()["q_ts_rolling_median"](spark, sf_dir).toPandas()
+    for et, g in df.groupby("event_type"):
+        g = g.sort_values("day")
+        med = (
+            (g.rev_micro / 1e6).rolling(7, min_periods=1).median() * 1e6
+        ).apply(lambda x: int(x // 1) if x == x else 0)
+        # rev_micro is already floored; rolling median of floored
+        # values can differ from floored median of exact values by at
+        # most 1 micro — assert tight agreement
+        got = g.med7_micro.to_numpy()
+        assert (abs(got - med.to_numpy()) <= 1).all(), et
+
+
+def test_holt_matches_python_recurrence(spark, sf_dir):
+    """The unrolled SQL chain equals the straight Python recurrence on
+    the same daily inputs."""
+    from spark_sklearn_spark.queries.pipeline12 import _HOLT_STEPS
+    from spark_sklearn_spark.sources.io import load
+    from pyspark.sql import functions as F
+
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(30,10)"))
+            .cast("double")
+            .alias("rev")
+        )
+        .orderBy("event_type", "day")
+        .collect()
+    )
+    series = {}
+    for r in daily:
+        series.setdefault(r.event_type, []).append(r.rev)
+    rows = entry.queries()["q_ts_holt"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        y = series[r.event_type][:_HOLT_STEPS]
+        assert len(y) >= _HOLT_STEPS
+        l, b = y[0], y[1] - y[0]
+        for t in range(1, _HOLT_STEPS):
+            l_new = 0.5 * y[t] + 0.5 * (l + b)
+            b = 0.5 * (l_new - l) + 0.5 * b
+            l = l_new
+        import math
+
+        assert r.level_micro == math.floor(l * 1e6), r
+        assert r.trend_micro == math.floor(b * 1e6), r
+
+
+def test_theilsen_matches_numpy(spark, sf_dir):
+    import math
+
+    import numpy as np
+
+    from spark_sklearn_spark.queries.pipeline12 import q_ts_theilsen
+    from spark_sklearn_spark.sources.io import load
+    from pyspark.sql import functions as F
+
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.expr("cast(date_trunc('day', ts) as long) div 86400").alias(
+                "dday"
+            ),
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(30,10)"))
+            .cast("double")
+            .alias("rev")
+        )
+        .collect()
+    )
+    pts = {}
+    for r in daily:
+        pts.setdefault(r.event_type, []).append((r.dday, r.rev))
+    for row in q_ts_theilsen(spark, sf_dir).collect():
+        p = sorted(pts[row.event_type])
+        slopes = [
+            (p[j][1] - p[i][1]) / (p[j][0] - p[i][0])
+            for i in range(len(p))
+            for j in range(i + 1, len(p))
+        ]
+        assert row.n_pairs == len(slopes)
+        want = math.floor(float(np.median(slopes)) * 1e6)
+        assert abs(row.sen_slope_micro - want) <= 1, row
+
+
+def test_knn_classify_panel_and_bounds(spark, sf_dir):
+    from spark_sklearn_spark.sources.io import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    n_panel = emb.filter("vec_id % 97 = 0").count()
+    rows = entry.queries()["q_ml_knn_classify"](spark, sf_dir).collect()
+    assert sum(r.n_probes for r in rows) == n_panel
+    for r in rows:
+        assert 0 <= r.n_correct <= r.n_probes
+        assert 0 <= r.acc_ppm <= 1_000_000
+
+
+def test_als_round_matches_numpy(spark, sf_dir):
+    """The item re-solve equals a straight numpy rank-1 ridge ALS
+    half-round on the same counts (up to the decimal quantization)."""
+    from collections import defaultdict
+
+    from spark_sklearn_spark.sources.io import load
+
+    ev = load(spark, sf_dir, "events").groupBy(
+        "user_id", "event_type"
+    ).count().collect()
+    import hashlib
+
+    def f0(t):
+        h = int(hashlib.md5(t.encode()).hexdigest()[:14], 16)
+        return 1.0 + (h % 1000) / 1000.0
+
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r.user_id].append((r.event_type, r["count"]))
+    u = {}
+    for uid, items in by_user.items():
+        num = sum(c * f0(t) for t, c in items)
+        den = 0.1 + sum(f0(t) ** 2 for t, _ in items)
+        u[uid] = num / den
+    by_item = defaultdict(list)
+    for r in ev:
+        by_item[r.event_type].append((r.user_id, r["count"]))
+    for row in entry.queries()["q_ml_als_round"](spark, sf_dir).collect():
+        pts = by_item[row.event_type]
+        num = sum(c * u[uid] for uid, c in pts)
+        den = 0.1 + sum(u[uid] ** 2 for uid, _ in pts)
+        want = num / den
+        assert abs(row.f1_micro / 1e6 - want) < 1e-4, (row, want)
+
+
+def test_bpe_merge_fuses_top_pair(spark, sf_dir):
+    """The merge pair is step-0's argmax, and after the merge no
+    char-level pair 'x+y' of the merged pair survives where x,y were
+    adjacent (they became one token), while the merged token appears
+    in the new pair table's vocabulary."""
+    rows = entry.queries()["q_text_bpe_merge"](spark, sf_dir).collect()
+    assert rows
+    mp = rows[0].merge_pair
+    assert all(r.merge_pair == mp and len(mp) == 2 for r in rows)
+    p1, p2 = mp[0], mp[1]
+    toks = set()
+    for r in rows:
+        a, _, b = r.tokpair.partition("+")
+        toks.add(a)
+        toks.add(b)
+        # greedy fuse: the bare adjacent pair cannot survive as a
+        # token pair 'p1+p2' (it was merged everywhere)
+        assert not (a == p1 and b == p2), r.tokpair
+    pairs0 = entry.queries()["q_text_bpe_pairs"](spark, sf_dir).collect()
+    assert pairs0[0].pair == mp
