@@ -100,6 +100,16 @@ PROBE_QUERIES = [
     # r8 continuation 2: one-scan rule audit, integer-cents LTV cumsum
     "q_dq_rules",
     "q_behavior_ltv",
+    # r8 pipeline12: digit agg, pathing window, calendar-grain
+    # windows/pairs, panel kNN, two-shuffle ALS, merge+recount scans
+    "q_dq_benford",
+    "q_behavior_pathing",
+    "q_ts_rolling_median",
+    "q_ts_holt",
+    "q_ts_theilsen",
+    "q_ml_knn_classify",
+    "q_ml_als_round",
+    "q_text_bpe_merge",
 ]
 
 TABLES = [
