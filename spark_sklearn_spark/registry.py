@@ -75,6 +75,13 @@ DRIVER_PRIORITY: list[str] = [
     "q_ml_knn_classify",
     "q_ml_als_round",
     "q_text_bpe_merge",
+    "q_behavior_stickiness",
+    "q_fn_datetime_format",
+    "q_emb_norm_audit",
+    "q_sketch_kmv",
+    "q_text_jsd_pairwise",
+    "q_graph_bfs",
+    "q_ml_ndcg",
     # (2) the 10 CORRECTNESS_r07 reds, fixed this round (HUGEINT casts /
     # integer-quantized outputs / -0.0 kill)
     "q_sketch_bloom",

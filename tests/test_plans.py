@@ -518,3 +518,28 @@ def test_pipeline12_batch_is_scalable(spark, sf_dir):
     ]:
         plan = executed_plan(qs[name](spark, sf_dir))
         assert "CartesianProduct" not in plan, name
+
+
+def test_pipeline13_batch_is_scalable(spark, sf_dir):
+    """Round-8 pipeline13 queries: corpus-relation stages must stay
+    free of cartesians; the panel-scored NDCG and the bounded stats
+    queries check the weaker no-true-cartesian property (the
+    pipeline12 posture)."""
+    from spark_sklearn_spark.plans import assert_scalable
+    from spark_sklearn_spark.plans.inspect import executed_plan
+
+    qs = entry.queries()
+    for name in [
+        "q_fn_datetime_format",
+        "q_emb_norm_audit",
+        "q_sketch_kmv",
+    ]:
+        assert_scalable(qs[name](spark, sf_dir))
+    for name in [
+        "q_behavior_stickiness",
+        "q_text_jsd_pairwise",
+        "q_graph_bfs",
+        "q_ml_ndcg",
+    ]:
+        plan = executed_plan(qs[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name

@@ -574,3 +574,134 @@ def test_bpe_merge_fuses_top_pair(spark, sf_dir):
         assert not (a == p1 and b == p2), r.tokpair
     pairs0 = entry.queries()["q_text_bpe_pairs"](spark, sf_dir).collect()
     assert pairs0[0].pair == mp
+
+
+# ---------------------------------------------------------------------------
+# pipeline13 batch (stickiness / datetime fmt / norm audit / kmv / jsd /
+# bfs / ndcg)
+# ---------------------------------------------------------------------------
+
+
+def test_stickiness_bounds(spark, sf_dir):
+    rows = entry.queries()["q_behavior_stickiness"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # avg daily actives cannot exceed weekly actives
+        assert 0 < r.stickiness_ppm <= 1_000_000, r
+        assert r.sum_dau >= r.wau  # each week has >=1 day
+        assert 1 <= r.n_days <= 7
+
+
+def test_datetime_format_totals(spark, sf_dir):
+    import re
+
+    from spark_sklearn_spark.sources.io import load
+
+    rows = entry.queries()["q_fn_datetime_format"](spark, sf_dir).collect()
+    n_events = load(spark, sf_dir, "events").count()
+    assert sum(r.n for r in rows) == n_events
+    for r in rows:
+        assert re.fullmatch(r"\d{4}-\d{2}-\d{2}", r.day_str)
+        assert re.fullmatch(r"\d{2}:\d{2}:\d{2}", r.first_hms)
+        assert re.fullmatch(r"\d{3}", r.doy_str)
+        assert r.first_hms <= r.last_hms
+
+
+def test_norm_audit_moment_order(spark, sf_dir):
+    from spark_sklearn_spark.sources.io import load
+
+    rows = entry.queries()["q_emb_norm_audit"](spark, sf_dir).collect()
+    n_vecs = load(spark, sf_dir, "embeddings").count()
+    assert sum(r.n_vecs for r in rows) == n_vecs
+    for r in rows:
+        assert r.min_sq <= r.mean_sq <= r.max_sq
+        assert r.n_zero == 0  # fixture vectors are non-degenerate
+
+
+def test_kmv_set_algebra_and_error(spark, sf_dir):
+    rows = {
+        r.set_name: r
+        for r in entry.queries()["q_sketch_kmv"](spark, sf_dir).collect()
+    }
+    u = rows["click|purchase"]
+    i = rows["click&purchase"]
+    c, p = rows["click"], rows["purchase"]
+    # exact set algebra: |A∪B| + |A∩B| = |A| + |B|
+    assert u.n_exact + i.n_exact == c.n_exact + p.n_exact
+    for r in rows.values():
+        if r.n_exact >= 64:
+            # KMV with k=64 has rsd ~1/sqrt(62) ≈ 13%; allow 4 sigma
+            assert abs(r.err_ppm) < 520_000, r
+        else:
+            assert r.kmv_est == r.n_exact  # sketch not full: exact
+
+
+def test_jsd_matches_numpy(spark, sf_dir):
+    """One pair's jsd_micro equals a straight numpy JSD over the same
+    token distributions."""
+    import math
+
+    from collections import Counter
+
+    from spark_sklearn_spark.sources.io import load
+
+    rows = entry.queries()["q_text_jsd_pairwise"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.jsd_micro <= math.floor(math.log(2) * 1e6) + 1
+    target = rows[0]
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F_col_in("source", [target.src_a, target.src_b]))
+        .select("source", "text")
+        .collect()
+    )
+    cnt = {target.src_a: Counter(), target.src_b: Counter()}
+    for row in docs:
+        cnt[row.source].update(row.text.split(" "))
+    pa_n = sum(cnt[target.src_a].values())
+    pb_n = sum(cnt[target.src_b].values())
+    jsd = 0.0
+    vocab = set(cnt[target.src_a]) | set(cnt[target.src_b])
+    for w in vocab:
+        pa = cnt[target.src_a][w] / pa_n
+        pb = cnt[target.src_b][w] / pb_n
+        m = (pa + pb) / 2
+        if pa:
+            jsd += 0.5 * pa * math.log(pa / m)
+        if pb:
+            jsd += 0.5 * pb * math.log(pb / m)
+    assert abs(target.jsd_micro / 1e6 - jsd) < 5e-4, (target, jsd)
+
+
+def F_col_in(name, values):
+    from pyspark.sql import functions as F
+
+    return F.col(name).isin(values)
+
+
+def test_bfs_layers(spark, sf_dir):
+    from spark_sklearn_spark.queries.pipeline2 import near_dup_edges
+    from pyspark.sql import functions as F
+
+    rows = entry.queries()["q_graph_bfs"](spark, sf_dir).collect()
+    assert [r.depth for r in rows] == [0, 1, 2, 3]
+    d0 = rows[0]
+    assert d0.n_nodes == 1
+    seed = (
+        near_dup_edges(spark, sf_dir)
+        .agg(F.min("doc_a").alias("m"))
+        .collect()[0]
+        .m
+    )
+    assert d0.sum_nodes == seed
+    # the seed has near-dup partners, so depth 1 is non-empty
+    assert rows[1].n_nodes > 0
+
+
+def test_ndcg_bounds(spark, sf_dir):
+    rows = entry.queries()["q_ml_ndcg"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.mean_ndcg_ppm <= 1_000_000, r
+        assert 0 <= r.n_perfect <= r.n_probes
