@@ -250,6 +250,56 @@ NOTES = {
         "feeding a combinable (probe, vec) sum — raw vectors never "
         "rejoin after encoding."
     ),
+    "q_behavior_pathing": (
+        "Two lags ride ONE user-partitioned window (single shuffle); "
+        "the path agg's key space is |event_types|^3 and the top-10 "
+        "is TakeOrderedAndProject."
+    ),
+    "q_ts_rolling_median": (
+        "Events collapse to the calendar grain in one hash agg; the "
+        "exact-percentile window runs per event type over the daily "
+        "relation with a 7-row frame — never a raw-event sort."
+    ),
+    "q_ml_als_round": (
+        "The ALS half-round pair IS two natural-key shuffles: a "
+        "user-keyed decimal-moment agg (user solve) and an item-keyed "
+        "re-solve agg after the user-factor equi-join; no driver "
+        "state, no iteration collect."
+    ),
+    "q_ml_knn_classify": (
+        "Fixed 1/97 probe panel broadcast into one corpus signature "
+        "scan (panel x corpus, linear); vote/argmax/accuracy stages "
+        "run on panel-sized relations."
+    ),
+    "q_text_bpe_merge": (
+        "Count scan -> 1-row argmax broadcast -> merge+recount scan: "
+        "the fuse is ONE string replace per word and both pair aggs "
+        "shuffle constant-size key spaces."
+    ),
+    "q_sketch_kmv": (
+        "Distinct (set, hash) agg then per-set top-64 rank window "
+        "(the label-partitioned top-k posture); everything after is "
+        "K rows per set. The kept hash set is engine-identical, so "
+        "the sketch itself is hash-checked."
+    ),
+    "q_text_jsd_pairwise": (
+        "One token explode + (source, word) agg; the ONLY join is "
+        "the vocabulary-keyed intersection pair join (<= |sources|^2 "
+        "rows per word) — private-word mass is recovered from totals, "
+        "so no word-level outer join is ever materialized."
+    ),
+    "q_graph_bfs": (
+        "Three frontier expansions as equi-joins against the "
+        "memoized symmetric edge snapshot + anti joins against the "
+        "visited set, localCheckpoint per round — snapshot-sized "
+        "work, O(rounds) jobs."
+    ),
+    "q_ml_ndcg": (
+        "Panel-broadcast Hamming scoring (linear in corpus), "
+        "per-probe rank windows, a 10-row broadcast gains join; "
+        "DCG/IDCG/NDCG are integer sums and divisions on panel-sized "
+        "relations."
+    ),
 }
 
 

@@ -110,6 +110,16 @@ PROBE_QUERIES = [
     "q_ml_knn_classify",
     "q_ml_als_round",
     "q_text_bpe_merge",
+    # r8 pipeline13: calendar distinct aggs, format agg, fused norm
+    # fold, per-set top-k hash window, vocab pair join, checkpointed
+    # frontier joins, panel NDCG
+    "q_behavior_stickiness",
+    "q_fn_datetime_format",
+    "q_emb_norm_audit",
+    "q_sketch_kmv",
+    "q_text_jsd_pairwise",
+    "q_graph_bfs",
+    "q_ml_ndcg",
 ]
 
 TABLES = [
