@@ -82,6 +82,11 @@ DRIVER_PRIORITY: list[str] = [
     "q_text_jsd_pairwise",
     "q_graph_bfs",
     "q_ml_ndcg",
+    "q_ts_stl",
+    "q_behavior_markov",
+    "q_ml_pinball",
+    "q_graph_clustcoeff",
+    "q_ml_cv_stability",
     # (2) the 10 CORRECTNESS_r07 reds, fixed this round (HUGEINT casts /
     # integer-quantized outputs / -0.0 kill)
     "q_sketch_bloom",
