@@ -97,11 +97,20 @@ def find_regressions(timings: dict[str, float]) -> list[dict]:
 
 
 def main() -> None:
+    # Guard against flag-like argv (CLAUDE.md: `bench.py --help` once
+    # parsed "--help" as an sf_dir and a garbage run clobbered
+    # BENCH_DETAIL.json).
+    if any(a.startswith("-") for a in sys.argv[1:]):
+        print(__doc__, file=sys.stderr)
+        sys.exit(2)
     sf_dir = (
         sys.argv[1]
         if len(sys.argv) > 1
         else os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     )
+    if not os.path.isdir(sf_dir):
+        print(f"# BENCH ERROR: sf_dir not a directory: {sf_dir}", file=sys.stderr)
+        sys.exit(2)
     only = set(sys.argv[2:])
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
@@ -164,13 +173,6 @@ def main() -> None:
             print(f"# BENCH ERROR {name}: {ex}", file=sys.stderr)
             spark.catalog.clearCache()
 
-    try:
-        from spark_sklearn_spark.operators.ivf import clear_ivf_cache
-
-        clear_ivf_cache()
-    except Exception:
-        pass
-
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     meta = {
         "metric": "total_wall_sec",
@@ -218,6 +220,18 @@ def main() -> None:
         regressions = still
         total = round(sum(t for t in timings.values() if t >= 0), 3)
         meta["value"] = total
+
+    # IVF cache teardown AFTER the self-adjudication reruns (ADVICE r8):
+    # clearing first made a contention-flagged q_sim_ann_ivf rerun time
+    # KMeans fit + probe instead of probe-only, so a pure-contention flag
+    # could fail to clear.
+    try:
+        from spark_sklearn_spark.operators.ivf import clear_ivf_cache
+
+        clear_ivf_cache()
+    except Exception:
+        pass
+
     meta["n_regressions"] = len(regressions)
     meta["regressions"] = regressions[:10]
     meta["n_contention_cleared"] = len(cleared)

@@ -260,33 +260,150 @@ def q_agg_histogram(spark, d):
     )
 
 
-@query("q_agg_approx_percentile")  # rows-only: sketch is engine-defined
+# Promoted rows-only -> DECLARED in round 9 (VERDICT r8 item 4): the
+# engine-defined GK sketch can't be SQL-mirrored, but the quantiles a
+# 100 TB profile needs CAN be — as a VALUE-resolution histogram.
+# Prices are cent-discrete, so grouping by exact integer cents gives a
+# mergeable distribution (combinable per-value counts, the same
+# algebra the GK sketch distributes with) whose quantiles are EXACT:
+# p_q = min cents value whose running count reaches ceil(q·n/100),
+# computed on the bounded distinct-value relation — never a per-group
+# row sort. Spark's approx_percentile still runs, audited: gk_ok_q = 1
+# iff the GK answer's rank interval intersects [⌈(q−ε)n⌉−2, ⌈(q+ε)n⌉+2]
+# (ε = 1/accuracy; ±2 absorbs the rank-convention off-by-ones). The
+# oracle pins the literal 1 — a GK guarantee violation hash-fails.
+_APX_QS = (50, 90, 99)
+_APX_ACC = 10000
+
+_APX_PCT_COLS = ",\n           ".join(
+    f"MIN(CASE WHEN cum >= (n_total * {q} + 99) // 100 THEN cents END)"
+    f" AS p{q}_cents" for q in _APX_QS
+)
+_APX_OK_COLS = ",\n           ".join(
+    f"CAST(1 AS BIGINT) AS gk_ok_{q}" for q in _APX_QS
+)
+
+_APX_ORACLE = f"""
+    WITH hist AS (
+      SELECT l_returnflag,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM lineitem
+      GROUP BY l_returnflag, cents
+    ),
+    cummed AS (
+      SELECT l_returnflag, cents, c,
+             CAST(SUM(c) OVER (PARTITION BY l_returnflag ORDER BY cents
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 AS cum,
+             CAST(SUM(c) OVER (PARTITION BY l_returnflag) AS BIGINT)
+                 AS n_total
+      FROM hist
+    )
+    SELECT l_returnflag,
+           ANY_VALUE(n_total) AS n,
+           {_APX_PCT_COLS},
+           {_APX_OK_COLS}
+    FROM cummed
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+"""
+
+
+@query("q_agg_approx_percentile", oracle=_APX_ORACLE)
 def q_agg_approx_percentile(spark, d):
-    """Approximate percentiles via Spark's GK-sketch
-    (approx_percentile with accuracy 10000) per return flag — the
-    sketch path a 100 TB profile uses where exact interpolation
-    (q_agg_percentile) would need a full sort per group. The sketch
-    is mergeable: partial sketches combine map-side exactly like any
-    algebraic agg, so the shuffle carries one small sketch per
-    (group, column), not data. Rows-only: the GK summary is
-    engine-defined (DuckDB's approx_quantile uses t-digest — same
-    contract, different bits); tests/test_properties.py pins the
-    rank-error bound against the exact percentiles instead."""
+    """Mergeable value-histogram percentiles per return flag, DECLARED
+    (block comment above for the promotion argument), with Spark's
+    GK approx_percentile audited against its own rank guarantee.
+    Plan: one (flag, cents) combinable agg shrinks the stream
+    map-side; windows and the audit join run on the bounded
+    distinct-value relation, never the data."""
+    from pyspark.sql import Window
+
     li = load(spark, d, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.expr(
-                "approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)"
-            ).alias("p"),
-            F.count(F.lit(1)).alias("n"),
+    cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+    hist = (
+        li.select("l_returnflag", cents.alias("cents"))
+        .groupBy("l_returnflag", "cents")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("l_returnflag")
+    cummed = hist.select(
+        "l_returnflag",
+        "cents",
+        "c",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("n_total"),
+    )
+    pct_aggs = [
+        F.min(
+            F.when(
+                F.col("cum") >= F.expr(f"(n_total * {q} + 99) div 100"),
+                F.col("cents"),
+            )
+        ).alias(f"p{q}_cents")
+        for q in _APX_QS
+    ]
+    exact = cummed.groupBy("l_returnflag").agg(
+        F.any_value("n_total").alias("n"), *pct_aggs
+    )
+    # GK audit: rank interval of the engine's approx answer vs the
+    # guarantee window, both read off the bounded histogram.
+    qlist = ", ".join(str(q / 100) for q in _APX_QS)
+    gk = li.groupBy("l_returnflag").agg(
+        F.expr(
+            f"approx_percentile(l_extendedprice, array({qlist}),"
+            f" {_APX_ACC})"
+        ).alias("p")
+    )
+    gk_cents = gk.select(
+        "l_returnflag",
+        *[
+            F.floor(F.col("p")[i] * 100 + 0.5)
+            .cast("long")
+            .alias(f"v{q}")
+            for i, q in enumerate(_APX_QS)
+        ],
+    )
+    audit_aggs = []
+    for q in _APX_QS:
+        lower = F.expr(
+            f"cast(floor(({q}.0d / 100 - 1.0d / {_APX_ACC})"
+            " * any_value(n_total)) as bigint) - 2"
         )
+        upper = F.expr(
+            f"cast(ceil(({q}.0d / 100 + 1.0d / {_APX_ACC})"
+            " * any_value(n_total)) as bigint) + 2"
+        )
+        cnt_le = F.sum(
+            F.when(F.col("cents") <= F.col(f"v{q}"), F.col("c")).otherwise(0)
+        )
+        cnt_lt = F.sum(
+            F.when(F.col("cents") < F.col(f"v{q}"), F.col("c")).otherwise(0)
+        )
+        audit_aggs.append(
+            F.when((cnt_le >= lower) & (cnt_lt + 1 <= upper), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias(f"gk_ok_{q}")
+        )
+    audit = (
+        cummed.join(F.broadcast(gk_cents), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(*audit_aggs)
+    )
+    return (
+        exact.join(audit, "l_returnflag")
         .select(
             "l_returnflag",
-            F.round(F.col("p")[0], 2).alias("p50"),
-            F.round(F.col("p")[1], 2).alias("p90"),
-            F.round(F.col("p")[2], 2).alias("p99"),
             "n",
+            *[f"p{q}_cents" for q in _APX_QS],
+            *[f"gk_ok_{q}" for q in _APX_QS],
         )
         .orderBy("l_returnflag")
     )

@@ -19,6 +19,10 @@ Primitives covered (one column each, see q_dq_engine_canary):
   ISO day-of-week remap             (Sunday-base vs Monday-base)
   decimal(30,10) exact-sum policy   (the float-sum contract)
   descending ``sequence`` guard     (hi < lo yields descending)
+  exact-.5 round direction          (half-away/HALF_UP, not banker's)
+  tie-adjacent floor quantization   (the r8 integer-ppm escape hatch)
+  double-literal parse parity       (strtod + folded-constant policy,
+                                     the sketches.HLL_NUMER mechanism)
 """
 
 from __future__ import annotations
@@ -48,7 +52,12 @@ _CANARY_ORACLE = f"""
       CAST(isodow(DATE '2024-03-15') AS BIGINT) AS iso_dow,
       CAST(round(CAST(SUM(CAST(0.1 AS DECIMAL(30,10))) AS DOUBLE)
                  * 1000000.0) AS BIGINT) AS decsum_micro,
-      CAST(len(generate_series(3, 1)) AS BIGINT) AS seq_desc_len
+      CAST(len(generate_series(3, 1)) AS BIGINT) AS seq_desc_len,
+      CAST(round(2.5) AS BIGINT) AS round_half_dir,
+      CAST(floor(CAST(5e-7 AS DOUBLE) * 1000000.0) AS BIGINT)
+          AS tie_floor_micro,
+      CAST(floor(CAST('0.7213475204444817' AS DOUBLE)
+                 * 1000000000000000000.0) AS BIGINT) AS dbl_literal_atto
     FROM nation
 """
 
@@ -112,4 +121,21 @@ def q_dq_engine_canary(spark, d):
         .cast("long")
         .alias("decsum_micro"),
         F.lit(0).cast("long").alias("seq_desc_len"),
+        # exact representable .5 must round AWAY (3), not banker's (2):
+        # if either engine moves to round-half-even this column reds
+        F.round(F.lit(2.5), 0).cast("long").alias("round_half_dir"),
+        # the r8 escape hatch: floor(x*1e6) of a tie-adjacent literal is
+        # one identical IEEE multiply + floor on both engines — the
+        # ROUND(raw-double) ulp lottery (CLAUDE.md r8) cannot reach it
+        F.floor(F.lit(5e-7) * 1000000.0).cast("long")
+        .alias("tie_floor_micro"),
+        # strtod parity + folded-one-double-literal policy (HLL_NUMER):
+        # both engines must parse the 17-digit literal to the same IEEE
+        # double and keep the big multiply in double, never DECIMAL
+        F.floor(
+            F.lit("0.7213475204444817").cast("double")
+            * 1000000000000000000.0
+        )
+        .cast("long")
+        .alias("dbl_literal_atto"),
     )

@@ -37,8 +37,13 @@ MMH_PX = MMH_SIDE * MMH_SIDE  # 4096
 
 _MMH_ORACLE = f"""
     WITH docs AS (
+      -- byte semantics made explicit: the Spark side tiles UTF-8 BYTES,
+      -- this rebuild indexes CHARACTERS — they agree only for ASCII-only
+      -- docs, so both sides filter to length == bytelength (a no-op on
+      -- the current all-ASCII fixture, structural parity if that changes)
       SELECT doc_id, text, length(text) AS L
-      FROM documents WHERE length(text) > 0
+      FROM documents
+      WHERE length(text) > 0 AND length(text) = strlen(text)
     ),
     pos AS (
       SELECT doc_id, k,
@@ -104,7 +109,11 @@ def q_multimodal_hash(spark, d):
     from ..multimodal.columns import as_media, decode_image
 
     media = as_media(
-        load(spark, d, "documents").filter(F.col("n_chars") > 0),
+        load(spark, d, "documents")
+        .filter(F.col("n_chars") > 0)
+        # ASCII-only gate mirroring the oracle's length = strlen filter:
+        # the raster tiles UTF-8 bytes, the SQL rebuild indexes chars
+        .filter(F.length("text") == F.octet_length("text")),
         "doc_id",
         "text",
     )

@@ -41,7 +41,10 @@ PP_VSCALE = 512  # iterate renormalized to max-abs this each round
 PP_ROUNDS = 3
 
 
-def _pca_oracle() -> str:
+def pca_with_body() -> str:
+    """The WITH-clause body (vals → means → cent → cells → v0 →
+    w{r}/m{r}/v{r} rounds) shared by the q_emb_pca_power oracle and
+    downstream consumers (q_emb_pca_topk projects onto v{PP_ROUNDS})."""
     rounds = []
     prev = "v0"
     for r in range(1, PP_ROUNDS + 1):
@@ -55,14 +58,7 @@ def _pca_oracle() -> str:
           FROM w{r}, m{r}
         )""")
         prev = f"v{r}"
-    vcols = ", ".join(
-        f"v{r}.v AS v{r}" for r in range(1, PP_ROUNDS + 1)
-    )
-    vjoins = " ".join(
-        f"JOIN v{r} ON v{r}.i = v1.i" for r in range(2, PP_ROUNDS + 1)
-    )
-    return f"""
-        WITH vals AS (
+    return f"""vals AS (
           SELECT vec_id, i,
                  CAST(floor(CAST(embedding[i] AS DOUBLE) * {PP_Q})
                       AS BIGINT) AS q
@@ -88,7 +84,18 @@ def _pca_oracle() -> str:
           SELECT unnest(generate_series(1, {PP_DIM})) AS i,
                  CAST({PP_VSCALE} AS BIGINT) AS v
         ),
-        {", ".join(rounds)}
+        {", ".join(rounds)}"""
+
+
+def _pca_oracle() -> str:
+    vcols = ", ".join(
+        f"v{r}.v AS v{r}" for r in range(1, PP_ROUNDS + 1)
+    )
+    vjoins = " ".join(
+        f"JOIN v{r} ON v{r}.i = v1.i" for r in range(2, PP_ROUNDS + 1)
+    )
+    return f"""
+        WITH {pca_with_body()}
         SELECT v1.i AS dim, {vcols}
         FROM v1 {vjoins}
         ORDER BY dim
@@ -100,18 +107,13 @@ def _idiv(a, b):
     return F.expr(f"{a} div {b}")
 
 
-@query("q_emb_pca_power", oracle=_pca_oracle())
-def q_emb_pca_power(spark, d):
-    """Leading principal direction by integer-exact power iteration —
-    the DECLARED twin of rows-only q_emb_pca (see module docstring
-    for the quantize / center / damped-Gram / renormalize
-    construction and why signed `div` semantics are the portability
-    crux).
-    Plan: posexplode -> per-dim mean (combinable) -> per-vector
-    position self-join into the 4096-cell Gram agg (the one
-    data-sized shuffle, O(n*d^2) map-side combinable) -> three
-    matvec+renorm rounds over the bounded matrix with the 64-row
-    iterate broadcast. Output = the full iterate trajectory."""
+def power_fit(spark, d):
+    """Shared integer-exact power-iteration fit: returns
+    ``(cent, iterates)`` where ``cent`` is the centered quantized
+    (vec_id, i, c) relation and ``iterates`` the list of renormalized
+    64-row iterate DataFrames (localCheckpointed). q_emb_pca_power
+    emits the trajectory; q_emb_pca_topk projects the corpus onto the
+    final iterate."""
     emb = load(spark, d, "embeddings")
     vals = emb.select(
         "vec_id",
@@ -166,6 +168,22 @@ def q_emb_pca_power(spark, d):
             .localCheckpoint()
         )
         iterates.append(v)
+    return cent, iterates
+
+
+@query("q_emb_pca_power", oracle=_pca_oracle())
+def q_emb_pca_power(spark, d):
+    """Leading principal direction by integer-exact power iteration —
+    the DECLARED twin of rows-only q_emb_pca (see module docstring
+    for the quantize / center / damped-Gram / renormalize
+    construction and why signed `div` semantics are the portability
+    crux).
+    Plan: posexplode -> per-dim mean (combinable) -> per-vector
+    position self-join into the 4096-cell Gram agg (the one
+    data-sized shuffle, O(n*d^2) map-side combinable) -> three
+    matvec+renorm rounds over the bounded matrix with the 64-row
+    iterate broadcast. Output = the full iterate trajectory."""
+    _, iterates = power_fit(spark, d)
     out = iterates[0].select("i", F.col("v").alias("v1"))
     for r, it in enumerate(iterates[1:], start=2):
         out = out.join(it.select("i", F.col("v").alias(f"v{r}")), "i")

@@ -106,8 +106,8 @@ _LTV_ORACLE = """
                                   CAST(date_trunc('day', e.ts)
                                        AS TIMESTAMP)) / 7.0) AS BIGINT)
                  AS age_week,
-             CAST(CAST(SUM(CAST(e.value AS DECIMAL(30,10))) * 100
-                       AS DECIMAL(30,10)) AS BIGINT) AS rev_cents,
+             CAST(floor(SUM(CAST(e.value AS DECIMAL(30,10))) * 100)
+                  AS BIGINT) AS rev_cents,
              COUNT(DISTINCT e.user_id) AS n_active
       FROM events e JOIN firsts f ON f.user_id = e.user_id
       WHERE e.event_type = 'purchase'
@@ -152,8 +152,7 @@ def q_behavior_ltv(spark, d):
             .alias("age_week"),
         )
         .agg(
-            (F.sum(F.col("value").cast(DEC)) * 100)
-            .cast(DEC)
+            F.floor(F.sum(F.col("value").cast(DEC)) * 100)
             .cast("long")
             .alias("rev_cents"),
             F.count_distinct("user_id").alias("n_active"),

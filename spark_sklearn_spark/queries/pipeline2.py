@@ -40,12 +40,10 @@ _BIGRAMS_SQL = f"""
 """
 
 
-def bigram_overlap(spark, d):
-    """Per-pair gram-overlap table (doc_a < doc_b, c = |A∩B|, na, nb)
-    over DF-capped word bigrams — the shared postings-join core under
-    q_dedup_ngram / q_graph_triangles (Jaccard) and
-    q_text_containment (asymmetric ratio). Never doc×doc: the join is
-    on the gram, fan-out bounded by DF_CAP."""
+def rare_grams(spark, d):
+    """DF-capped distinct word bigrams per doc — (doc_id, g). The
+    shared postings relation under bigram_overlap and the round-9
+    minhash-containment eval (pipeline15)."""
     docs = load(spark, d, "documents")
     # Tokenize ONCE into a column (an embedded split() inside the
     # interpreted transform re-runs per element — O(n²)/doc), and
@@ -67,11 +65,20 @@ def bigram_overlap(spark, d):
         ).alias("g"),
     ).filter(F.col("g").isNotNull())
     # window-count keeps the DF cap at one shuffle on g (vs agg+join = two)
-    rare = (
+    return (
         grams.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("g")))
         .filter(F.col("df") <= DF_CAP)
         .drop("df")
     )
+
+
+def bigram_overlap(spark, d):
+    """Per-pair gram-overlap table (doc_a < doc_b, c = |A∩B|, na, nb)
+    over DF-capped word bigrams — the shared postings-join core under
+    q_dedup_ngram / q_graph_triangles (Jaccard) and
+    q_text_containment (asymmetric ratio). Never doc×doc: the join is
+    on the gram, fan-out bounded by DF_CAP."""
+    rare = rare_grams(spark, d)
     sizes = rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = rare.select(F.col("doc_id").alias("doc_a"), "g")
     b = rare.select(F.col("doc_id").alias("doc_b"), "g")

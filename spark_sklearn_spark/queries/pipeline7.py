@@ -492,6 +492,8 @@ def q_text_zipf(spark, d):
         .agg(F.count(F.lit(1)).alias("c"))
     )
     top = counts.orderBy(F.desc("c"), "w").limit(20)
+    # BOUNDED: 20-row relation (LIMIT above) — the unpartitioned
+    # window is safe; session.py downgrades WindowExec's log noise
     w_rank = Window.orderBy(F.desc("c"), "w")
     return (
         top.withColumn("rank", F.row_number().over(w_rank))

@@ -577,9 +577,10 @@ def _km_fit(vecs):
         vecs.orderBy("vec_id")
         .limit(KM_K)
         .select(
-            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias(
-                "cluster"
-            ),
+            # BOUNDED: KM_K-row relation (LIMIT above)
+            (
+                F.row_number().over(Window.orderBy("vec_id")) - 1
+            ).alias("cluster"),
             F.col("q").alias("cq"),
         )
     )
@@ -1057,9 +1058,10 @@ def q_emb_pq_adc(spark, d):
         .limit(PQ_CODES)
         .select(
             "vec_id",
-            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias(
-                "code"
-            ),
+            # BOUNDED: PQ_CODES-row relation (LIMIT above)
+            (
+                F.row_number().over(Window.orderBy("vec_id")) - 1
+            ).alias("code"),
         )
     )
     cb = (

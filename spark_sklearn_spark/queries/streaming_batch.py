@@ -290,8 +290,8 @@ def q_stream_static_join(spark, d):
     oracle="""
         SELECT event_type,
                CAST(COUNT(*) AS BIGINT) AS n,
-               ROUND(CAST(SUM(CAST(value AS DECIMAL(30,10))) AS DOUBLE),
-                     2) AS sum_value
+               CAST(floor(SUM(CAST(value AS DECIMAL(30,10))) * 100)
+                    AS BIGINT) AS sum_cents
         FROM events
         GROUP BY event_type
         ORDER BY event_type

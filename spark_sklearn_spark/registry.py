@@ -28,78 +28,55 @@ ORACLES: dict[str, str] = {}
 # hard gate, so we pin an explicit priority order and ROTATE it each round so
 # no key goes more than two rounds without a driver re-check.
 #
-# Round-8 order. CORRECTNESS_r07 delivered 10 hash-REDS, all adjudicated to
-# ONE mechanism: the driver's hasher distinguishes DuckDB HUGEINT (uncast
-# SUM(integer)) from BIGINT — every red had a HUGEINT output column (plus one
-# confirmed -0.0 in q_sample_weighted), every green had none. Round 8 casts
-# every such column (22 oracles) and adds q_dq_engine_canary, which probes
-# each portability primitive as its own BIGINT column. Prefix order:
-# (1) the canary; (2) the 10 r7 reds, all fixed — these MUST green;
-# (3) the 13 other HUGEINT-fixed keys (never driver-checked, would have
-# failed); (4) never-driver-checked declared keys, newest machinery first;
-# (5) q_dedup_simhash (its only driver row predates the declared rewrite);
-# (6) everything else, oldest driver row first.
-# tests/test_queries_smoke.py asserts every name here is registered.
+# Round-9 order. CORRECTNESS_r08 was a clean 50/50 and confirmed the r8
+# window cut exactly after q_text_hapax (position 50) — so the 4 remaining
+# r7 reds (hardened in 0098c7f, judge-verified green, but never re-sampled)
+# sat at 51-54 and STILL carry a FAIL as their latest driver row. Window
+# plan: (1) the canary (extended this round: round_half_dir /
+# tie_floor_micro / dbl_literal_atto columns); (2) the 4 unresampled r7
+# reds — these MUST green; (3) keys whose code or oracle changed this
+# round; (4) new round-9 keys (zero driver history); (5) the 6 keys the
+# r8 reorder displaced just past the window; (6) q_dedup_simhash (declared
+# rewrite newer than its only driver row); (7) never-driver-checked
+# declared keys, all locally strict-swept green this round (r9 session:
+# 71 declared PASS / 0 FAIL / 0 type-parity WARNs); (8) oldest driver
+# rows. tests/test_queries_smoke.py asserts every name here is registered.
 DRIVER_PRIORITY: list[str] = [
     # (1) portability canary — if the driver env drifts, this names the column
     "q_dq_engine_canary",
-    # r8 new declared keys: streaming dedup hash row + pipeline9 batch
-    "q_stream_dedup_keys",
-    "q_dedup_segments",
-    "q_text_novelty",
-    "q_dq_uniqueness",
-    "q_text_lang_confusion",
-    "q_join_interval_overlap",
-    "q_graph_component_sizes",
-    "q_ml_ridge",
-    "q_sketch_hist_quantiles",
-    "q_mix_epochs",
-    "q_source_csv_dirty",
-    "q_emb_pca_power",
-    "q_dq_rules",
-    "q_behavior_ltv",
-    "q_fn_editdist",
-    "q_ml_ols2",
-    "q_stream_watermark_final",
-    "q_stream_stateful_final",
-    "q_multimodal_hash",
-    "q_stream_upsert_final",
-    "q_ml_ttest",
-    "q_ml_chi2",
-    "q_graph_kcore",
-    "q_dq_benford",
-    "q_behavior_pathing",
-    "q_ts_rolling_median",
-    "q_ts_holt",
-    "q_ts_theilsen",
-    "q_ml_knn_classify",
-    "q_ml_als_round",
-    "q_text_bpe_merge",
-    "q_behavior_stickiness",
-    "q_fn_datetime_format",
-    "q_emb_norm_audit",
-    "q_sketch_kmv",
-    "q_text_jsd_pairwise",
-    "q_graph_bfs",
-    "q_ml_ndcg",
-    "q_ts_stl",
-    "q_behavior_markov",
-    "q_ml_pinball",
-    "q_graph_clustcoeff",
-    "q_ml_cv_stability",
-    # (2) the 10 CORRECTNESS_r07 reds, fixed this round (HUGEINT casts /
-    # integer-quantized outputs / -0.0 kill)
-    "q_sketch_bloom",
-    "q_feat_hashing",
-    "q_source_jsonl_roundtrip",
-    "q_layout_compaction",
-    "q_dedup_bow",
-    "q_text_hapax",
+    # (2) the 4 r7 reds hardened in r8 but never re-sampled (ADVICE r8)
     "q_win_running_distinct",
     "q_sample_weighted",
     "q_ts_outlier_mad",
     "q_mix_budget",
-    # (3) HUGEINT-fixed, never driver-checked — same landmine, defused
+    # (3) changed this round: floor-before-cast LTV, integer-cents upsert,
+    # ASCII-gated multimodal raster
+    "q_behavior_ltv",
+    "q_stream_upsert_final",
+    "q_multimodal_hash",
+    # (4) new round-9 keys — zero driver history — plus the freshly
+    # PROMOTED q_agg_approx_percentile (rows-only -> declared this round)
+    "q_agg_approx_percentile",
+    "q_emb_pca_topk",
+    "q_text_minhash_containment",
+    "q_ts_changepoint",
+    "q_feat_woe",
+    "q_graph_jaccard_nbrs",
+    "q_ts_hurst",
+    "q_behavior_absorbing",
+    "q_text_simpson",
+    "q_join_range_bucket",
+    # (5) displaced just past the r8 window, never driver-checked
+    "q_ml_gbm_round",
+    "q_ml_calibration",
+    "q_emb_centroid_sim",
+    "q_ml_label_noise_knn",
+    "q_dedup_incremental",
+    "q_sample_balanced",
+    # (6) declared rewrite newer than its only driver row
+    "q_dedup_simhash",
+    # (7) never-driver-checked declared keys (HUGEINT-defused r8 batch
+    # first, then the r7 batch) — all strict-swept green this session
     "q_ml_auc",
     "q_ml_confusion",
     "q_ml_pr_curve",
@@ -113,7 +90,6 @@ DRIVER_PRIORITY: list[str] = [
     "q_ml_tree_stump",
     "q_ts_twap",
     "q_behavior_lifecycle",
-    # (4) never-driver-checked declared keys (r7 batch, newest first)
     "q_ts_seasonal",
     "q_emb_hamming_knn",
     "q_cdc_snapshot_diff",
@@ -123,6 +99,7 @@ DRIVER_PRIORITY: list[str] = [
     "q_sql_recursive",
     "q_fn_timezone",
     "q_ts_autocorr",
+    # ---- 50-key window cuts about here ----
     "q_win_ignore_nulls",
     "q_pivot_multi_agg",
     "q_ts_backtest",
@@ -140,16 +117,7 @@ DRIVER_PRIORITY: list[str] = [
     "q_dedup_editdist",
     "q_ts_survival",
     "q_search_hybrid_rrf",
-    # ---- 50-key window cuts about here ----
-    "q_ml_gbm_round",
-    "q_ml_calibration",
-    "q_emb_centroid_sim",
-    "q_ml_label_noise_knn",
-    "q_dedup_incremental",
-    "q_sample_balanced",
-    # (5) declared rewrite newer than its only driver row
-    "q_dedup_simhash",
-    # (4 cont.) never-driver-checked older keys
+    # (7 cont.) never-driver-checked older keys
     "q_scan_metadata",
     "q_agg_mode",
     "q_agg_moments",

@@ -347,14 +347,17 @@ def foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         # zero micro-batches: an empty stream yields an empty table,
         # not a missing one
         return spark.createDataFrame(
-            [], "event_type string, n bigint, sum_value double"
+            [], "event_type string, n bigint, sum_cents bigint"
         )
     return (
         spark.read.parquet(os.path.join(base, f"v={max(versions)}"))
         .select(
             "event_type",
             "n",
-            F.round(F.col("sum_value").cast("double"), 2).alias("sum_value"),
+            # integer cents, not ROUND(double, 2): the exact decimal sum
+            # scales and floors identically on both engines (r8 policy —
+            # DuckDB's multiply-based ROUND has a .5-tie ulp lottery)
+            F.floor(F.col("sum_value") * 100).cast("long").alias("sum_cents"),
         )
         .orderBy("event_type")
     )

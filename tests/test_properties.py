@@ -82,12 +82,11 @@ def test_distributed_ntile_equals_native(spark, seed, n, tiles, n_ties):
     assert got.select("id", "q").exceptAll(want).count() == 0
 
 
-def test_approx_percentile_rank_error_bound(spark, sf_dir):
-    """q_agg_approx_percentile is rows-only for the driver; pin its
-    accuracy here instead: with accuracy=10000 the GK sketch's rank
-    error is ≤ n/10000 ranks — assert the returned p50/p90/p99 values
-    sit within a generous ±1% rank window of the exact order
-    statistics computed via window ranks."""
+def test_approx_percentile_exact_and_gk_audit(spark, sf_dir):
+    """q_agg_approx_percentile (DECLARED since r9): the histogram
+    quantiles must equal the exact type-1 order statistics (value at
+    rank ceil(q·n/100), in cents), and every GK audit column must be
+    1 — the engine sketch honoring its rank guarantee."""
     import __spark_entry__ as entry
     from pyspark.sql import functions as F
 
@@ -100,17 +99,17 @@ def test_approx_percentile_rank_error_bound(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
     for flag, row in got.items():
         vals = sorted(
-            v[0]
+            int(v[0] * 100 + 0.5)
             for v in li.filter(F.col("l_returnflag") == flag)
             .select("l_extendedprice")
             .collect()
         )
         n = len(vals)
         assert n == row["n"]
-        for q, key in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
-            lo = vals[max(0, int((q - 0.01) * n) - 1)]
-            hi = vals[min(n - 1, int((q + 0.01) * n))]
-            assert lo <= row[key] <= hi, (flag, key, row[key], lo, hi)
+        for q in (50, 90, 99):
+            rank = (n * q + 99) // 100  # ceil, 1-based
+            assert row[f"p{q}_cents"] == vals[rank - 1], (flag, q)
+            assert row[f"gk_ok_{q}"] == 1, (flag, q)
 
 
 def test_pack_sequences_invariants(spark, sf_dir):
@@ -273,18 +272,18 @@ def test_stream_foreach_upsert_equals_batch_aggregate(spark, sf_dir):
     from spark_sklearn_spark.sources.io import load
 
     got = {
-        r["event_type"]: (r["n"], r["sum_value"])
+        r["event_type"]: (r["n"], r["sum_cents"])
         for r in entry.queries()["q_stream_foreach_upsert"](spark, sf_dir).collect()
     }
     want = {
-        r["event_type"]: (r["n"], r["sum_value"])
+        r["event_type"]: (r["n"], r["sum_cents"])
         for r in load(spark, sf_dir, "events")
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum(F.col("value").cast(DEC)).cast("double"), 2).alias(
-                "sum_value"
-            ),
+            F.floor(F.sum(F.col("value").cast(DEC)) * 100)
+            .cast("long")
+            .alias("sum_cents"),
         )
         .collect()
     }

@@ -64,6 +64,10 @@ def test_canary_values_pinned(spark, sf_dir, duck):
     assert row.iso_dow == 5  # 2024-03-15 is a Friday
     assert row.decsum_micro == 2500000  # 25 * 0.1, exact via decimal
     assert row.seq_desc_len == 0
+    # r9 extensions
+    assert row.round_half_dir == 3  # exact .5 rounds AWAY, not banker's
+    assert row.tie_floor_micro == 0  # fl(5e-7 * 1e6) < 0.5 ties floor to 0
+    assert row.dbl_literal_atto == 721347520444481664  # strtod parity
     drow = duck.execute(entry.oracle_sql()["q_dq_engine_canary"]).fetchone()
     assert tuple(row) == tuple(drow)
 

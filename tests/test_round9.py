@@ -1,0 +1,329 @@
+"""Round-9 additions: pipeline14 landing debt (tests the r8 snapshot
+commit skipped), the pipeline15 batch, the q_agg_approx_percentile
+promotion, and the SURVEY-drift gate (VERDICT r8 item 5).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM"
+            f" read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+# ---------------------------------------------------------------------------
+# SURVEY drift gate: the §2B table is the single source of truth
+# ---------------------------------------------------------------------------
+
+
+def test_registry_keys_all_documented_in_survey():
+    """Every registered query key must appear in SURVEY.md (§2B table
+    or prose) — pipeline14 landed undocumented in r8; this makes that
+    class of drift a test failure. TPC-H range keys are generated, so
+    the full q_tpch_q\\d+ family counts as documented if any member
+    appears."""
+    survey = open(
+        os.path.join(os.path.dirname(__file__), "..", "SURVEY.md")
+    ).read()
+    documented = set(re.findall(r"q_\w+", survey))
+    tpch_ok = any(k.startswith("q_tpch_q") for k in documented)
+    missing = [
+        k
+        for k in entry.queries()
+        if k not in documented
+        and not (tpch_ok and re.fullmatch(r"q_tpch_q\d+", k))
+    ]
+    assert not missing, f"registry keys absent from SURVEY.md: {missing}"
+
+
+def test_driver_priority_covers_round9_risk():
+    """The four r7 reds and every round-9 new/changed key must sit in
+    the first 50 priority positions (the driver's check window)."""
+    from spark_sklearn_spark.registry import DRIVER_PRIORITY
+
+    window = set(DRIVER_PRIORITY[:50])
+    must = {
+        "q_dq_engine_canary",
+        "q_win_running_distinct", "q_sample_weighted",
+        "q_ts_outlier_mad", "q_mix_budget",
+        "q_behavior_ltv", "q_stream_upsert_final", "q_multimodal_hash",
+        "q_agg_approx_percentile", "q_emb_pca_topk",
+        "q_text_minhash_containment", "q_ts_changepoint", "q_feat_woe",
+        "q_graph_jaccard_nbrs", "q_ts_hurst", "q_behavior_absorbing",
+        "q_text_simpson", "q_join_range_bucket",
+    }
+    assert must <= window, sorted(must - window)
+
+
+# ---------------------------------------------------------------------------
+# pipeline14 landing debt (VERDICT r8 item 2)
+# ---------------------------------------------------------------------------
+
+
+def test_pipeline14_scalable(spark, sf_dir):
+    """q_behavior_markov / q_ml_pinball are exempt: their 1-row
+    global aggregates (type count k, calendar bounds) legitimately
+    plan as a SinglePartition agg BNLJ-crossed into bounded relations
+    — the documented q_basket_lift / q_win_pareto shape.
+    q_ml_cv_stability's OVER () spread window runs on the 5-row fits
+    relation (bounded by the fold count)."""
+    from spark_sklearn_spark.plans import assert_scalable
+
+    qs = entry.queries()
+    for name in ("q_ts_stl", "q_graph_clustcoeff"):
+        assert_scalable(qs[name](spark, sf_dir))
+
+
+def test_stl_components_reassemble(spark, sf_dir):
+    """remainder = rev − trend − seasonal within 2 micro (two floors)."""
+    rows = entry.queries()["q_ts_stl"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        resid = (
+            r.rev_micro - r.trend_micro - r.seasonal_micro
+            - r.remainder_micro
+        )
+        assert 0 <= resid <= 3, r
+
+
+def test_markov_iterates_are_distributions(spark, sf_dir):
+    """Each power step stays a probability distribution: micro values
+    sum to 1e6 within one floor per state."""
+    rows = entry.queries()["q_behavior_markov"](spark, sf_dir).collect()
+    k = len(rows)
+    assert k >= 2
+    for col in ("p1_micro", "p2_micro", "p3_micro"):
+        s = sum(r[col] for r in rows)
+        assert 1_000_000 - k <= s <= 1_000_000, (col, s)
+
+
+def test_pinball_median_below_extremes(spark, sf_dir):
+    """Pinball losses are nonnegative; q=0.5 loss is half the absolute
+    error, so 2·L(0.5) >= max(L(0.1), L(0.9)) cannot be violated by
+    construction — pin the nonnegativity + row count."""
+    rows = {
+        r.q_ppm: r
+        for r in entry.queries()["q_ml_pinball"](spark, sf_dir).collect()
+    }
+    assert set(rows) == {100000, 500000, 900000}
+    for r in rows.values():
+        assert r.total_loss_micro >= 0
+        assert r.n_days == rows[500000].n_days
+
+
+def test_clustcoeff_in_unit_range(spark, sf_dir):
+    rows = entry.queries()["q_graph_clustcoeff"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.mean_cc_ppm <= 1_000_000
+        assert 0 <= r.n_cliquelike <= r.n_nodes
+        assert r.degree >= 2
+
+
+def test_cv_stability_spread_consistent(spark, sf_dir):
+    """The reported spread equals max−min of the fold slopes, and all
+    five folds are present."""
+    rows = entry.queries()["q_ml_cv_stability"](spark, sf_dir).collect()
+    assert {r.fold for r in rows} == set(range(5))
+    slopes = [r.slope_micro for r in rows]
+    spread = max(slopes) - min(slopes)
+    for r in rows:
+        assert r.slope_spread_micro == spread
+
+
+# ---------------------------------------------------------------------------
+# pipeline15 batch
+# ---------------------------------------------------------------------------
+
+
+def test_pipeline15_scalable(spark, sf_dir):
+    """q_feat_woe / q_ts_hurst are exempt (1-row totals / 3-row block
+    grid cross-joined into bounded relations — the q_basket_lift
+    shape); everything else must plan clean."""
+    from spark_sklearn_spark.plans import assert_scalable
+
+    qs = entry.queries()
+    for name in (
+        "q_ts_changepoint",
+        "q_graph_jaccard_nbrs",
+        "q_behavior_absorbing",
+        "q_text_simpson",
+        "q_join_range_bucket",
+        "q_text_minhash_containment",
+        "q_agg_approx_percentile",
+        "q_emb_pca_topk",
+    ):
+        assert_scalable(qs[name](spark, sf_dir))
+
+
+def test_pca_topk_scores_align_with_iterate(spark, sf_dir):
+    """Recompute the projection of the top-1 vec from the published
+    iterate and centered values — must equal the reported proj."""
+    from pyspark.sql import functions as F
+
+    from spark_sklearn_spark.queries.pca_power import power_fit
+
+    top = entry.queries()["q_emb_pca_topk"](spark, sf_dir).collect()
+    assert len(top) == 20
+    assert top[0].rnk == 1
+    projs = [abs(r.proj) for r in top]
+    assert projs == sorted(projs, reverse=True)
+    cent, iterates = power_fit(spark, sf_dir)
+    want = (
+        cent.filter(F.col("vec_id") == top[0].vec_id)
+        .join(F.broadcast(iterates[-1]), "i")
+        .agg(F.sum(F.col("c") * F.col("v")).alias("p"))
+        .collect()[0]
+        .p
+    )
+    assert want == top[0].proj
+
+
+def test_changepoint_cusum_envelope(spark, sf_dir):
+    """|cusum at cp| is the series max by construction; the last
+    cusum value is the total deviation = s − n·(s div n) ∈ [0, n)."""
+    rows = entry.queries()["q_ts_changepoint"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_days > 0
+        assert abs(r.cusum_at_cp) >= 0
+        assert r.pre_mean_micro != 0 or r.post_mean_micro != 0
+
+
+def test_woe_iv_signs_consistent(spark, sf_dir):
+    """IV terms are nonnegative iff WOE and the share difference agree
+    in sign — which they do by construction: iv = (dp − dn)·ln(dp/dn)
+    with dp,dn > 0 is always >= 0."""
+    rows = entry.queries()["q_feat_woe"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.iv_term_nano >= -1, r  # −1 absorbs the floor at exact 0
+
+
+def test_jaccard_nbrs_bounds(spark, sf_dir):
+    """Neighborhood Jaccard in [0, 1e6]; common neighbors bounded by
+    min degree; degrees >= 1 on both endpoints of a real edge."""
+    rows = entry.queries()["q_graph_jaccard_nbrs"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.nbr_jacc_ppm <= 1_000_000
+        assert r.n_common <= min(r.deg_a, r.deg_b)
+        assert r.deg_a >= 1 and r.deg_b >= 1
+
+
+def test_hurst_output_shape(spark, sf_dir):
+    """All three block sizes present (30-day fixture), ranges positive,
+    and the two-point Hurst estimate is shared across rows and sane
+    (0 < H < 1.5e6 micro — random-walkish data can exceed 1.0 slightly
+    through the truncating means)."""
+    rows = entry.queries()["q_ts_hurst"](spark, sf_dir).collect()
+    assert [r.m for r in rows] == [3, 6, 12]
+    assert all(r.mean_r_micro > 0 for r in rows)
+    hs = {r.hurst_micro for r in rows}
+    assert len(hs) == 1
+    h = hs.pop()
+    assert 0 < h < 1_500_000
+
+
+def test_absorbing_probs_monotone(spark, sf_dir):
+    """Absorption probabilities are monotone in k and inside [0, 1e6];
+    'purchase' itself never appears as a start state."""
+    rows = entry.queries()["q_behavior_absorbing"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.event_type != "purchase"
+        assert 0 <= r.a1_micro <= r.a2_micro + 1 <= r.a3_micro + 2
+        assert r.a3_micro <= 1_000_000
+
+
+def test_simpson_matches_python(spark, sf_dir):
+    """Recompute Simpson for one source in Python from raw tokens."""
+    from pyspark.sql import functions as F
+    from collections import Counter
+
+    from spark_sklearn_spark.sources.io import load
+
+    rows = entry.queries()["q_text_simpson"](spark, sf_dir).collect()
+    assert rows
+    r0 = rows[0]
+    texts = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("source") == r0.source)
+        .select("text")
+        .collect()
+    )
+    c = Counter()
+    for t in texts:
+        c.update(t.text.split(" "))
+    n = sum(c.values())
+    rep = sum(v * (v - 1) for v in c.values())
+    assert r0.n_tokens == n
+    assert r0.n_types == len(c)
+    assert r0.rep_pairs == rep
+    import math
+
+    assert r0.simpson_ppb == math.floor(rep / (n * (n - 1)) * 1e9)
+
+
+def test_range_bucket_is_equi_join_and_complete(spark, sf_dir):
+    """The bucketed band join must contain no BroadcastNestedLoopJoin
+    over the orders side, and its per-band counts must total exactly
+    the orders inside the banded range."""
+    from pyspark.sql import functions as F
+
+    from spark_sklearn_spark.sources.io import load
+
+    df = entry.queries()["q_join_range_bucket"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "bucket" in plan
+    rows = df.collect()
+    assert [r.band_id for r in rows] == [1, 2, 3, 4, 5, 6, 7]
+    total = sum(r.n_orders for r in rows)
+    want = (
+        load(spark, sf_dir, "orders")
+        .filter((F.col("o_totalprice") >= 0) & (F.col("o_totalprice") < 600_000))
+        .count()
+    )
+    assert total == want
+
+
+def test_minhash_containment_estimator_sane(spark, sf_dir):
+    """Exact containment >= exact Jaccard always; the 16-perm estimate
+    stays within 6/16 of exact Jaccard on the high-J candidate set
+    (generous — planted dups sit at J >= 0.4 where minhash variance
+    is sqrt(J(1-J)/16) ≈ 0.12)."""
+    rows = entry.queries()["q_text_minhash_containment"](
+        spark, sf_dir
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r.cont_ab_ppm >= r.exact_j_ppm
+        assert abs(r.est_j_ppm - r.exact_j_ppm) <= 375_000, r
+
+
+def test_approx_percentile_audit_all_green(spark, sf_dir):
+    """Every gk_ok column is 1 — Spark's GK sketch honors its rank
+    guarantee against the exact value histogram."""
+    rows = entry.queries()["q_agg_approx_percentile"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.gk_ok_50 == 1 and r.gk_ok_90 == 1 and r.gk_ok_99 == 1

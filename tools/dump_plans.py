@@ -300,6 +300,84 @@ NOTES = {
         "DCG/IDCG/NDCG are integer sums and divisions on panel-sized "
         "relations."
     ),
+    "q_ts_stl": (
+        "One corpus hash agg to the calendar grain; centered 7-day "
+        "window, per-dow seasonal agg, and the broadcast-back join "
+        "all run on calendar-bounded relations; decimal-quantized "
+        "window terms, micro-integer components."
+    ),
+    "q_behavior_markov": (
+        "One user-partitioned lead() window is the only corpus "
+        "shuffle; the transition matrix, row sums, and all three "
+        "power-iteration steps are |event_types|-bounded broadcasts "
+        "with decimal-quantized terms."
+    ),
+    "q_ml_pinball": (
+        "One daily collapse; train means, the 7-day holdout, and the "
+        "21 loss cells are calendar-bounded (the 1-row bounds agg "
+        "BNLJ-crosses in, the q_basket_lift shape)."
+    ),
+    "q_graph_clustcoeff": (
+        "Triangle explode + two bounded aggs + one left join on the "
+        "memoized snapshot-sized node relations; cc is integer ppm."
+    ),
+    "q_ml_cv_stability": (
+        "ONE lineitem scan fills all five folds' decimal moments "
+        "(fold = portable hash as a GROUP key); fits and the spread "
+        "window run on the 5-row relation."
+    ),
+    "q_emb_pca_topk": (
+        "Shares the power_fit Gram/iterate stages with "
+        "q_emb_pca_power; one combinable integer projection agg + "
+        "TakeOrderedAndProject — no new corpus shuffle beyond the "
+        "fit's own."
+    ),
+    "q_ts_changepoint": (
+        "One corpus collapse to exact daily micro ints; mean/dev/"
+        "cusum/argmax and the pre/post level means all run on the "
+        "calendar-bounded relation."
+    ),
+    "q_feat_woe": (
+        "One combinable label-count agg, a broadcast 1-row totals "
+        "join, identical-operand ln chains floored to micro/nano "
+        "ints."
+    ),
+    "q_graph_jaccard_nbrs": (
+        "Wedge equi-join anchored on the memoized edge set (never "
+        "node x node), degree agg, ppm ratio — snapshot-sized "
+        "relations throughout."
+    ),
+    "q_ts_hurst": (
+        "One corpus collapse to daily micro ints; block slicing by "
+        "row-number div, integer within-block cusums/ranges, "
+        "two-point log-log slope on the 3-row per-m relation."
+    ),
+    "q_behavior_absorbing": (
+        "One lead() window is the only corpus shuffle; the "
+        "restricted transition matrix and every unrolled absorption "
+        "iterate are grid-sized broadcasts."
+    ),
+    "q_text_simpson": (
+        "One token explode into a (source, word) combinable agg, "
+        "then a per-source collapse — integers end to end."
+    ),
+    "q_join_range_bucket": (
+        "Bands explode to overlapped fixed-width buckets; rows "
+        "compute one bucket key; the join is a broadcast EQUI-join + "
+        "residual filter — shuffle-partitionable at any band count, "
+        "unlike the BETWEEN nested-loop the oracle runs."
+    ),
+    "q_text_minhash_containment": (
+        "Shared rare-gram postings feed the exact pair join and a "
+        "16-way perm-EXPLODED min agg (one shuffle on (doc, perm), "
+        "corpus-linear, no join nodes); estimates join on the "
+        "bounded candidate set."
+    ),
+    "q_agg_approx_percentile": (
+        "One (flag, cents) combinable agg shrinks the stream "
+        "map-side; quantile windows and the GK audit join run on the "
+        "bounded distinct-value relation, never the data."
+    ),
 }
 
 
