@@ -12,7 +12,61 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..sources.io import load
-from ._helpers import dsum, sql_dsum
+from ._helpers import davg, dsum, sql_davg, sql_dsum
+
+
+@query(
+    "q_tpch_q1",
+    oracle=f"""
+        SELECT l_returnflag, l_linestatus,
+               {sql_dsum("l_quantity", "sum_qty")},
+               {sql_dsum("l_extendedprice", "sum_base_price")},
+               {sql_dsum("l_extendedprice * (1 - l_discount)", "sum_disc_price")},
+               {sql_dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)",
+                         "sum_charge")},
+               {sql_davg("l_quantity", "avg_qty")},
+               {sql_davg("l_extendedprice", "avg_price")},
+               {sql_davg("l_discount", "avg_disc")},
+               CAST(count(*) AS BIGINT) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q_tpch_q1(spark, d):
+    """TPC-H Q1 (pricing summary report), the FULL aggregate set —
+    q_agg_hash is the flagship's 8-agg shape; this adds sum_charge
+    (the tax-compounded revenue) and the canonical ordering so the
+    literal Q1 a reference user types runs verbatim. Pure
+    scan→pushdown filter→hash agg over two low-cardinality keys;
+    decimal policy on every sum (queries/_helpers.py)."""
+    li = load(spark, d, "lineitem")
+    return (
+        li.filter(
+            F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+        )
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "sum_disc_price",
+            ),
+            dsum(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax")),
+                "sum_charge",
+            ),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
 
 
 @query(

@@ -66,6 +66,18 @@ DRIVER_PRIORITY: list[str] = [
     "q_behavior_absorbing",
     "q_text_simpson",
     "q_join_range_bucket",
+    # (4b) round-9 batch B + the literal TPC-H Q1
+    "q_ml_spearman",
+    "q_ml_kendall",
+    "q_graph_assortativity",
+    "q_behavior_gaps",
+    "q_sample_reservoir",
+    "q_dq_reconcile",
+    "q_tpch_q1",
+    # (4c) round-9 batch C
+    "q_source_binaryfile",
+    "q_graph_modularity",
+    "q_emb_whiten",
     # (5) displaced just past the r8 window, never driver-checked
     "q_ml_gbm_round",
     "q_ml_calibration",

@@ -70,6 +70,9 @@ def test_driver_priority_covers_round9_risk():
         "q_text_minhash_containment", "q_ts_changepoint", "q_feat_woe",
         "q_graph_jaccard_nbrs", "q_ts_hurst", "q_behavior_absorbing",
         "q_text_simpson", "q_join_range_bucket",
+        "q_ml_spearman", "q_ml_kendall", "q_graph_assortativity",
+        "q_behavior_gaps", "q_sample_reservoir", "q_dq_reconcile",
+        "q_tpch_q1",
     }
     assert must <= window, sorted(must - window)
 
@@ -327,3 +330,207 @@ def test_approx_percentile_audit_all_green(spark, sf_dir):
     assert rows
     for r in rows:
         assert r.gk_ok_50 == 1 and r.gk_ok_90 == 1 and r.gk_ok_99 == 1
+
+
+# ---------------------------------------------------------------------------
+# pipeline16 batch B
+# ---------------------------------------------------------------------------
+
+
+def test_pipeline16_scalable(spark, sf_dir):
+    """q_graph_assortativity is exempt (1-row stub-sum aggregate, the
+    global-scalar shape); the rest must plan clean."""
+    from spark_sklearn_spark.plans import assert_scalable
+
+    qs = entry.queries()
+    for name in (
+        "q_ml_spearman",
+        "q_ml_kendall",
+        "q_behavior_gaps",
+        "q_sample_reservoir",
+        "q_dq_reconcile",
+        "q_tpch_q1",
+    ):
+        assert_scalable(qs[name](spark, sf_dir))
+
+
+def test_spearman_kendall_agree_on_direction(spark, sf_dir):
+    """Both rank correlations must agree in SIGN for every pair where
+    |tau| is decisive (>0.1) — a sign flip between the two would mean
+    one implementation is wrong."""
+    rho = {
+        (r.type_a, r.type_b): r.rho_micro
+        for r in entry.queries()["q_ml_spearman"](spark, sf_dir).collect()
+    }
+    tau = {
+        (r.type_a, r.type_b): r.tau_micro
+        for r in entry.queries()["q_ml_kendall"](spark, sf_dir).collect()
+    }
+    assert set(rho) == set(tau)
+    for k, t in tau.items():
+        if abs(t) > 100_000:
+            assert (t > 0) == (rho[k] > 0), (k, t, rho[k])
+        assert -1_000_001 <= t <= 1_000_000
+        assert -1_000_001 <= rho[k] <= 1_000_000
+
+
+def test_kendall_counts_close(spark, sf_dir):
+    """concordant + discordant <= n_pairs (ties take the rest)."""
+    for r in entry.queries()["q_ml_kendall"](spark, sf_dir).collect():
+        assert r.concordant + r.discordant <= r.n_pairs
+
+
+def test_assortativity_in_range(spark, sf_dir):
+    row = entry.queries()["q_graph_assortativity"](spark, sf_dir).collect()[0]
+    assert -1_000_001 <= row.assort_micro <= 1_000_000
+    assert row.m == 2 * (row.s_h and row.m // 2 or 0) or row.m > 0
+
+
+def test_gaps_cover_all_consecutive_events(spark, sf_dir):
+    """Total histogram mass = (#events − #users with ≥1 event): every
+    consecutive pair contributes exactly one gap."""
+    from pyspark.sql import functions as F
+
+    from spark_sklearn_spark.sources.io import load
+
+    rows = entry.queries()["q_behavior_gaps"](spark, sf_dir).collect()
+    total = sum(r.n_gaps for r in rows)
+    ev = load(spark, sf_dir, "events")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert total == n_events - n_users
+
+
+def test_reservoir_is_uniform_hash_sample(spark, sf_dir):
+    """Exactly k rows per source; each row's h really is among the k
+    smallest h56 values of that source (recomputed)."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from spark_sklearn_spark.queries._helpers import h56
+    from spark_sklearn_spark.queries.pipeline16 import _RSV_K
+    from spark_sklearn_spark.sources.io import load
+
+    rows = entry.queries()["q_sample_reservoir"](spark, sf_dir).collect()
+    per = defaultdict(list)
+    for r in rows:
+        per[r.source].append(r)
+    want = {
+        r.source: r.hs
+        for r in load(spark, sf_dir, "documents")
+        .select(
+            "source",
+            h56("concat('rsv:', cast(doc_id as string))").alias("h"),
+        )
+        .groupBy("source")
+        .agg(F.sort_array(F.collect_list("h")).alias("hs"))
+        .collect()
+    }
+    for src, picked in per.items():
+        assert len(picked) == _RSV_K
+        assert sorted(p.h for p in picked) == want[src][:_RSV_K]
+
+
+def test_reconcile_accounts_for_every_order(spark, sf_dir):
+    from spark_sklearn_spark.sources.io import load
+
+    rows = entry.queries()["q_dq_reconcile"](spark, sf_dir).collect()
+    total = sum(r.n_orders for r in rows)
+    assert total == load(spark, sf_dir, "orders").count()
+
+
+def test_tpch_q1_consistent_with_flagship(spark, sf_dir):
+    """q_tpch_q1's shared columns must equal q_agg_hash's (same
+    filter, same groups, same decimal policy)."""
+    q1 = {
+        (r.l_returnflag, r.l_linestatus): (r.sum_qty, r.count_order)
+        for r in entry.queries()["q_tpch_q1"](spark, sf_dir).collect()
+    }
+    fl = {
+        (r.l_returnflag, r.l_linestatus): (r.sum_qty, r.count_order)
+        for r in entry.queries()["q_agg_hash"](spark, sf_dir).collect()
+    }
+    assert q1 == fl
+
+
+# ---------------------------------------------------------------------------
+# pipeline17 batch C
+# ---------------------------------------------------------------------------
+
+
+def test_pipeline17_scalable(spark, sf_dir):
+    """q_graph_modularity is exempt (1-row edge-total aggregate
+    BNLJ-crossed into the bounded cluster relation — the global-scalar
+    shape); the others must plan clean."""
+    from spark_sklearn_spark.plans import assert_scalable
+
+    qs = entry.queries()
+    for name in ("q_source_binaryfile", "q_emb_whiten"):
+        assert_scalable(qs[name](spark, sf_dir))
+
+
+def test_binaryfile_roundtrip_bytes(spark, sf_dir):
+    """Each emitted file's byte count equals the sum of its docs' text
+    bytes plus the newline separators."""
+    from pyspark.sql import functions as F
+
+    from spark_sklearn_spark.sources.io import load
+
+    got = {
+        r.source: r.n_bytes
+        for r in entry.queries()["q_source_binaryfile"](spark, sf_dir).collect()
+    }
+    want = {
+        r.source: r.nb + r.n - 1
+        for r in load(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.sum(F.octet_length("text")).alias("nb"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_modularity_range_and_closure(spark, sf_dir):
+    """Q in [-0.5, 1]; with exact components, every edge is intra, so
+    Q = 1 − Σ(d_c/2m)² <= 1 − 1/n_clusters... just pin the range and
+    that the cluster count matches the component snapshot."""
+    from spark_sklearn_spark.queries.pipeline import dup_components
+
+    row = entry.queries()["q_graph_modularity"](spark, sf_dir).collect()[0]
+    assert -500_001 <= row.modularity_micro <= 1_000_000
+    n_clusters_with_mass = (
+        dup_components(spark, sf_dir)
+        .join(
+            entry.queries()["q_dedup_minhash"](spark, sf_dir)
+            .selectExpr("id_a AS doc_id")
+            .unionAll(
+                entry.queries()["q_dedup_minhash"](spark, sf_dir).selectExpr(
+                    "id_b AS doc_id"
+                )
+            )
+            .distinct(),
+            "doc_id",
+        )
+        .select("cluster_id")
+        .distinct()
+        .count()
+    )
+    assert row.n_clusters == n_clusters_with_mass
+
+
+def test_whiten_checksum_properties(spark, sf_dir):
+    """Per-dim z-scores: zsum ≈ 0 (within n·1 milli of floor bias —
+    floors bias negative, so zsum in [-n, 0]); zabs > 0; moments
+    consistent (n equal across dims)."""
+    rows = entry.queries()["q_emb_whiten"](spark, sf_dir).collect()
+    assert len(rows) == 64
+    ns = {r.n for r in rows}
+    assert len(ns) == 1
+    n = ns.pop()
+    for r in rows:
+        assert -n <= r.zsum_milli <= 0, r
+        assert r.zabs_milli > 0

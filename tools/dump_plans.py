@@ -378,6 +378,51 @@ NOTES = {
         "map-side; quantile windows and the GK audit join run on the "
         "bounded distinct-value relation, never the data."
     ),
+    "q_ml_spearman": (
+        "One corpus collapse to daily micro ints; ranks, the "
+        "day-keyed pair join, and the closing division all run on "
+        "calendar-bounded relations."
+    ),
+    "q_ml_kendall": (
+        "One corpus collapse; day-keyed pairing then the C(days,2) "
+        "concordance join — calendar-bounded integer work, never "
+        "corpus-bounded."
+    ),
+    "q_graph_assortativity": (
+        "Degree agg + one edge join on the memoized snapshot; three "
+        "integer stub sums collapse to one row before the closing "
+        "division."
+    ),
+    "q_behavior_gaps": (
+        "One user-partitioned lag window (the only corpus shuffle); "
+        "the histogram is a combinable (type, bit-length bucket) agg "
+        "over ~40 buckets."
+    ),
+    "q_sample_reservoir": (
+        "k-min portable hash per group: WindowGroupLimit pushes the "
+        "rank filter into the per-group sort, so no group fully "
+        "sorts; mergeable KMV algebra at any scale."
+    ),
+    "q_dq_reconcile": (
+        "One combinable lineitem rollup agg + one fact-spine left "
+        "join + a 4-row mismatch histogram; exact integer cents both "
+        "sides."
+    ),
+    "q_source_binaryfile": (
+        "|sources|-bounded content build (one collect_list agg), "
+        "executor-side file writes, then a real binaryFile format "
+        "scan hashed per file."
+    ),
+    "q_graph_modularity": (
+        "Memoized component snapshot + LSH edge set; integer "
+        "edge/degree sums per cluster, decimal-quantized term sum, "
+        "one 1-row edge total broadcast."
+    ),
+    "q_emb_whiten": (
+        "One posexplode into a combinable per-dim moment agg, a "
+        "64-row broadcast-back join for z-scores, and a second "
+        "combinable checksum agg — two corpus passes."
+    ),
 }
 
 

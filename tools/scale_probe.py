@@ -120,6 +120,42 @@ PROBE_QUERIES = [
     "q_text_jsd_pairwise",
     "q_graph_bfs",
     "q_ml_ndcg",
+    # r8 pipeline14 (landing debt): calendar-grain decomposition,
+    # lead-window matrix chains, wedge-join clustering, one-scan CV
+    "q_ts_stl",
+    "q_behavior_markov",
+    "q_ml_pinball",
+    "q_graph_clustcoeff",
+    "q_ml_cv_stability",
+    # r9 pipeline15: shared-fit projection, calendar cusum/argmax,
+    # label-count WOE, edge-anchored wedge Jaccard, block R/S,
+    # absorbing chain, token diversity, bucketed band join, perm-
+    # exploded minhash containment, cents-histogram quantiles
+    "q_emb_pca_topk",
+    "q_ts_changepoint",
+    "q_feat_woe",
+    "q_graph_jaccard_nbrs",
+    "q_ts_hurst",
+    "q_behavior_absorbing",
+    "q_text_simpson",
+    "q_join_range_bucket",
+    "q_text_minhash_containment",
+    "q_agg_approx_percentile",
+    # r9 batch B: calendar-bounded rank stats, snapshot stub sums,
+    # lag-window gap histogram, k-min hash sampling, rollup audit,
+    # and the literal Q1
+    "q_ml_spearman",
+    "q_ml_kendall",
+    "q_graph_assortativity",
+    "q_behavior_gaps",
+    "q_sample_reservoir",
+    "q_dq_reconcile",
+    "q_tpch_q1",
+    # r9 batch C: bounded file build + binaryFile scan, partition
+    # modularity on memoized snapshots, two-pass whitening audit
+    "q_source_binaryfile",
+    "q_graph_modularity",
+    "q_emb_whiten",
 ]
 
 TABLES = [
