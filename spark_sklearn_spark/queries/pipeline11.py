@@ -275,20 +275,22 @@ def q_ml_ols2(spark, d):
     (identical IEEE evaluation order), and coefficients leave as
     micro-quantized BIGINT per the r8 output policy. Scale shape
     unchanged: moments shrink map-side, the solve is per-group O(1)."""
-    li = load(spark, d, "lineitem")
-    q, dc, p = F.col("l_quantity"), F.col("l_discount"), F.col(
-        "l_extendedprice"
-    )
-    sums = li.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(q.cast(DEC)).cast("double").alias("s1"),
-        F.sum(dc.cast(DEC)).cast("double").alias("s2"),
-        F.sum(p.cast(DEC)).cast("double").alias("sy"),
-        F.sum((q * q).cast(DEC)).cast("double").alias("s11"),
-        F.sum((q * dc).cast(DEC)).cast("double").alias("s12"),
-        F.sum((dc * dc).cast(DEC)).cast("double").alias("s22"),
-        F.sum((q * p).cast(DEC)).cast("double").alias("s1y"),
-        F.sum((dc * p).cast(DEC)).cast("double").alias("s2y"),
+    # shared memoized moment scan (ml.li_ols_moments) — identical
+    # decimal sums under canonical names, remapped to this query's
+    # s1/s2/s11/... aliases
+    from .ml import li_ols_moments
+
+    sums = li_ols_moments(spark, d).select(
+        "l_returnflag",
+        "n",
+        F.col("sx").alias("s1"),
+        F.col("sd").alias("s2"),
+        "sy",
+        F.col("sxx").alias("s11"),
+        F.col("sxd").alias("s12"),
+        F.col("sdd").alias("s22"),
+        F.col("sxy").alias("s1y"),
+        F.col("sdy").alias("s2y"),
     )
     return sums.select(
         "l_returnflag",

@@ -187,13 +187,9 @@ def q_graph_modularity(spark, d):
     """Modularity of the dup-component partition (module comment):
     rides the memoized dup_components snapshot + the LSH edge set;
     integer degree/edge sums per cluster, decimal-quantized term sum."""
-    from .pipeline import NEAR_DUP_J, dup_components, near_dup_pairs
+    from .pipeline import dup_components, dup_pairs
 
-    docs = load(spark, d, "documents")
-    pairs = near_dup_pairs(
-        docs, "doc_id", "text", jaccard_threshold=NEAR_DUP_J
-    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    pairs = pairs.localCheckpoint()
+    pairs = dup_pairs(spark, d)
     comp = dup_components(spark, d)
     deg = (
         pairs.select(F.col("src").alias("doc_id"))

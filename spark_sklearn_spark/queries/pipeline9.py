@@ -567,16 +567,11 @@ def q_ml_ridge(spark, d):
     group, then a stateless per-group O(1) solve; coefficients are
     micro-quantized BIGINT per the r8 policy (new queries emit no
     raw-double ROUND outputs)."""
-    li = load(spark, d, "lineitem")
-    q = F.col("l_quantity")
-    p = F.col("l_extendedprice")
-    sums = li.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(q.cast(DEC)).cast("double").alias("sx"),
-        F.sum(p.cast(DEC)).cast("double").alias("sy"),
-        F.sum((q * p).cast(DEC)).cast("double").alias("sxy"),
-        F.sum((q * q).cast(DEC)).cast("double").alias("sxx"),
-    )
+    # shared memoized moment scan (ml.li_ols_moments) — same decimal
+    # sums, so the solve below is value-identical to the inline agg
+    from .ml import li_ols_moments
+
+    sums = li_ols_moments(spark, d)
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxy, sxx = F.col("sxy"), F.col("sxx")
     slope = (n * sxy - sx * sy) / (
