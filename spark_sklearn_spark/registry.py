@@ -78,6 +78,10 @@ DRIVER_PRIORITY: list[str] = [
     "q_source_binaryfile",
     "q_graph_modularity",
     "q_emb_whiten",
+    # (4d) round-9 batch D
+    "q_win_gaps_islands",
+    "q_sample_neyman",
+    "q_emb_ann_recall_ivf",
     # (5) displaced just past the r8 window, never driver-checked
     "q_ml_gbm_round",
     "q_ml_calibration",

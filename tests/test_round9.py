@@ -534,3 +534,63 @@ def test_whiten_checksum_properties(spark, sf_dir):
     for r in rows:
         assert -n <= r.zsum_milli <= 0, r
         assert r.zabs_milli > 0
+
+
+# ---------------------------------------------------------------------------
+# pipeline18 batch D
+# ---------------------------------------------------------------------------
+
+
+def test_pipeline18_scalable(spark, sf_dir):
+    """q_sample_neyman is exempt (1-row totals crossed in — the
+    global-scalar shape); q_emb_ann_recall_ivf is exempt (the brute
+    TRUTH side is an intentional broadcast-panel × corpus pass — the
+    q_ml_knn_classify shape, linear in the corpus; the IVF side under
+    eval joins on the cell key)."""
+    from spark_sklearn_spark.plans import assert_scalable
+
+    qs = entry.queries()
+    assert_scalable(qs["q_win_gaps_islands"](spark, sf_dir))
+
+
+def test_gaps_islands_cover_all_user_days(spark, sf_dir):
+    """Σ island_len · n_islands = distinct (user, day) pairs — every
+    active day belongs to exactly one island."""
+    from pyspark.sql import functions as F
+
+    from spark_sklearn_spark.sources.io import load
+
+    rows = entry.queries()["q_win_gaps_islands"](spark, sf_dir).collect()
+    covered = sum(r.days_covered for r in rows)
+    want = (
+        load(spark, sf_dir, "events")
+        .select("user_id", F.date_trunc("day", "ts").alias("day"))
+        .distinct()
+        .count()
+    )
+    assert covered == want
+
+
+def test_neyman_allocation_sums_to_budget(spark, sf_dir):
+    """Floor allocation loses at most |strata| units of the budget and
+    never exceeds it; weights sum to ~1e6 ppm."""
+    from spark_sklearn_spark.queries.pipeline18 import _NEYMAN_BUDGET
+
+    rows = entry.queries()["q_sample_neyman"](spark, sf_dir).collect()
+    total = sum(r.neyman_n for r in rows)
+    assert _NEYMAN_BUDGET - len(rows) <= total <= _NEYMAN_BUDGET
+    wsum = sum(r.weight_ppm for r in rows)
+    assert 1_000_000 - len(rows) <= wsum <= 1_000_000
+
+
+def test_ivf_recall_reasonable(spark, sf_dir):
+    """Every probe lands in some bucket; overall recall@5 over the
+    panel is > 50% (nprobe=2 of 4 cells on clustered data)."""
+    rows = entry.queries()["q_emb_ann_recall_ivf"](spark, sf_dir).collect()
+    n_probes = sum(r.n_probes for r in rows)
+    assert n_probes > 0
+    hits = sum(r.n_hits_of_5 * r.n_probes for r in rows)
+    assert hits * 2 > n_probes * 5  # recall > 0.5
+    for r in rows:
+        assert 0 <= r.n_hits_of_5 <= 5
+        assert r.bucket_recall_ppm == r.n_hits_of_5 * 1_000_000 // 5

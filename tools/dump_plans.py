@@ -423,6 +423,20 @@ NOTES = {
         "64-row broadcast-back join for z-scores, and a second "
         "combinable checksum agg — two corpus passes."
     ),
+    "q_win_gaps_islands": (
+        "One distinct collapse to (user, day), one user window, two "
+        "combinable aggs — per-user work is calendar-bounded."
+    ),
+    "q_sample_neyman": (
+        "One combinable cent-moment agg per stratum, a 1-row totals "
+        "broadcast, identical-operand sqrt/divide chains floored to "
+        "integers."
+    ),
+    "q_emb_ann_recall_ivf": (
+        "Memoized Lloyd fit supplies centroids + members; brute "
+        "truth is a broadcast panel x one corpus pass; the IVF side "
+        "joins 2 routed cells per probe to cell-partitioned members."
+    ),
 }
 
 

@@ -156,6 +156,11 @@ PROBE_QUERIES = [
     "q_source_binaryfile",
     "q_graph_modularity",
     "q_emb_whiten",
+    # r9 batch D: distinct-day islands window, 1-row Neyman totals,
+    # panel-broadcast IVF recall eval
+    "q_win_gaps_islands",
+    "q_sample_neyman",
+    "q_emb_ann_recall_ivf",
 ]
 
 TABLES = [
