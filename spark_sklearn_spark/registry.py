@@ -82,6 +82,31 @@ DRIVER_PRIORITY: list[str] = [
     "q_win_gaps_islands",
     "q_sample_neyman",
     "q_emb_ann_recall_ivf",
+    # (4e) round-9 batch E
+    "q_ml_mannwhitney",
+    "q_ml_anova",
+    "q_ts_pacf",
+    "q_sketch_theta",
+    "q_sketch_ams",
+    "q_fn_ip",
+    "q_geo_grid_join",
+    "q_dq_skew",
+    "q_graph_label_prop",
+    # (4f) round-9 batch F
+    "q_ml_logrank",
+    "q_ml_mcnemar",
+    "q_ml_kappa",
+    "q_ml_bootstrap_ci",
+    "q_join_asof_tolerance",
+    "q_layout_file_skipping",
+    "q_source_json_corrupt",
+    # (4g) round-9 batch G — the window holds exactly 3 of these 4;
+    # q_dq_crossfield sits first past the cut (next round's head)
+    "q_ml_silhouette",
+    "q_ml_davies_bouldin",
+    "q_ml_kcenter_init",
+    # ---- 50-key window cuts exactly here (29 new r9 keys inside) ----
+    "q_dq_crossfield",
     # (5) displaced just past the r8 window, never driver-checked
     "q_ml_gbm_round",
     "q_ml_calibration",
@@ -115,7 +140,6 @@ DRIVER_PRIORITY: list[str] = [
     "q_sql_recursive",
     "q_fn_timezone",
     "q_ts_autocorr",
-    # ---- 50-key window cuts about here ----
     "q_win_ignore_nulls",
     "q_pivot_multi_agg",
     "q_ts_backtest",

@@ -594,3 +594,327 @@ def test_ivf_recall_reasonable(spark, sf_dir):
     for r in rows:
         assert 0 <= r.n_hits_of_5 <= 5
         assert r.bucket_recall_ppm == r.n_hits_of_5 * 1_000_000 // 5
+
+
+# ---------------------------------------------------------------------------
+# pipeline19 (round-9 batch E)
+# ---------------------------------------------------------------------------
+
+
+def test_pipeline19_scalable(spark, sf_dir):
+    """Global-scalar shapes (mannwhitney/anova/pacf/theta/ams/skew/
+    label_prop close with 1-row or bounded-row aggs) are exempt per
+    the q_sample_neyman precedent; the two corpus-shaped keys must
+    plan clean."""
+    from spark_sklearn_spark.plans import assert_scalable
+
+    qs = entry.queries()
+    for name in ("q_fn_ip", "q_geo_grid_join"):
+        assert_scalable(qs[name](spark, sf_dir))
+
+
+def test_mannwhitney_invariants(spark, sf_dir):
+    """U2 within [0, 2·n1·n2]; AUC ppm consistent with U2; z sign
+    agrees with which side of 0.5 the AUC sits on."""
+    r = entry.queries()["q_ml_mannwhitney"](spark, sf_dir).collect()[0]
+    assert 0 <= r.u2 <= 2 * r.n1 * r.n2
+    assert r.auc_ppm == r.u2 * 1_000_000 // (2 * r.n1 * r.n2)
+    if r.auc_ppm > 500_000:
+        assert r.z_micro >= 0
+    if r.auc_ppm < 499_000:
+        assert r.z_micro < 0
+
+
+def test_anova_invariants(spark, sf_dir):
+    """5 priority groups; eta² in [0, 1e6); F positive."""
+    r = entry.queries()["q_ml_anova"](spark, sf_dir).collect()[0]
+    assert r.k == 5
+    assert 0 <= r.eta2_ppm < 1_000_000
+    assert r.f_micro >= 0
+
+
+def test_pacf_lag1_matches_autocorr(spark, sf_dir):
+    """rho1 must be q_ts_autocorr's acf(1) (same moment formula) to
+    within quantization; pacf2 must satisfy Durbin-Levinson given the
+    published rhos."""
+    qs = entry.queries()
+    r = qs["q_ts_pacf"](spark, sf_dir).collect()[0]
+    acf = {
+        row.k: row.acf for row in qs["q_ts_autocorr"](spark, sf_dir).collect()
+    }
+    assert abs(r.rho1_micro / 1e6 - acf[1]) < 3e-6
+    r1, r2 = r.rho1_micro / 1e6, r.rho2_micro / 1e6
+    want_p22 = (r2 - r1 * r1) / (1 - r1 * r1)
+    assert abs(r.pacf2_micro / 1e6 - want_p22) < 2e-5
+
+
+def test_theta_sketch_estimates(spark, sf_dir):
+    """Set identities exact; KMV estimates within 25% (K=256)."""
+    r = entry.queries()["q_sketch_theta"](spark, sf_dir).collect()[0]
+    assert r.exact_union == r.exact_a + r.exact_b - r.exact_inter
+    assert r.exact_inter <= min(r.exact_a, r.exact_b)
+    assert abs(r.est_union - r.exact_union) <= 0.25 * r.exact_union
+    assert abs(r.est_inter - r.exact_inter) <= 0.25 * r.exact_union
+
+
+def test_ams_sketch_estimates(spark, sf_dir):
+    """F2 ≥ n_tokens²/n_types (Cauchy-Schwarz) and ≥ n_tokens; the
+    9-estimator median lands within 60% of exact (AMS guarantees
+    ~1/sqrt(9) relative error at constant factor)."""
+    r = entry.queries()["q_sketch_ams"](spark, sf_dir).collect()[0]
+    assert r.f2 >= r.n_tokens
+    assert r.f2 * r.n_types >= r.n_tokens * r.n_tokens
+    assert abs(r.f2_est - r.f2) <= 0.6 * r.f2
+    assert r.err_ppm == abs(r.f2_est - r.f2) * 1_000_000 // r.f2
+
+
+def test_ip_classification_partitions_customers(spark, sf_dir):
+    """Every customer classified exactly once; addresses in range;
+    dotted rebuild matches the integer min."""
+    from spark_sklearn_spark.sources.io import load
+
+    rows = entry.queries()["q_fn_ip"](spark, sf_dir).collect()
+    n_cust = load(spark, sf_dir, "customer").count()
+    assert sum(r.n for r in rows) == n_cust
+    for r in rows:
+        assert 0 <= r.min_ip <= r.max_ip < 2**32
+        octets = [int(x) for x in r.min_dotted.split(".")]
+        assert len(octets) == 4
+        got = (
+            octets[0] * 16777216 + octets[1] * 65536
+            + octets[2] * 256 + octets[3]
+        )
+        assert got == r.min_ip
+
+
+def test_geo_grid_join_complete_vs_brute(spark, sf_dir, duck):
+    """The grid join must find EXACTLY the brute-force all-pairs
+    within R (cell size = R ⇒ any qualifying pair is in adjacent
+    cells) — completeness of the rewrite, checked per band."""
+    from spark_sklearn_spark.queries.pipeline19 import _GEO_R
+
+    rows = entry.queries()["q_geo_grid_join"](spark, sf_dir).collect()
+    got = {r.band: r.n_pairs for r in rows}
+    from spark_sklearn_spark.queries._helpers import sql_h56
+
+    lat = (
+        sql_h56("'lat:' || CAST(c_custkey AS VARCHAR)")
+        + " % 180000001 - 90000000"
+    )
+    lon = sql_h56("'lon:' || CAST(c_custkey AS VARCHAR)") + " % 360000000"
+    brute = duck.execute(f"""
+        WITH pts AS (
+          SELECT c_custkey AS id, {lat} AS lat, {lon} AS lon FROM customer
+        )
+        SELECT (
+            (a.lat-b.lat)*(a.lat-b.lat) + (a.lon-b.lon)*(a.lon-b.lon)
+          ) * 10 // ({_GEO_R}::BIGINT * {_GEO_R}) AS band,
+          COUNT(*) AS n
+        FROM pts a JOIN pts b ON a.id < b.id
+        WHERE (a.lat-b.lat)*(a.lat-b.lat) + (a.lon-b.lon)*(a.lon-b.lon)
+              <= {_GEO_R}::BIGINT * {_GEO_R}
+        GROUP BY band
+    """).fetchall()
+    want = {int(b): int(n) for b, n in brute}
+    assert got == want
+
+
+def test_skew_audit_invariants(spark, sf_dir):
+    """Row/key counts tie to the source; shares ordered; Gini in
+    [0, 1e6)."""
+    from spark_sklearn_spark.sources.io import load
+
+    r = entry.queries()["q_dq_skew"](spark, sf_dir).collect()[0]
+    orders = load(spark, sf_dir, "orders")
+    assert r.n_rows == orders.count()
+    assert r.n_keys == orders.select("o_custkey").distinct().count()
+    assert r.max_share_ppm <= r.top10_share_ppm <= 1_000_000
+    assert 0 <= r.gini_ppm < 1_000_000
+
+
+def test_label_prop_converges_to_components(spark, sf_dir):
+    """n_labels is non-increasing over rounds; n_moved hits 0 only if
+    labels stopped changing; the round-3 label count is bounded below
+    by the exact component count."""
+    from spark_sklearn_spark.queries.pipeline import dup_components
+
+    rows = entry.queries()["q_graph_label_prop"](spark, sf_dir).collect()
+    labels = [r.n_labels for r in sorted(rows, key=lambda r: r.round)]
+    assert labels == sorted(labels, reverse=True)
+    n_comp = (
+        dup_components(spark, sf_dir)
+        .select("cluster_id")
+        .distinct()
+        .count()
+    )
+    assert labels[-1] >= n_comp
+
+
+# ---------------------------------------------------------------------------
+# pipeline20 (round-9 batch F)
+# ---------------------------------------------------------------------------
+
+
+def test_pipeline20_scalable(spark, sf_dir):
+    """Global-scalar shapes (logrank/mcnemar/kappa/bootstrap/asof-tol
+    close with 1-row aggs, json_corrupt crosses in the 1-row corrupt
+    total exactly like its csv_dirty twin) follow the q_sample_neyman
+    exemption; the relation-shaped key must plan clean."""
+    from spark_sklearn_spark.plans import assert_scalable
+
+    qs = entry.queries()
+    assert_scalable(qs["q_layout_file_skipping"](spark, sf_dir))
+
+
+def test_logrank_against_survival_population(spark, sf_dir):
+    """O1 ≤ total conversions within horizon; E1 within the total
+    death mass; chi2 non-negative and consistent with (O1−E1)²/V."""
+    r = entry.queries()["q_ml_logrank"](spark, sf_dir).collect()[0]
+    assert r.o1 >= 0 and r.v_micro > 0
+    assert r.chi2_micro >= 0
+    o1, e1, v = r.o1, r.e1_micro / 1e6, r.v_micro / 1e6
+    want = (o1 - e1) ** 2 / v
+    assert abs(r.chi2_micro / 1e6 - want) < 0.02 * max(want, 1.0)
+
+
+def test_mcnemar_kappa_consistent(spark, sf_dir):
+    """The two keys share the classifier pair: discordant counts from
+    mcnemar must be compatible with kappa's agreement count
+    (agree = n − (A-only-right ∧ disagree) …): b+c ≤ n − agree is
+    NOT generally true, so check the direct identity on a local
+    recount instead."""
+    from spark_sklearn_spark.sources.io import load
+    from pyspark.sql import functions as F
+
+    mc = entry.queries()["q_ml_mcnemar"](spark, sf_dir).collect()[0]
+    ka = entry.queries()["q_ml_kappa"](spark, sf_dir).collect()[0]
+    assert mc.n == ka.n
+    docs = load(spark, sf_dir, "documents")
+    clf = docs.selectExpr(
+        "case when lang = 'en' then 1 else 0 end AS y",
+        "case when text like '% the %' then 1 else 0 end AS a",
+        "case when text like '% and %' or text like '% of %'"
+        " then 1 else 0 end AS b",
+    )
+    row = clf.agg(
+        F.sum(F.expr("case when a = y and b <> y then 1 else 0 end")).alias(
+            "b_disc"
+        ),
+        F.sum(F.expr("case when a = b then 1 else 0 end")).alias("agree"),
+    ).collect()[0]
+    assert mc.b_disc == row.b_disc
+    assert ka.agree == row.agree
+    assert -1_000_000 <= ka.kappa_ppm <= 1_000_000
+
+
+def test_bootstrap_ci_brackets_point(spark, sf_dir):
+    """lo ≤ point ≤ hi (a mean-1 multiplier bootstrap is centered on
+    the sample mean) and the interval is nondegenerate."""
+    r = entry.queries()["q_ml_bootstrap_ci"](spark, sf_dir).collect()[0]
+    assert r.lo_milli <= r.point_milli <= r.hi_milli
+    assert r.lo_milli < r.hi_milli
+    assert r.n > 0
+
+
+def test_asof_tolerance_subset_of_matches(spark, sf_dir):
+    """Tolerance matches are a subset of unconditional asof matches;
+    gap mass is bounded by tolerance x matches."""
+    from spark_sklearn_spark.queries.pipeline20 import _TOL_S
+
+    r = entry.queries()["q_join_asof_tolerance"](spark, sf_dir).collect()[0]
+    assert r.n_within_tol <= r.n_matched <= r.n_purchases
+    assert 0 <= r.gap_minutes_sum <= r.n_within_tol * (_TOL_S // 60)
+
+
+def test_file_skipping_date_layout_wins(spark, sf_dir):
+    """Zone maps on date-clustered files must skip at least as well
+    as key-clustered files for every date predicate — the audit's
+    whole point; counts internally consistent."""
+    rows = entry.queries()["q_layout_file_skipping"](spark, sf_dir).collect()
+    by = {(r.layout, r.pred_id): r for r in rows}
+    assert len(rows) == 8
+    for pred in range(4):
+        kd, kk = by[("by_date", pred)], by[("by_key", pred)]
+        assert kd.skip_ppm >= kk.skip_ppm
+        for r in (kd, kk):
+            assert 0 <= r.files_skipped <= r.files_total
+            assert r.skip_ppm == r.files_skipped * 1_000_000 // r.files_total
+
+
+def test_json_corrupt_routes_exactly_three(spark, sf_dir):
+    """All 3 injected bad lines land in _corrupt_record; good-row
+    counts tie to the source slice."""
+    from spark_sklearn_spark.sources.io import load
+    from pyspark.sql import functions as F
+
+    rows = entry.queries()["q_source_json_corrupt"](spark, sf_dir).collect()
+    assert all(r.n_corrupt_total == 3 for r in rows)
+    want = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 97 == 0)
+        .count()
+    )
+    assert sum(r.n_good for r in rows) == want
+
+
+# ---------------------------------------------------------------------------
+# pipeline21 (round-9 batch G)
+# ---------------------------------------------------------------------------
+
+
+def test_pipeline21_scalable(spark, sf_dir):
+    """q_ml_silhouette/q_ml_davies_bouldin/q_ml_kcenter_init are
+    exempt: their vecs x k-centroid broadcast crossJoin plans as a
+    BNLJ with a k-BOUNDED build side — the documented Lloyd
+    _km_assign shape shared with q_ml_kmeans/q_sim_ann_ivf_kmeans
+    (linear in the corpus, constant fan-out). crossfield's corpus
+    join must plan clean."""
+    from spark_sklearn_spark.plans import assert_scalable
+
+    qs = entry.queries()
+    assert_scalable(qs["q_dq_crossfield"](spark, sf_dir))
+
+
+def test_silhouette_bounds_and_population(spark, sf_dir):
+    """Simplified silhouette lies in [0, 1] (b >= a by argmin); the
+    cluster populations cover every vector."""
+    from spark_sklearn_spark.sources.io import load
+
+    rows = entry.queries()["q_ml_silhouette"](spark, sf_dir).collect()
+    n_vecs = load(spark, sf_dir, "embeddings").count()
+    assert sum(r.n for r in rows) == n_vecs
+    for r in rows:
+        assert 0 <= r.mean_sil_micro <= 1_000_000
+
+
+def test_davies_bouldin_positive(spark, sf_dir):
+    r = entry.queries()["q_ml_davies_bouldin"](spark, sf_dir).collect()[0]
+    assert r.k == 4
+    assert r.db_micro > 0
+
+
+def test_kcenter_picks_distinct_and_radius_shrinks(spark, sf_dir):
+    """4 distinct seeds; each successive pick's distance is
+    non-increasing (greedy farthest-point invariant); the final
+    coverage radius (pick 0's d2 column) is <= the last pick's d2."""
+    rows = sorted(
+        entry.queries()["q_ml_kcenter_init"](spark, sf_dir).collect(),
+        key=lambda r: r.pick_order,
+    )
+    ids = [r.vec_id for r in rows]
+    assert len(set(ids)) == 4
+    d = [r.d2 for r in rows[1:]]
+    assert d == sorted(d, reverse=True)
+    assert rows[0].d2 <= rows[-1].d2
+
+
+def test_crossfield_rules_tie_to_source(spark, sf_dir):
+    """Line counts tie to the fact table; violations within counts."""
+    from spark_sklearn_spark.sources.io import load
+
+    rows = entry.queries()["q_dq_crossfield"](spark, sf_dir).collect()
+    n_li = load(spark, sf_dir, "lineitem").count()
+    assert sum(r.n_lines for r in rows) == n_li
+    for r in rows:
+        assert 0 <= r.n_ship_before_order + r.n_ship_late
+        assert r.violation_ppm <= 2_000_000

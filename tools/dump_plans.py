@@ -437,6 +437,94 @@ NOTES = {
         "truth is a broadcast panel x one corpus pass; the IVF side "
         "joins 2 routed cells per probe to cell-partitioned members."
     ),
+    "q_ml_mannwhitney": (
+        "Corpus collapses to the price-domain value histogram with "
+        "one combinable agg; the cumulative window and the closing "
+        "1-row agg run over the histogram, never the rows."
+    ),
+    "q_ml_anova": (
+        "Two stacked combinable aggs: corpus -> 5 group-moment rows "
+        "-> 1 totals row; per-group terms decimal-quantized before "
+        "the cross-group sum. No window, no join."
+    ),
+    "q_ts_pacf": (
+        "Corpus -> calendar-bounded daily grain first; the 3-lag "
+        "self-join and Durbin-Levinson closing select are days-sized."
+    ),
+    "q_sketch_theta": (
+        "Two distinct collapses, top-K sketches via TakeOrdered "
+        "(distributed, no global window), K-row sketch joins; only "
+        "the exact-eval side scans full segments."
+    ),
+    "q_sketch_ams": (
+        "Token explode -> vocabulary agg, 9-estimator broadcast "
+        "explode over the vocab (never the token stream), 9-row "
+        "median."
+    ),
+    "q_fn_ip": (
+        "One scan, integer-divide prefix compares, one combinable "
+        "group agg — pure codegen."
+    ),
+    "q_geo_grid_join": (
+        "Radius join as grid-cell equi-join: 9-offset broadcast "
+        "explode, one shuffled equi-join on (cx, cy), exact integer "
+        "residual predicate, combinable band histogram — candidates "
+        "are density-bounded, never all-pairs."
+    ),
+    "q_dq_skew": (
+        "Key-count agg -> count-of-counts collapse (bounded by max "
+        "per-key multiplicity) -> tied-rank Gini over that tiny "
+        "relation; top-10 via TakeOrdered."
+    ),
+    "q_graph_label_prop": (
+        "3 unrolled Pregel supersteps over the memoized pair "
+        "snapshot: each round one equi-join + one combinable min-agg "
+        "(O(E) per superstep), no recursion."
+    ),
+    "q_ml_logrank": (
+        "One corpus-scale per-user collapse; hour grid, risk-set "
+        "suffix windows, and E/V term sums all run on the 49x2-row "
+        "horizon-bounded relation."
+    ),
+    "q_ml_mcnemar": "One scan, one combinable agg, exact integer chi2.",
+    "q_ml_kappa": (
+        "One scan, one combinable agg, one exact integer ppm division."
+    ),
+    "q_ml_bootstrap_ci": (
+        "One 32x replicate explode into a combinable (b)-keyed agg — "
+        "a single corpus-scale shuffle emitting 32 rows; the rank "
+        "pick runs on the replicate relation."
+    ),
+    "q_join_asof_tolerance": (
+        "The single-shuffle asof union+window operator plus one "
+        "post-predicate — tolerance adds zero joins."
+    ),
+    "q_layout_file_skipping": (
+        "One scan feeds both layouts' zone maps (combinable min/max "
+        "aggs); the 4-predicate grid broadcasts over the "
+        "file-count-sized zone relation."
+    ),
+    "q_source_json_corrupt": (
+        "Bounded slice write + one PERMISSIVE JSON scan; corrupt "
+        "channel and good rows aggregate combinably."
+    ),
+    "q_ml_silhouette": (
+        "One vecs x 4-centroid broadcast rescore (the _km_assign "
+        "shape), per-point rank over 4 rows, one combinable "
+        "per-cluster agg — O(n·k), never O(n²) pairwise."
+    ),
+    "q_ml_davies_bouldin": (
+        "One combinable scatter agg over the memoized assignments; "
+        "separations and ratios live on k²-sized relations."
+    ),
+    "q_ml_kcenter_init": (
+        "3 unrolled farthest-point rounds: each a broadcast-chosen "
+        "scan + 1-row argmax join; no global sort, no window."
+    ),
+    "q_dq_crossfield": (
+        "One fact-spine equi-join (lineitem x orders), combinable "
+        "violation counters, exact ppm shares."
+    ),
 }
 
 

@@ -161,6 +161,35 @@ PROBE_QUERIES = [
     "q_win_gaps_islands",
     "q_sample_neyman",
     "q_emb_ann_recall_ivf",
+    # r9 batch E: value-histogram rank test, 5-group moment ANOVA,
+    # daily-grain PACF, top-K KMV set algebra, vocab-grain AMS F2,
+    # integer CIDR classify, grid-cell radius join, count-of-counts
+    # Gini audit, 3 unrolled label-prop supersteps
+    "q_ml_mannwhitney",
+    "q_ml_anova",
+    "q_ts_pacf",
+    "q_sketch_theta",
+    "q_sketch_ams",
+    "q_fn_ip",
+    "q_geo_grid_join",
+    "q_dq_skew",
+    "q_graph_label_prop",
+    # r9 batch F: per-user collapse + bounded-grid logrank, one-agg
+    # paired tests, 32x-explode bootstrap, asof + post-predicate,
+    # zone-map audit, dirty-JSONL read
+    "q_ml_logrank",
+    "q_ml_mcnemar",
+    "q_ml_kappa",
+    "q_ml_bootstrap_ci",
+    "q_join_asof_tolerance",
+    "q_layout_file_skipping",
+    "q_source_json_corrupt",
+    # r9 batch G: O(n·k) rescore silhouette, memoized-scatter DB
+    # index, unrolled farthest-point rounds, fact-spine rule join
+    "q_ml_silhouette",
+    "q_ml_davies_bouldin",
+    "q_ml_kcenter_init",
+    "q_dq_crossfield",
 ]
 
 TABLES = [
