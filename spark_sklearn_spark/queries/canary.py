@@ -23,6 +23,8 @@ Primitives covered (one column each, see q_dq_engine_canary):
   tie-adjacent floor quantization   (the r8 integer-ppm escape hatch)
   double-literal parse parity       (strtod + folded-constant policy,
                                      the sketches.HLL_NUMER mechanism)
+  bitshift/mask extraction          (the r9 bootstrap byte-draw
+                                     mechanism: >> and & on bigint)
 """
 
 from __future__ import annotations
@@ -57,7 +59,8 @@ _CANARY_ORACLE = f"""
       CAST(floor(CAST(5e-7 AS DOUBLE) * 1000000.0) AS BIGINT)
           AS tie_floor_micro,
       CAST(floor(CAST('0.7213475204444817' AS DOUBLE)
-                 * 1000000000000000000.0) AS BIGINT) AS dbl_literal_atto
+                 * 1000000000000000000.0) AS BIGINT) AS dbl_literal_atto,
+      CAST((1234605616436508552 >> 16) & 255 AS BIGINT) AS bitshift_mask
     FROM nation
 """
 
@@ -138,4 +141,10 @@ def q_dq_engine_canary(spark, d):
         )
         .cast("long")
         .alias("dbl_literal_atto"),
+        # bitwise extraction parity (the r9 bootstrap byte-draw
+        # mechanism): shiftright/>> must be arithmetic on the same
+        # two's-complement bigint and & must mask identically
+        F.expr("shiftright(1234605616436508552L, 16) & 255")
+        .cast("long")
+        .alias("bitshift_mask"),
     )

@@ -106,7 +106,12 @@ DRIVER_PRIORITY: list[str] = [
     "q_ml_davies_bouldin",
     "q_ml_kcenter_init",
     # ---- 50-key window cuts exactly here (29 new r9 keys inside) ----
+    # (4h) batch G overflow + round-9 batch H — first past the cut,
+    # next round's window head
     "q_dq_crossfield",
+    "q_ml_friedman",
+    "q_behavior_uplift",
+    "q_ts_lttb",
     # (5) displaced just past the r8 window, never driver-checked
     "q_ml_gbm_round",
     "q_ml_calibration",

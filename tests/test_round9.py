@@ -918,3 +918,78 @@ def test_crossfield_rules_tie_to_source(spark, sf_dir):
     for r in rows:
         assert 0 <= r.n_ship_before_order + r.n_ship_late
         assert r.violation_ppm <= 2_000_000
+
+
+# ---------------------------------------------------------------------------
+# pipeline22 (round-9 batch H) + canary bitshift column
+# ---------------------------------------------------------------------------
+
+
+def test_pipeline22_scalable(spark, sf_dir):
+    """friedman's day×type grid crossJoin broadcasts a k=5-row type
+    side (the bounded-build-side Lloyd exemption); uplift closes with
+    a 1-row agg. lttb's relation chain must plan clean."""
+    from spark_sklearn_spark.plans import assert_scalable
+
+    qs = entry.queries()
+    assert_scalable(qs["q_ts_lttb"](spark, sf_dir))
+
+
+def test_friedman_rank_identities(spark, sf_dir):
+    """Doubled midranks per block sum to k(k+1), so Σ_j S_j must be
+    n·k·(k+1); mean ranks average to (k+1)/2; chi2 ≥ 0."""
+    rows = entry.queries()["q_ml_friedman"](spark, sf_dir).collect()
+    k = rows[0].k
+    n = rows[0].n_blocks
+    assert len(rows) == k
+    assert sum(r.s2 for r in rows) == n * k * (k + 1)
+    assert all(r.chi2_micro == rows[0].chi2_micro >= 0 for r in rows)
+
+
+def test_uplift_arm_accounting(spark, sf_dir):
+    """Arms partition the user base; conversions bounded by arm size;
+    lift consistent with the published rates."""
+    from spark_sklearn_spark.sources.io import load
+
+    r = entry.queries()["q_behavior_uplift"](spark, sf_dir).collect()[0]
+    n_users = (
+        load(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    assert r.n0 + r.n1 == n_users
+    assert 0 <= r.x0 <= r.n0 and 0 <= r.x1 <= r.n1
+    assert r.lift_ppm == r.rate1_ppm - r.rate0_ppm
+
+
+def test_lttb_picks_one_per_interior_bucket(spark, sf_dir):
+    """Exactly one pick per interior bucket, and each pick's day lies
+    inside its bucket."""
+    from pyspark.sql import functions as F
+
+    from spark_sklearn_spark.sources.io import load
+
+    rows = entry.queries()["q_ts_lttb"](spark, sf_dir).collect()
+    buckets = [r.bucket for r in rows]
+    assert len(buckets) == len(set(buckets))
+    days = (
+        load(spark, sf_dir, "events")
+        .select(
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+            .cast("long")
+            .alias("d")
+        )
+        .distinct()
+    )
+    all_buckets = sorted(
+        r.b for r in days.selectExpr("d div 3 AS b").distinct().collect()
+    )
+    interior = set(all_buckets[1:-1])
+    assert set(buckets) == interior
+    for r in rows:
+        assert r.day_num // 3 == r.bucket
+
+
+def test_canary_bitshift_column(spark, sf_dir):
+    """The new bitshift_mask column must extract byte 2 of the pinned
+    constant: (0x1122334455667788 >> 16) & 255 = 0x66 = 102."""
+    r = entry.queries()["q_dq_engine_canary"](spark, sf_dir).collect()[0]
+    assert r.bitshift_mask == 102

@@ -525,6 +525,19 @@ NOTES = {
         "One fact-spine equi-join (lineitem x orders), combinable "
         "violation counters, exact ppm shares."
     ),
+    "q_ml_friedman": (
+        "Corpus collapses to the (day, type) grid once; ranks are "
+        "per-day windows over k=5 rows; everything downstream is k- "
+        "or 1-row-sized."
+    ),
+    "q_behavior_uplift": (
+        "One per-user collapse, one 1-row arm agg, identical double "
+        "z chain."
+    ),
+    "q_ts_lttb": (
+        "Corpus -> calendar-bounded daily grain; bucket-stat joins "
+        "and the pick window run on bucket-count-sized relations."
+    ),
 }
 
 

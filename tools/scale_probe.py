@@ -190,6 +190,11 @@ PROBE_QUERIES = [
     "q_ml_davies_bouldin",
     "q_ml_kcenter_init",
     "q_dq_crossfield",
+    # r9 batch H: day-grid rank windows, per-user arm collapse,
+    # bucket-anchored downsampling pick
+    "q_ml_friedman",
+    "q_behavior_uplift",
+    "q_ts_lttb",
 ]
 
 TABLES = [
