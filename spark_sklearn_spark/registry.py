@@ -112,6 +112,12 @@ DRIVER_PRIORITY: list[str] = [
     "q_ml_friedman",
     "q_behavior_uplift",
     "q_ts_lttb",
+    # (4i) round-9 batch I — past the cut with (4h), next round's head
+    "q_ml_cluster_purity",
+    "q_ml_rand_index",
+    "q_graph_adamic_adar",
+    "q_ts_bollinger",
+    "q_pii_tokenize",
     # (5) displaced just past the r8 window, never driver-checked
     "q_ml_gbm_round",
     "q_ml_calibration",

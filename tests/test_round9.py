@@ -993,3 +993,69 @@ def test_canary_bitshift_column(spark, sf_dir):
     constant: (0x1122334455667788 >> 16) & 255 = 0x66 = 102."""
     r = entry.queries()["q_dq_engine_canary"](spark, sf_dir).collect()[0]
     assert r.bitshift_mask == 102
+
+
+# ---------------------------------------------------------------------------
+# pipeline23 (round-9 batch I)
+# ---------------------------------------------------------------------------
+
+
+def test_pipeline23_scalable(spark, sf_dir):
+    """purity/ARI ride the memoized fit with bounded downstream
+    relations (Lloyd exemption); AA's postings join and bollinger's
+    partitioned window must plan clean."""
+    from spark_sklearn_spark.plans import assert_scalable
+
+    qs = entry.queries()
+    for name in ("q_graph_adamic_adar", "q_ts_bollinger"):
+        assert_scalable(qs[name](spark, sf_dir))
+
+
+def test_purity_and_ari_consistent(spark, sf_dir):
+    """Cluster populations cover the corpus; purity in (0, 1e6];
+    ARI in [-0.5e6, 1e6] and its combinatoric inputs satisfy
+    a <= min(b1, b2) <= C(n,2)."""
+    from spark_sklearn_spark.sources.io import load
+
+    rows = entry.queries()["q_ml_cluster_purity"](spark, sf_dir).collect()
+    n_vecs = load(spark, sf_dir, "embeddings").count()
+    assert sum(r.n for r in rows) == n_vecs
+    for r in rows:
+        assert 0 < r.purity_ppm <= 1_000_000
+        assert r.top_n <= r.n
+    ari = entry.queries()["q_ml_rand_index"](spark, sf_dir).collect()[0]
+    assert ari.n == n_vecs
+    assert ari.a <= min(ari.b1, ari.b2) <= ari.n * (ari.n - 1) // 2
+    assert -500_000 <= ari.ari_micro <= 1_000_000
+
+
+def test_adamic_adar_ordering_and_bounds(spark, sf_dir):
+    """Top-20 is score-sorted; every pair shares >= 1 capped part;
+    AA <= n_common / ln(2)."""
+    import math
+
+    rows = entry.queries()["q_graph_adamic_adar"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    scores = [r.aa_micro for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        assert r.n_common >= 1
+        assert r.aa_micro <= r.n_common * 1_000_000 / math.log(2)
+
+
+def test_bollinger_counts_bounded(spark, sf_dir):
+    """Breaches cannot exceed the day count; both sides non-negative."""
+    rows = entry.queries()["q_ts_bollinger"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_breach_upper + r.n_breach_lower <= r.n_days
+
+
+def test_pii_tokenize_injective_and_join_preserving(spark, sf_dir):
+    """No token collisions on the fixture, and the tokenized join
+    returns exactly the key join's cardinality."""
+    r = entry.queries()["q_pii_tokenize"](spark, sf_dir).collect()[0]
+    assert r.n_collisions == 0
+    assert r.n_tokens == r.n_names
+    assert r.n_orders_by_token == r.n_orders_by_key
+    assert r.min_token.startswith("c_") and len(r.min_token) == 19

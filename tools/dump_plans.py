@@ -538,6 +538,29 @@ NOTES = {
         "Corpus -> calendar-bounded daily grain; bucket-stat joins "
         "and the pick window run on bucket-count-sized relations."
     ),
+    "q_ml_cluster_purity": (
+        "One label join over the memoized assignments, one "
+        "contingency agg, one cluster-partitioned argmax over "
+        "|labels| rows."
+    ),
+    "q_ml_rand_index": (
+        "One contingency agg over the memoized assignments; pair "
+        "combinatorics run on k x |labels| cells."
+    ),
+    "q_graph_adamic_adar": (
+        "ONE shuffle on the order key collapses baskets to sorted "
+        "arrays; all C(nb,2) pairs generate map-side from the "
+        "size-capped array; pair agg + TakeOrdered top-20 — no "
+        "second join, never part x part."
+    ),
+    "q_ts_bollinger": (
+        "One combinable daily collapse, one type-partitioned rows "
+        "window over the calendar grain, one closing agg."
+    ),
+    "q_pii_tokenize": (
+        "One token projection, distinct-count audits, two "
+        "fact-spine joins proving join-cardinality preservation."
+    ),
 }
 
 

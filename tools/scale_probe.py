@@ -195,6 +195,13 @@ PROBE_QUERIES = [
     "q_ml_friedman",
     "q_behavior_uplift",
     "q_ts_lttb",
+    # r9 batch I: memoized-fit contingency aggs, capped postings AA,
+    # calendar-grain bands, token projection + spine joins
+    "q_ml_cluster_purity",
+    "q_ml_rand_index",
+    "q_graph_adamic_adar",
+    "q_ts_bollinger",
+    "q_pii_tokenize",
 ]
 
 TABLES = [
