@@ -118,6 +118,11 @@ DRIVER_PRIORITY: list[str] = [
     "q_graph_adamic_adar",
     "q_ts_bollinger",
     "q_pii_tokenize",
+    # (4j) round-9 batch J
+    "q_join_pit_scd2",
+    "q_dq_table_checksum",
+    "q_ts_esd",
+    "q_ml_nmi",
     # (5) displaced just past the r8 window, never driver-checked
     "q_ml_gbm_round",
     "q_ml_calibration",

@@ -1059,3 +1059,73 @@ def test_pii_tokenize_injective_and_join_preserving(spark, sf_dir):
     assert r.n_tokens == r.n_names
     assert r.n_orders_by_token == r.n_orders_by_key
     assert r.min_token.startswith("c_") and len(r.min_token) == 19
+
+
+# ---------------------------------------------------------------------------
+# pipeline24 (round-9 batch J)
+# ---------------------------------------------------------------------------
+
+
+def test_pipeline24_scalable(spark, sf_dir):
+    """All four batch-J keys close in 1-row global aggregates (the
+    q_sample_neyman global-scalar exemption): pit_scd2's asof output,
+    each checksum table, nmi's entropy sums, and esd's per-round
+    moments all partial-aggregate map-side and funnel exactly one row
+    per table/round — assert the checksum's XOR agg is combinable by
+    checking the plan carries a partial_bit_xor before the exchange."""
+    from spark_sklearn_spark.plans import executed_plan
+
+    plan = executed_plan(
+        entry.queries()["q_dq_table_checksum"](spark, sf_dir)
+    )
+    assert "partial_bit_xor" in plan or "partial_xor" in plan.lower()
+
+
+def test_pit_scd2_version_attribution(spark, sf_dir):
+    """Matched purchases carry a version >= 1; unmatched purchases
+    are exactly the pre-first-signup ones."""
+    r = entry.queries()["q_join_pit_scd2"](spark, sf_dir).collect()[0]
+    assert 0 <= r.n_matched <= r.n_purchases
+    assert r.version_sum >= r.n_matched  # every match has version >= 1
+    assert r.max_version >= 1
+
+
+def test_table_checksum_detects_change(spark, sf_dir, duck):
+    """Row counts tie to the sources, and dropping one row flips the
+    XOR checksum (oracle-side experiment)."""
+    from spark_sklearn_spark.queries.pipeline24 import _CANON_NATION
+    from spark_sklearn_spark.queries._helpers import sql_h56
+
+    rows = {
+        r.table_name: r
+        for r in entry.queries()["q_dq_table_checksum"](
+            spark, sf_dir
+        ).collect()
+    }
+    n_nation = duck.execute("SELECT COUNT(*) FROM nation").fetchone()[0]
+    assert rows["nation"].n_rows == n_nation
+    full = rows["nation"].xor_h
+    dropped = duck.execute(
+        f"SELECT bit_xor({sql_h56(_CANON_NATION)}) FROM nation"
+        f" WHERE n_nationkey <> 0"
+    ).fetchone()[0]
+    assert dropped != full
+
+
+def test_esd_rounds_decreasing_criterion(spark, sf_dir):
+    """Three distinct days; z stays positive; removing the extreme
+    day cannot leave a MORE extreme round-2 pick under the same
+    moments (weak check: all z positive and days distinct)."""
+    rows = entry.queries()["q_ts_esd"](spark, sf_dir).collect()
+    assert len(rows) == 3
+    assert len({r.day_num for r in rows}) == 3
+    for r in rows:
+        assert r.z_micro >= 0
+
+
+def test_nmi_in_unit_range_and_triple_consistent(spark, sf_dir):
+    """NMI in [0, 1e6]; n ties to the other validation keys."""
+    nmi = entry.queries()["q_ml_nmi"](spark, sf_dir).collect()[0]
+    ari = entry.queries()["q_ml_rand_index"](spark, sf_dir).collect()[0]
+    assert nmi.n == ari.n
+    assert 0 <= nmi.nmi_micro <= 1_000_000

@@ -561,6 +561,22 @@ NOTES = {
         "One token projection, distinct-count audits, two "
         "fact-spine joins proving join-cardinality preservation."
     ),
+    "q_join_pit_scd2": (
+        "The single-shuffle asof union+window operator attaches the "
+        "valid dimension version; one closing 1-row agg."
+    ),
+    "q_dq_table_checksum": (
+        "One combinable XOR/min/max agg per table over codegen'd "
+        "canonical-row hashes; three scans, zero joins."
+    ),
+    "q_ts_esd": (
+        "Corpus -> calendar-bounded daily grain once; each round one "
+        "1-row moment agg + one TakeOrdered argmax over that grain."
+    ),
+    "q_ml_nmi": (
+        "One contingency agg over the memoized fit; entropy sums on "
+        "k x |labels| cells."
+    ),
 }
 
 

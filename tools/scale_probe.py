@@ -202,6 +202,12 @@ PROBE_QUERIES = [
     "q_graph_adamic_adar",
     "q_ts_bollinger",
     "q_pii_tokenize",
+    # r9 batch J: asof PIT consumption, per-table checksum scans,
+    # bounded ESD rounds, contingency NMI
+    "q_join_pit_scd2",
+    "q_dq_table_checksum",
+    "q_ts_esd",
+    "q_ml_nmi",
 ]
 
 TABLES = [
