@@ -33,14 +33,16 @@ ORACLES: dict[str, str] = {}
 # r7 reds (hardened in 0098c7f, judge-verified green, but never re-sampled)
 # sat at 51-54 and STILL carry a FAIL as their latest driver row. Window
 # plan: (1) the canary (extended this round: round_half_dir /
-# tie_floor_micro / dbl_literal_atto columns); (2) the 4 unresampled r7
-# reds — these MUST green; (3) keys whose code or oracle changed this
-# round; (4) new round-9 keys (zero driver history); (5) the 6 keys the
-# r8 reorder displaced just past the window; (6) q_dedup_simhash (declared
-# rewrite newer than its only driver row); (7) never-driver-checked
-# declared keys, all locally strict-swept green this round (r9 session:
-# 71 declared PASS / 0 FAIL / 0 type-parity WARNs); (8) oldest driver
-# rows. tests/test_queries_smoke.py asserts every name here is registered.
+# tie_floor_micro / dbl_literal_atto / bitshift_mask columns); (2) the 4
+# unresampled r7 reds — these MUST green; (3) keys whose code or oracle
+# changed this round; (4a-4k) the round-9 batches in landing order (zero
+# driver history; the 50-key window ends inside batch G — batches H-K and
+# everything after are next round's head, every one of them strict-swept
+# green in this session's full sf0.01 sweeps); then (5) the keys the r8
+# reorder displaced, (6) q_dedup_simhash (declared rewrite newer than its
+# only driver row), (7) never-driver-checked declared keys, (8) oldest
+# driver rows. tests/test_queries_smoke.py asserts every name here is
+# registered; tests/test_round9.py pins the must-be-in-window set.
 DRIVER_PRIORITY: list[str] = [
     # (1) portability canary — if the driver env drifts, this names the column
     "q_dq_engine_canary",
@@ -123,6 +125,10 @@ DRIVER_PRIORITY: list[str] = [
     "q_dq_table_checksum",
     "q_ts_esd",
     "q_ml_nmi",
+    # (4k) round-9 batch K
+    "q_ts_granger",
+    "q_ml_tost",
+    "q_source_glob_tree",
     # (5) displaced just past the r8 window, never driver-checked
     "q_ml_gbm_round",
     "q_ml_calibration",

@@ -1129,3 +1129,53 @@ def test_nmi_in_unit_range_and_triple_consistent(spark, sf_dir):
     ari = entry.queries()["q_ml_rand_index"](spark, sf_dir).collect()[0]
     assert nmi.n == ari.n
     assert 0 <= nmi.nmi_micro <= 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# pipeline25 (round-9 batch K)
+# ---------------------------------------------------------------------------
+
+
+def test_pipeline25_scalable(spark, sf_dir):
+    """granger/tost close in 1-row aggs and glob_tree crosses in the
+    1-row recursive count (the csv_dirty/json_corrupt global-scalar
+    shape) — all exempt. Assert the per-lang read is a combinable
+    hash agg partitioned on lang, not a single-partition funnel."""
+    from spark_sklearn_spark.plans import executed_plan
+
+    plan = executed_plan(
+        entry.queries()["q_source_glob_tree"](spark, sf_dir)
+    )
+    assert "hashpartitioning(lang" in plan
+
+
+def test_granger_fits_are_valid(spark, sf_dir):
+    """RSS_u <= RSS_r by construction so F >= 0; the design has
+    days-1 rows."""
+    r = entry.queries()["q_ts_granger"](spark, sf_dir).collect()[0]
+    assert r.f_micro >= 0
+    assert r.n_days >= 10
+
+
+def test_tost_internally_consistent(spark, sf_dir):
+    """equivalent == both one-sided t's above 1.645; margin > 0."""
+    r = entry.queries()["q_ml_tost"](spark, sf_dir).collect()[0]
+    assert r.margin_milli > 0
+    want = int(
+        r.t_lower_micro > 1_645_000 and r.t_upper_micro > 1_645_000
+    )
+    # floors lose < 1 micro: only assert when both are clear of the
+    # threshold by at least one quantum
+    if (
+        abs(r.t_lower_micro - 1_645_000) > 1
+        and abs(r.t_upper_micro - 1_645_000) > 1
+    ):
+        assert r.equivalent == want
+
+
+def test_glob_tree_counts_tie(spark, sf_dir):
+    """Per-lang doc counts sum to the recursive raw line count."""
+    rows = entry.queries()["q_source_glob_tree"](spark, sf_dir).collect()
+    total = rows[0].total_lines_recursive
+    assert sum(r.n_docs for r in rows) == total
+    assert all(r.total_lines_recursive == total for r in rows)

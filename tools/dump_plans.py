@@ -577,6 +577,18 @@ NOTES = {
         "One contingency agg over the memoized fit; entropy sums on "
         "k x |labels| cells."
     ),
+    "q_ts_granger": (
+        "One corpus collapse to the daily grain, a lag-1 calendar "
+        "self-join, one 10-moment agg, pure Cramer expression math."
+    ),
+    "q_ml_tost": (
+        "One combinable group-moment agg, a 2-row pivot, identical "
+        "Welch chains."
+    ),
+    "q_source_glob_tree": (
+        "Bounded partitioned-tree write; partition-discovery read "
+        "aggregates per lang, recursive glob read counts raw lines."
+    ),
 }
 
 

@@ -208,6 +208,11 @@ PROBE_QUERIES = [
     "q_dq_table_checksum",
     "q_ts_esd",
     "q_ml_nmi",
+    # r9 batch K: daily-grain Cramer OLS, 2-group Welch pivot,
+    # partitioned-tree dual reads
+    "q_ts_granger",
+    "q_ml_tost",
+    "q_source_glob_tree",
 ]
 
 TABLES = [
