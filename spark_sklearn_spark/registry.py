@@ -35,7 +35,7 @@ ORACLES: dict[str, str] = {}
 # plan: (1) the canary (extended this round: round_half_dir /
 # tie_floor_micro / dbl_literal_atto / bitshift_mask columns); (2) the 4
 # unresampled r7 reds — these MUST green; (3) keys whose code or oracle
-# changed this round; (4a-4k) the round-9 batches in landing order (zero
+# changed this round; (4a-4l) the round-9 batches in landing order (zero
 # driver history; the 50-key window ends inside batch G — batches H-K and
 # everything after are next round's head, every one of them strict-swept
 # green in this session's full sf0.01 sweeps); then (5) the keys the r8
@@ -129,6 +129,10 @@ DRIVER_PRIORITY: list[str] = [
     "q_ts_granger",
     "q_ml_tost",
     "q_source_glob_tree",
+    # (4l) round-9 batch L
+    "q_ml_kruskal",
+    "q_behavior_powerlaw",
+    "q_dq_double_charge",
     # (5) displaced just past the r8 window, never driver-checked
     "q_ml_gbm_round",
     "q_ml_calibration",

@@ -1179,3 +1179,36 @@ def test_glob_tree_counts_tie(spark, sf_dir):
     total = rows[0].total_lines_recursive
     assert sum(r.n_docs for r in rows) == total
     assert all(r.total_lines_recursive == total for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# pipeline26 (round-9 batch L)
+# ---------------------------------------------------------------------------
+
+
+def test_kruskal_rank_identities(spark, sf_dir):
+    """Doubled midranks over N days sum to N(N+1); H >= 0; 7 groups."""
+    rows = entry.queries()["q_ml_kruskal"](spark, sf_dir).collect()
+    assert len(rows) == 7
+    n = sum(r.n_g for r in rows)
+    assert sum(r.s2 for r in rows) == n * (n + 1)
+    assert all(
+        r.h_corr_micro == rows[0].h_corr_micro >= 0 for r in rows
+    )
+
+
+def test_powerlaw_tail_accounting(spark, sf_dir):
+    """Tail is a subset of the population; alpha > 1 by construction."""
+    r = entry.queries()["q_behavior_powerlaw"](spark, sf_dir).collect()[0]
+    assert 0 < r.n_tail <= r.n_users
+    assert r.alpha_micro > 1_000_000
+    assert r.tail_share_ppm == r.n_tail * 1_000_000 // r.n_users
+
+
+def test_double_charge_counts_consistent(spark, sf_dir):
+    """Same-day pairs are a subset; gap mass bounded by 3 days/pair;
+    affected customers cannot exceed pairs."""
+    r = entry.queries()["q_dq_double_charge"](spark, sf_dir).collect()[0]
+    assert 0 <= r.n_same_day <= r.n_pairs
+    assert 0 <= r.gap_days_sum <= 3 * r.n_pairs
+    assert r.n_customers <= max(r.n_pairs, 1)

@@ -589,6 +589,19 @@ NOTES = {
         "Bounded partitioned-tree write; partition-discovery read "
         "aggregates per lang, recursive glob read counts raw lines."
     ),
+    "q_ml_kruskal": (
+        "Corpus -> calendar-bounded daily grain; ranks, group sums, "
+        "and the H chain all run on that grain."
+    ),
+    "q_behavior_powerlaw": (
+        "One per-user collapse, one tail agg with decimal-quantized "
+        "log terms."
+    ),
+    "q_dq_double_charge": (
+        "Selective (custkey, cents) self-equi-join + day residual; "
+        "candidate volume is key-multiplicity-bounded, never "
+        "all-pairs."
+    ),
 }
 
 

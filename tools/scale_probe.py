@@ -213,6 +213,11 @@ PROBE_QUERIES = [
     "q_ts_granger",
     "q_ml_tost",
     "q_source_glob_tree",
+    # r9 batch L: daily-grain rank test, per-user tail MLE,
+    # selective-key dup audit
+    "q_ml_kruskal",
+    "q_behavior_powerlaw",
+    "q_dq_double_charge",
 ]
 
 TABLES = [
