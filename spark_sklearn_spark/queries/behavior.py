@@ -292,7 +292,8 @@ def q_behavior_transitions(spark, d):
     oracle="""
         WITH daily AS (
             SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
-                   ROUND(CAST(SUM(CAST(value AS DECIMAL(30,10))) AS DOUBLE), 2)
+                   CAST(floor(CAST(SUM(CAST(value AS DECIMAL(30,10)))
+                                   AS DOUBLE) * 100) AS BIGINT)
                        AS day_value
             FROM events GROUP BY 1, 2
         ),
@@ -322,10 +323,12 @@ def q_behavior_transitions(spark, d):
                           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
         )
         SELECT user_id, CAST(day AS TIMESTAMP) AS day,
-               ROUND(CASE WHEN nd = pd THEN pv
-                          ELSE pv + (nv - pv) * datediff('day', pd, day)
-                               * 1.0 / datediff('day', pd, nd) END, 6)
-                   AS interp_value,
+               CAST(CASE WHEN nd = pd THEN pv * 10000
+                         ELSE (pv * (datediff('day', pd, nd)
+                                     - datediff('day', pd, day))
+                               + nv * datediff('day', pd, day)) * 10000
+                              // datediff('day', pd, nd) END
+                    AS BIGINT) AS interp_micro,
                day_value IS NULL AS is_gap
         FROM j
         ORDER BY user_id, day
@@ -339,13 +342,15 @@ def q_ts_interpolate(spark, d):
     user-partitioned windows — a running last(ignorenulls) looking
     back and a first(ignorenulls) looking forward — i.e. one shuffle
     on user_id and two sorted passes, never a self-join on time. The
-    daily inputs are decimal-rounded BEFORE the lerp and the lerp
-    expression tree is identical on both engines (integer day deltas,
-    one multiply, one divide), then rounded to 6."""
+    daily inputs are quantized to integer CENTS before the lerp
+    (decimal sum -> identical double -> floor(x*100)), so the lerp is
+    pure integer arithmetic — (pv*(d2-d1) + nv*d1)*10000 div d2 —
+    and the output is exact integer micro on both engines."""
     ev = load(spark, d, "events")
     daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
-        F.round(
-            F.sum(F.col("value").cast("decimal(30,10)")).cast("double"), 2
+        F.floor(
+            F.sum(F.col("value").cast("decimal(30,10)")).cast("double")
+            * 100
         ).alias("day_value")
     )
     span = daily.groupBy("user_id").agg(
@@ -374,17 +379,19 @@ def q_ts_interpolate(spark, d):
         F.first("day_value", ignorenulls=True).over(wn).alias("nv"),
         F.first(obs_day, ignorenulls=True).over(wn).alias("nd"),
     )
-    lerp = F.when(F.col("nd") == F.col("pd"), F.col("pv")).otherwise(
-        F.col("pv")
-        + (F.col("nv") - F.col("pv"))
-        * F.datediff(F.col("day"), F.col("pd"))
-        * F.lit(1.0)
-        / F.datediff(F.col("nd"), F.col("pd"))
+    lerp = F.when(
+        F.col("nd") == F.col("pd"), F.col("pv") * 10000
+    ).otherwise(
+        F.expr(
+            "(pv * (datediff(nd, pd) - datediff(day, pd))"
+            " + nv * datediff(day, pd)) * 10000L"
+            " div datediff(nd, pd)"
+        )
     )
     return j.select(
         "user_id",
         F.col("day").cast("timestamp").alias("day"),
-        F.round(lerp, 6).alias("interp_value"),
+        lerp.alias("interp_micro"),
         F.col("day_value").isNull().alias("is_gap"),
     ).orderBy("user_id", "day")
 
@@ -402,19 +409,21 @@ RFM_TILES = 4
                  datediff('day', date_trunc('day', max(ts)),
                           (SELECT now_day FROM now_ref)) AS recency,
                  count(*) AS freq,
-                 ROUND(CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE), 2)
-                     AS monetary
+                 CAST(floor(CAST(sum(CAST(value AS DECIMAL(30,10)))
+                                 AS DOUBLE) * 100) AS BIGINT)
+                     AS monetary_cents
           FROM events GROUP BY user_id
         )
         SELECT user_id,
                CAST(recency AS BIGINT) AS recency,
                freq,
-               monetary,
+               monetary_cents,
                CAST(ntile({RFM_TILES}) OVER (ORDER BY recency, user_id)
                     AS BIGINT) AS r_tile,
                CAST(ntile({RFM_TILES}) OVER (ORDER BY freq, user_id)
                     AS BIGINT) AS f_tile,
-               CAST(ntile({RFM_TILES}) OVER (ORDER BY monetary, user_id)
+               CAST(ntile({RFM_TILES}) OVER (ORDER BY monetary_cents,
+                                             user_id)
                     AS BIGINT) AS m_tile
         FROM per
         ORDER BY user_id
@@ -428,7 +437,8 @@ def q_behavior_rfm(spark, d):
     operators/ranking.distributed_ntile — histogram buckets + a
     bucket-partitioned local window — never Spark's
     single-partition ntile()-over-everything (the q_win_ntile
-    scale rule, applied three times). Monetary is decimal-rounded
+    scale rule, applied three times). Monetary is quantized to exact
+    integer CENTS (decimal sum -> identical double -> floor(x*100))
     BEFORE ranking and every ordering carries the user_id tiebreak,
     so both engines assign identical tiles."""
     from ..operators.ranking import distributed_ntile
@@ -442,10 +452,10 @@ def q_behavior_rfm(spark, d):
         .agg(
             F.date_trunc("day", F.max("ts")).alias("last_day"),
             F.count(F.lit(1)).alias("freq"),
-            F.round(
-                F.sum(F.col("value").cast("decimal(30,10)")).cast("double"),
-                2,
-            ).alias("monetary"),
+            F.floor(
+                F.sum(F.col("value").cast("decimal(30,10)")).cast("double")
+                * 100
+            ).alias("monetary_cents"),
         )
         .crossJoin(F.broadcast(now_ref))
         .select(
@@ -454,7 +464,7 @@ def q_behavior_rfm(spark, d):
             .cast("long")
             .alias("recency"),
             "freq",
-            "monetary",
+            "monetary_cents",
         )
     )
     # Each distributed_ntile runs two EAGER driver jobs (min/max/count
@@ -464,7 +474,10 @@ def q_behavior_rfm(spark, d):
     per = per.persist()
     out = distributed_ntile(per, "recency", ["user_id"], RFM_TILES, out_col="r_tile")
     out = distributed_ntile(out, "freq", ["user_id"], RFM_TILES, out_col="f_tile")
-    out = distributed_ntile(out, "monetary", ["user_id"], RFM_TILES, out_col="m_tile")
+    out = distributed_ntile(
+        out, "monetary_cents", ["user_id"], RFM_TILES, out_col="m_tile"
+    )
     return out.select(
-        "user_id", "recency", "freq", "monetary", "r_tile", "f_tile", "m_tile"
+        "user_id", "recency", "freq", "monetary_cents",
+        "r_tile", "f_tile", "m_tile",
     ).orderBy("user_id")

@@ -462,23 +462,27 @@ def q_mix_budget(spark, d):
         baseline AS (
           SELECT event_type, hod,
                  COUNT(*) AS n,
-                 ROUND(CAST(SUM(CAST(value AS DECIMAL(30,10))) AS DOUBLE)
-                       / COUNT(*), 6) AS hod_mean
+                 CAST(floor(CAST(SUM(CAST(value AS DECIMAL(30,10)))
+                                 AS DOUBLE)
+                            / COUNT(*) * 1000000) AS BIGINT)
+                     AS hod_mean_micro
           FROM base GROUP BY event_type, hod
         ),
         resid AS (
-          SELECT b.event_type, b.hod, bl.hod_mean,
-                 abs(b.value - bl.hod_mean) AS adev
+          SELECT b.event_type, b.hod, bl.hod_mean_micro,
+                 abs(b.value - bl.hod_mean_micro / 1000000.0) AS adev
           FROM base b
           JOIN baseline bl
             ON b.event_type = bl.event_type AND b.hod = bl.hod
         )
         SELECT event_type,
                COUNT(DISTINCT hod) AS n_hours,
-               ROUND(MIN(hod_mean), 6) AS min_hod_mean,
-               ROUND(MAX(hod_mean), 6) AS max_hod_mean,
-               ROUND(CAST(SUM(CAST(adev AS DECIMAL(30,10))) AS DOUBLE)
-                     / COUNT(*), 6) AS mean_abs_resid
+               MIN(hod_mean_micro) AS min_hod_mean_micro,
+               MAX(hod_mean_micro) AS max_hod_mean_micro,
+               CAST(floor(CAST(SUM(CAST(adev AS DECIMAL(30,10)))
+                               AS DOUBLE)
+                          / COUNT(*) * 1000000) AS BIGINT)
+                   AS mean_abs_resid_micro
         FROM resid
         GROUP BY event_type
         ORDER BY event_type
@@ -492,8 +496,10 @@ def q_ts_seasonal(spark, d):
     The baseline is a tiny (type x 24) agg broadcast back onto the
     stream — the de-seasonalize step every monitoring pipeline runs
     before anomaly gates like q_ts_anomaly/q_ts_outlier_mad. Means on
-    the decimal path; baseline rounded before the residual so both
-    engines subtract the identical expectation."""
+    the decimal path; the baseline is quantized to integer micro
+    (floor(x*1e6) — identical multiply+floor on both engines) BEFORE
+    the residual so both engines subtract the identical expectation,
+    and both declared means leave as integer micro."""
     ev = load(spark, d, "events").select(
         "event_type",
         F.hour("ts").alias("hod"),
@@ -501,29 +507,31 @@ def q_ts_seasonal(spark, d):
     )
     baseline = ev.groupBy("event_type", "hod").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(
+        F.floor(
             F.sum(F.col("value").cast(DEC)).cast("double")
-            / F.count(F.lit(1)),
-            6,
-        ).alias("hod_mean"),
+            / F.count(F.lit(1))
+            * 1000000
+        ).alias("hod_mean_micro"),
     )
     resid = ev.join(F.broadcast(baseline), ["event_type", "hod"]).select(
         "event_type",
         "hod",
-        "hod_mean",
-        F.abs(F.col("value") - F.col("hod_mean")).alias("adev"),
+        "hod_mean_micro",
+        F.abs(
+            F.col("value") - F.col("hod_mean_micro") / F.lit(1000000.0)
+        ).alias("adev"),
     )
     return (
         resid.groupBy("event_type")
         .agg(
             F.countDistinct("hod").alias("n_hours"),
-            F.round(F.min("hod_mean"), 6).alias("min_hod_mean"),
-            F.round(F.max("hod_mean"), 6).alias("max_hod_mean"),
-            F.round(
+            F.min("hod_mean_micro").alias("min_hod_mean_micro"),
+            F.max("hod_mean_micro").alias("max_hod_mean_micro"),
+            F.floor(
                 F.sum(F.col("adev").cast(DEC)).cast("double")
-                / F.count(F.lit(1)),
-                6,
-            ).alias("mean_abs_resid"),
+                / F.count(F.lit(1))
+                * 1000000
+            ).alias("mean_abs_resid_micro"),
         )
         .orderBy("event_type")
     )
@@ -559,8 +567,9 @@ def q_ts_seasonal(spark, d):
           FROM snap1 s1 FULL OUTER JOIN snap2 s2 ON s1.k = s2.k
         )
         SELECT status, COUNT(*) AS n,
-               ROUND(CAST(SUM(CAST(v AS DECIMAL(30,10))) AS DOUBLE), 2)
-                   AS sum_value
+               CAST(floor(CAST(SUM(CAST(v AS DECIMAL(30,10)))
+                               AS DOUBLE) * 100) AS BIGINT)
+                   AS sum_cents
         FROM diff
         GROUP BY status
         ORDER BY status
@@ -572,9 +581,10 @@ def q_cdc_snapshot_diff(spark, d):
     the audit a CDC pipeline runs to validate an incremental feed
     against a full refresh (counts per class + value mass). The two
     snapshots derive deterministically from orders (drop-by-modulus +
-    a price bump), so both engines diff identical inputs. One
-    key-partitioned shuffle join; classification is a stateless
-    projection."""
+    a price bump), so both engines diff identical inputs; value mass
+    leaves as integer cents (decimal sum -> identical double ->
+    floor(x*100)). One key-partitioned shuffle join; classification
+    is a stateless projection."""
     orders = load(spark, d, "orders").select("o_orderkey", "o_totalprice")
     snap1 = orders.filter(F.col("o_orderkey") % 7 != 0).select(
         F.col("o_orderkey").alias("k1"), F.col("o_totalprice").alias("v1")
@@ -599,9 +609,9 @@ def q_cdc_snapshot_diff(spark, d):
         diff.groupBy("status")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(
-                F.sum(F.col("v").cast(DEC)).cast("double"), 2
-            ).alias("sum_value"),
+            F.floor(
+                F.sum(F.col("v").cast(DEC)).cast("double") * 100
+            ).alias("sum_cents"),
         )
         .orderBy("status")
     )
@@ -679,9 +689,9 @@ def q_dq_freshness(spark, d):
         SELECT user_id,
                COUNT(*) AS n_spans,
                CAST(SUM(dt) AS BIGINT) AS total_seconds,
-               ROUND(CAST(SUM(CAST(value * dt AS DECIMAL(30,10)))
-                          AS DOUBLE)
-                     / SUM(dt), 6) AS twap
+               CAST(floor(CAST(SUM(CAST(value * dt AS DECIMAL(30,10)))
+                               AS DOUBLE)
+                          / SUM(dt) * 1000000) AS BIGINT) AS twap_micro
         FROM spans
         WHERE user_id % 3 = 0
         GROUP BY user_id
@@ -694,8 +704,10 @@ def q_ts_twap(spark, d):
     point-in-time sampler gets wrong when readings are irregular —
     TWAP is how billing/utilization metrics are actually computed).
     One user-partitioned window (lead) and one agg on the same key;
-    value x dt products ride the decimal-sum policy. The %3 slice
-    bounds the declared output; the plan is slice-independent."""
+    value x dt products ride the decimal-sum policy and the TWAP
+    leaves as integer micro (identical double -> floor(x*1e6)). The
+    %3 slice bounds the declared output; the plan is
+    slice-independent."""
     ev = load(spark, d, "events").select(
         "user_id", "event_id", "ts", "value"
     )
@@ -712,13 +724,13 @@ def q_ts_twap(spark, d):
         .agg(
             F.count(F.lit(1)).alias("n_spans"),
             F.sum("dt").alias("total_seconds"),
-            F.round(
+            F.floor(
                 F.sum(
                     (F.col("value") * F.col("dt")).cast(DEC)
                 ).cast("double")
-                / F.sum("dt"),
-                6,
-            ).alias("twap"),
+                / F.sum("dt")
+                * 1000000
+            ).alias("twap_micro"),
         )
         .orderBy("user_id")
     )
@@ -862,9 +874,10 @@ ACF_LAGS = [1, 2, 3, 7]
           FROM pairs GROUP BY k
         )
         SELECT k, n,
-               ROUND((n * sxy - sx * sy)
-                     / sqrt((n * sxx - sx * sx) * 1.0
-                            * (n * syy - sy * sy)), 6) AS acf
+               CAST(floor((n * sxy - sx * sy)
+                          / sqrt((n * sxx - sx * sx) * 1.0
+                                 * (n * syy - sy * sy)) * 1000000)
+                    AS BIGINT) AS acf_micro
         FROM moments
         ORDER BY k
     """,
@@ -877,7 +890,8 @@ def q_ts_autocorr(spark, d):
     lag alignment is a self-join on day_idx + k over that tiny
     series, and Pearson comes from exact integer moment sums (counts,
     so no decimal detour needed — products stay BIGINT). Same
-    closed-form expression on both engines, rounded to 6."""
+    closed-form expression on both engines; the acf leaves as integer
+    micro (identical IEEE pipeline then floor(x*1e6))."""
     ev = load(spark, d, "events")
     daily = ev.groupBy(
         F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
@@ -907,11 +921,11 @@ def q_ts_autocorr(spark, d):
     return m.select(
         "k",
         "n",
-        F.round(
+        F.floor(
             (n * sxy - sx * sy)
-            / F.sqrt((n * sxx - sx * sx) * 1.0 * (n * syy - sy * sy)),
-            6,
-        ).alias("acf"),
+            / F.sqrt((n * sxx - sx * sx) * 1.0 * (n * syy - sy * sy))
+            * 1000000
+        ).alias("acf_micro"),
     ).orderBy("k")
 
 
@@ -943,11 +957,14 @@ BT_TEST_DAYS = 7
           FROM daily d, bounds b WHERE d.day_idx < b.cutoff
         ),
         model AS (
-          SELECT dow, ROUND(SUM(n) / (1.0 * COUNT(*)), 6) AS predicted
+          SELECT dow,
+                 CAST((SUM(n) * 1000000) // COUNT(*) AS BIGINT)
+                     AS predicted_micro
           FROM train GROUP BY dow
         )
-        SELECT t.day_idx, t.dow, t.actual, m.predicted,
-               ROUND(abs(t.actual - m.predicted), 6) AS abs_err
+        SELECT t.day_idx, t.dow, t.actual, m.predicted_micro,
+               CAST(abs(t.actual * 1000000 - m.predicted_micro)
+                    AS BIGINT) AS abs_err_micro
         FROM test t JOIN model m ON t.dow = m.dow
         ORDER BY t.day_idx
     """,
@@ -958,9 +975,10 @@ def q_ts_backtest(spark, d):
     in the training window, and report per-day absolute error — the
     baseline every forecasting pipeline must beat, run as a query.
     Weekdays are epoch-day % 7 (no calendar ambiguity); counts are
-    integers so the only float is the train mean, rounded before the
-    error. Shape: corpus collapses to the daily grain once, the
-    'model' is a 7-row agg broadcast onto the 7-row test set."""
+    integers and the train mean + error are exact integer micro
+    (long div long; abs over integers) — no float anywhere. Shape:
+    corpus collapses to the daily grain once, the 'model' is a 7-row
+    agg broadcast onto the 7-row test set."""
     ev = load(spark, d, "events")
     daily = ev.groupBy(
         F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
@@ -979,9 +997,7 @@ def q_ts_backtest(spark, d):
         (F.col("day_idx") % 7).alias("dow"), "n"
     )
     model = train.groupBy("dow").agg(
-        F.round(F.sum("n") / (1.0 * F.count(F.lit(1))), 6).alias(
-            "predicted"
-        )
+        F.expr("sum(n) * 1000000L div count(*)").alias("predicted_micro")
     )
     return (
         test.join(F.broadcast(model), "dow")
@@ -989,9 +1005,11 @@ def q_ts_backtest(spark, d):
             "day_idx",
             "dow",
             "actual",
-            "predicted",
-            F.round(F.abs(F.col("actual") - F.col("predicted")), 6)
-            .alias("abs_err"),
+            "predicted_micro",
+            F.abs(
+                F.col("actual") * F.lit(1000000).cast("long")
+                - F.col("predicted_micro")
+            ).alias("abs_err_micro"),
         )
         .orderBy("day_idx")
     )

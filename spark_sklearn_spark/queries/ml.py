@@ -583,8 +583,10 @@ def q_ml_linear_ols(spark, d):
           FROM ordered
         )
         SELECT CAST(p AS BIGINT) AS n_pos, CAST(n AS BIGINT) AS n_neg,
-               ROUND(contrib2 / (2.0 * p * n), 6) AS auc,
-               ROUND(contrib2 / (1.0 * p * n) - 1.0, 6) AS gini
+               CAST((contrib2 * 1000000) // (2 * p * n) AS BIGINT)
+                   AS auc_ppm,
+               CAST((contrib2 * 1000000) // (p * n) - 1000000 AS BIGINT)
+                   AS gini_ppm
         FROM agg
     """,
 )
@@ -597,7 +599,8 @@ def q_ml_auc(spark, d):
     (score -> n_pos, n_neg) agg shrinks the stream, and the ordered
     cumsum runs over the bounded score-group relation. Doubling the
     tie term (np*(2*nn_below + nn)) keeps every intermediate a
-    BIGINT, so only the final division is float."""
+    BIGINT, and the AUC/Gini outputs are exact integer ppm (long div
+    long on both engines) — no float leaves the query."""
     from pyspark.sql import Window as W
 
     ev = load(spark, d, "events").select(
@@ -621,12 +624,10 @@ def q_ml_auc(spark, d):
     return agg.select(
         F.col("p").alias("n_pos"),
         F.col("n").alias("n_neg"),
-        F.round(
-            F.col("contrib2") / (2.0 * F.col("p") * F.col("n")), 6
-        ).alias("auc"),
-        F.round(
-            F.col("contrib2") / (1.0 * F.col("p") * F.col("n")) - 1.0, 6
-        ).alias("gini"),
+        F.expr("contrib2 * 1000000L div (2 * p * n)").alias("auc_ppm"),
+        F.expr("contrib2 * 1000000L div (p * n) - 1000000L").alias(
+            "gini_ppm"
+        ),
     )
 
 
@@ -652,11 +653,13 @@ def q_ml_auc(spark, d):
         )
         SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
                CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
-               ROUND(tp / (1.0 * (tp + fp)), 6) AS precision_,
-               ROUND(tp / (1.0 * (tp + fn)), 6) AS recall_,
-               ROUND(2.0 * tp / (2.0 * tp + fp + fn), 6) AS f1,
-               ROUND((tp + tn) / (1.0 * (tp + fp + fn + tn)), 6)
-                   AS accuracy
+               CAST((tp * 1000000) // (tp + fp) AS BIGINT)
+                   AS precision_ppm,
+               CAST((tp * 1000000) // (tp + fn) AS BIGINT) AS recall_ppm,
+               CAST((2 * tp * 1000000) // (2 * tp + fp + fn) AS BIGINT)
+                   AS f1_ppm,
+               CAST(((tp + tn) * 1000000) // (tp + fp + fn + tn)
+                    AS BIGINT) AS accuracy_ppm
         FROM cm
     """,
 )
@@ -666,7 +669,7 @@ def q_ml_confusion(spark, d):
     that closes the train/predict loop (q_ml_keyed_transform predicts,
     this scores). ONE combinable agg computes all four cells in a
     single pass; the derived ratios are a stateless projection on one
-    row. Integer cells; ratios rounded to 6 identically."""
+    row. Integer cells; ratios as exact integer ppm (long div long)."""
     ev = load(spark, d, "events").select(
         F.when(F.col("value") > 100, 1).otherwise(0).alias("pred"),
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
@@ -680,10 +683,12 @@ def q_ml_confusion(spark, d):
     tp, fp, fn, tn = F.col("tp"), F.col("fp"), F.col("fn"), F.col("tn")
     return cm.select(
         "tp", "fp", "fn", "tn",
-        F.round(tp / (1.0 * (tp + fp)), 6).alias("precision_"),
-        F.round(tp / (1.0 * (tp + fn)), 6).alias("recall_"),
-        F.round(2.0 * tp / (2.0 * tp + fp + fn), 6).alias("f1"),
-        F.round((tp + tn) / (1.0 * (tp + fp + fn + tn)), 6).alias("accuracy"),
+        F.expr("tp * 1000000L div (tp + fp)").alias("precision_ppm"),
+        F.expr("tp * 1000000L div (tp + fn)").alias("recall_ppm"),
+        F.expr("2 * tp * 1000000L div (2 * tp + fp + fn)").alias("f1_ppm"),
+        F.expr("(tp + tn) * 1000000L div (tp + fp + fn + tn)").alias(
+            "accuracy_ppm"
+        ),
     )
 
 
@@ -718,8 +723,10 @@ PR_THRESHOLDS = [50, 100, 150, 200, 250, 300, 350, 400]
         )
         SELECT thr, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
                CAST(fn AS BIGINT) AS fn,
-               ROUND(tp / (1.0 * greatest(tp + fp, 1)), 6) AS precision_,
-               ROUND(tp / (1.0 * greatest(tp + fn, 1)), 6) AS recall_
+               CAST((tp * 1000000) // greatest(tp + fp, 1) AS BIGINT)
+                   AS precision_ppm,
+               CAST((tp * 1000000) // greatest(tp + fn, 1) AS BIGINT)
+                   AS recall_ppm
         FROM cells
         ORDER BY thr
     """,
@@ -763,10 +770,12 @@ def q_ml_pr_curve(spark, d):
     tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
     return cells.select(
         "thr", "tp", "fp", "fn",
-        F.round(tp / (1.0 * F.greatest(tp + fp, F.lit(1))), 6)
-        .alias("precision_"),
-        F.round(tp / (1.0 * F.greatest(tp + fn, F.lit(1))), 6)
-        .alias("recall_"),
+        F.expr("tp * 1000000L div greatest(tp + fp, 1)").alias(
+            "precision_ppm"
+        ),
+        F.expr("tp * 1000000L div greatest(tp + fn, 1)").alias(
+            "recall_ppm"
+        ),
     ).orderBy("thr")
 
 
@@ -810,9 +819,10 @@ def q_ml_pr_curve(spark, d):
         )
         SELECT c.decile, CAST(c.n AS BIGINT) AS n,
                CAST(c.n_pos AS BIGINT) AS n_pos,
-               ROUND(c.cum_pos / (1.0 * t.total_pos), 6) AS capture,
-               ROUND((c.n_pos / (1.0 * c.n))
-                     / (t.total_pos / (1.0 * t.total)), 6) AS lift
+               CAST((c.cum_pos * 1000000) // t.total_pos AS BIGINT)
+                   AS capture_ppm,
+               CAST((c.n_pos * t.total * 1000000)
+                    // (c.n * t.total_pos) AS BIGINT) AS lift_ppm
         FROM cum c, totals t
         ORDER BY c.decile
     """,
@@ -824,8 +834,9 @@ def q_ml_gains(spark, d):
     over the base rate — the campaign-targeting readout next to AUC.
     Decile assignment is pure integer arithmetic over score-GROUP
     cumulative counts (floor(cum_before*10/total)), so ties in the
-    score never straddle engines; only the final two ratios are
-    floats, rounded to 6. Shape: one combinable (score -> n, np) agg,
+    score never straddle engines; capture and lift are exact integer
+    ppm (lift cross-multiplied into one long division).
+    Shape: one combinable (score -> n, np) agg,
     a cumsum over the bounded score-group relation, a 10-row rollup."""
     from pyspark.sql import Window as W
 
@@ -860,13 +871,10 @@ def q_ml_gains(spark, d):
             "decile",
             "n",
             "n_pos",
-            F.round(F.col("cum_pos") / (1.0 * F.col("total_pos")), 6)
-            .alias("capture"),
-            F.round(
-                (F.col("n_pos") / (1.0 * F.col("n")))
-                / (F.col("total_pos") / (1.0 * F.col("total"))),
-                6,
-            ).alias("lift"),
+            F.expr("cum_pos * 1000000L div total_pos").alias("capture_ppm"),
+            F.expr("n_pos * total * 1000000L div (n * total_pos)").alias(
+                "lift_ppm"
+            ),
         )
         .orderBy("decile")
     )
@@ -900,12 +908,12 @@ def q_ml_gains(spark, d):
         ),
         diffs AS (
           SELECT c.s,
-                 ROUND(abs(c.cum_p / (1.0 * t.p)
-                           - c.cum_n / (1.0 * t.n)), 6) AS d
+                 CAST((abs(c.cum_p * t.n - c.cum_n * t.p) * 1000000)
+                      // (t.p * t.n) AS BIGINT) AS d
           FROM cdfs c, totals t
         )
         SELECT CAST(t.p AS BIGINT) AS n_pos, CAST(t.n AS BIGINT) AS n_neg,
-               d.d AS ks, d.s AS ks_at_score
+               d.d AS ks_ppm, d.s AS ks_at_score
         FROM diffs d, totals t
         ORDER BY d.d DESC, d.s
         LIMIT 1
@@ -917,8 +925,9 @@ def q_ml_ks(spark, d):
     single-number discriminator, and the two-sample test behind
     drift monitors. Same scale shape as q_ml_auc: scores quantize to
     integer groups, both CDFs come from ONE ordered cumsum over the
-    bounded group relation, and the max picks deterministically
-    (gap rounded to 6 before the argmax, score tie-break)."""
+    bounded group relation, and the max picks deterministically: the
+    gap is the exact integer ppm |cum_p*n − cum_n*p|·1e6 div (p·n)
+    (cross-multiplied — no float anywhere), score tie-break."""
     from pyspark.sql import Window as W
 
     ev = load(spark, d, "events").select(
@@ -939,13 +948,9 @@ def q_ml_ks(spark, d):
         "s",
         "p",
         "n",
-        F.round(
-            F.abs(
-                F.col("cum_p") / (1.0 * F.col("p"))
-                - F.col("cum_n") / (1.0 * F.col("n"))
-            ),
-            6,
-        ).alias("d"),
+        F.expr("abs(cum_p * n - cum_n * p) * 1000000L div (p * n)").alias(
+            "d"
+        ),
     )
     return (
         diffs.orderBy(F.desc("d"), "s")
@@ -953,7 +958,7 @@ def q_ml_ks(spark, d):
         .select(
             F.col("p").alias("n_pos"),
             F.col("n").alias("n_neg"),
-            F.col("d").alias("ks"),
+            F.col("d").alias("ks_ppm"),
             F.col("s").alias("ks_at_score"),
         )
     )

@@ -396,6 +396,10 @@ def q_text_winnow(spark, d):
     ).orderBy("doc_id")
 
 
+# ROUND-safe: the only ROUND here is the edge threshold
+# ROUND(jacc,6) >= 0.4 — byte-identical to the driver-PROVEN
+# q_dedup_ngram predicate (pass r4) over the SAME pair set; the
+# output columns are pure integer doc ids.
 @query(
     "q_graph_triangles",
     oracle=f"""

@@ -1017,8 +1017,8 @@ def q_dedup_funnel(spark, d):
         )
         SELECT doc_id,
                COUNT(*) AS n_bigrams,
-               ROUND(exp(CAST(SUM(nll) AS DOUBLE) / COUNT(*)), 4)
-                   AS perplexity
+               CAST(floor(CAST(SUM(nll) AS DOUBLE) / COUNT(*) * 1000000)
+                    AS BIGINT) AS log_ppl_micro
         FROM scored
         GROUP BY doc_id
         ORDER BY doc_id
@@ -1032,7 +1032,10 @@ def q_text_perplexity(spark, d):
     the per-doc sum is EXACT, so the float-order-sensitive part of a
     log-likelihood — the summation — is order-free on both engines
     (libm ln agrees to the last ulp on identical double inputs, and
-    the quantization absorbs that). Counts shrink map-side (bigram
+    the quantization absorbs that). The declared metric is the mean
+    NLL (log-perplexity) as integer micro — perplexity = exp of it;
+    declaring the log form keeps the output free of a final
+    cross-library exp() call. Counts shrink map-side (bigram
     and context aggs), the scored join is equi on the bigram key, and
     the %10 slice bounds the declared output; at 100 TB the LM counts
     are the big-but-aggregated side, exactly like BM25's df table."""
@@ -1076,12 +1079,9 @@ def q_text_perplexity(spark, d):
         scored.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(
-                F.exp(
-                    F.sum("nll").cast("double") / F.count(F.lit(1))
-                ),
-                4,
-            ).alias("perplexity"),
+            F.floor(
+                F.sum("nll").cast("double") / F.count(F.lit(1)) * 1000000
+            ).alias("log_ppl_micro"),
         )
         .orderBy("doc_id")
     )
@@ -1121,7 +1121,8 @@ def q_text_perplexity(spark, d):
           CROSS JOIN glob_total gt
         )
         SELECT t.source, CAST(s.n AS BIGINT) AS n_tokens,
-               ROUND(CAST(SUM(t.term) AS DOUBLE), 6) AS kl
+               CAST(floor(CAST(SUM(t.term) AS DOUBLE) * 1000000)
+                    AS BIGINT) AS kl_micro
         FROM terms t JOIN src_totals s ON s.source = t.source
         GROUP BY t.source, s.n
         ORDER BY t.source
@@ -1160,7 +1161,11 @@ def q_text_kl_source(spark, d):
     )
     return (
         terms.groupBy("source", F.col("n").alias("n_tokens"))
-        .agg(F.round(F.sum("term").cast("double"), 6).alias("kl"))
+        .agg(
+            F.floor(F.sum("term").cast("double") * 1000000).alias(
+                "kl_micro"
+            )
+        )
         .orderBy("source")
     )
 
@@ -1215,8 +1220,8 @@ def q_text_kl_source(spark, d):
         )
         SELECT b.probe_id,
                COUNT(a.neighbor_id) AS n_hit,
-               ROUND(COUNT(a.neighbor_id) / {GRID_TOPK}.0, 6)
-                   AS recall_at_{GRID_TOPK}
+               CAST(COUNT(a.neighbor_id) * 1000000 // {GRID_TOPK}
+                    AS BIGINT) AS recall_ppm
         FROM brute b
         LEFT JOIN ann a
           ON a.probe_id = b.probe_id
@@ -1316,9 +1321,9 @@ def q_emb_recall_grid(spark, d):
         .groupBy(F.col("b.probe_id").alias("probe_id"))
         .agg(
             F.count(F.col("a.neighbor_id")).alias("n_hit"),
-            F.round(
-                F.count(F.col("a.neighbor_id")) / float(GRID_TOPK), 6
-            ).alias(f"recall_at_{GRID_TOPK}"),
+            F.expr(
+                f"count(a.neighbor_id) * 1000000L div {GRID_TOPK}"
+            ).alias("recall_ppm"),
         )
         .orderBy("probe_id")
     )
