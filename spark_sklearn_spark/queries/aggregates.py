@@ -472,15 +472,19 @@ def q_agg_mode(spark, d):
         )
         SELECT l_returnflag,
                n,
-               ROUND(s1 / n, 6) AS mean,
-               ROUND(s2 / n - (s1/n) * (s1/n), 6) AS var_pop,
-               ROUND((s3/n - 3 * (s1/n) * (s2/n) + 2 * (s1/n) * (s1/n)
-                      * (s1/n))
-                     / pow(s2 / n - (s1/n) * (s1/n), 1.5), 6) AS skewness,
-               ROUND((s4/n - 4 * (s1/n) * (s3/n) + 6 * (s1/n) * (s1/n)
-                      * (s2/n) - 3 * (s1/n) * (s1/n) * (s1/n) * (s1/n))
-                     / ((s2/n - (s1/n)*(s1/n)) * (s2/n - (s1/n)*(s1/n)))
-                     - 3.0, 6) AS kurtosis
+               CAST(floor(s1 / n * 1000000) AS BIGINT) AS mean_micro,
+               CAST(floor((s2 / n - (s1/n) * (s1/n)) * 1000000)
+                    AS BIGINT) AS var_pop_micro,
+               CAST(floor((s3/n - 3 * (s1/n) * (s2/n) + 2 * (s1/n)
+                           * (s1/n) * (s1/n))
+                          / pow(s2 / n - (s1/n) * (s1/n), 1.5)
+                          * 1000000) AS BIGINT) AS skewness_micro,
+               CAST(floor(((s4/n - 4 * (s1/n) * (s3/n) + 6 * (s1/n)
+                            * (s1/n) * (s2/n) - 3 * (s1/n) * (s1/n)
+                            * (s1/n) * (s1/n))
+                           / ((s2/n - (s1/n)*(s1/n))
+                              * (s2/n - (s1/n)*(s1/n)))
+                           - 3.0) * 1000000) AS BIGINT) AS kurtosis_micro
         FROM s
         ORDER BY l_returnflag
     """,
@@ -494,8 +498,8 @@ def q_agg_moments(spark, d):
     combinable hash agg (map-side partials merge exactly — decimal
     addition is associative), then the central-moment algebra runs
     the same double expression tree on both engines (pow is the one
-    libm-dependent call; ROUND(6) absorbs its ≤1-ulp spread — the
-    repo-wide rule for libm outputs). l_quantity⁴ ≤ 50⁴ keeps Σx⁴ far
+    libm-dependent call); outputs leave as floor(x*1e6) integer
+    micro — the post-r8 rule for raw-double results. l_quantity⁴ ≤ 50⁴ keeps Σx⁴ far
     inside DECIMAL(30,10) range at any fixture scale."""
     li = load(spark, d, "lineitem")
     q = F.col("l_quantity")
@@ -520,10 +524,10 @@ def q_agg_moments(spark, d):
     return s.select(
         "l_returnflag",
         "n",
-        F.round(m1, 6).alias("mean"),
-        F.round(var_pop, 6).alias("var_pop"),
-        F.round(skew, 6).alias("skewness"),
-        F.round(kurt, 6).alias("kurtosis"),
+        F.floor(m1 * 1000000).alias("mean_micro"),
+        F.floor(var_pop * 1000000).alias("var_pop_micro"),
+        F.floor(skew * 1000000).alias("skewness_micro"),
+        F.floor(kurt * 1000000).alias("kurtosis_micro"),
     ).orderBy("l_returnflag")
 
 
@@ -535,8 +539,8 @@ def q_agg_moments(spark, d):
                    AS n_high,
                bool_and(value >= 0) AS all_nonneg,
                bool_or(value > 990) AS any_extreme,
-               ROUND(CAST(count(CASE WHEN value > 500 THEN 1 END) AS DOUBLE)
-                     / count(*), 6) AS frac_high
+               CAST(count(CASE WHEN value > 500 THEN 1 END) * 1000000
+                    // count(*) AS BIGINT) AS frac_high_ppm
         FROM events
         GROUP BY event_type
         ORDER BY event_type
@@ -556,11 +560,9 @@ def q_agg_boolean(spark, d):
             F.count_if(F.col("value") > 500).alias("n_high"),
             F.every(F.col("value") >= 0).alias("all_nonneg"),
             F.some(F.col("value") > 990).alias("any_extreme"),
-            F.round(
-                F.count_if(F.col("value") > 500).cast("double")
-                / F.count(F.lit(1)),
-                6,
-            ).alias("frac_high"),
+            F.expr(
+                "count_if(value > 500) * 1000000L div count(*)"
+            ).alias("frac_high_ppm"),
         )
         .orderBy("event_type")
     )

@@ -468,6 +468,9 @@ def q_join_skew(spark, d):
     )
 
 
+# ROUND-safe: sum_price rounds the decimal-exact sum of 2-dp money
+# (o_totalprice) back to 2 dp — never near a .005 tie on either
+# engine (accumulated quantize error ~1e-6).
 @query(
     "q_join_null_safe",
     oracle="""
@@ -529,6 +532,9 @@ def q_join_null_safe(spark, d):
     )
 
 
+# ROUND-safe: top_acctbal rounds a single 2-dp money value to 2 dp
+# (identity on the exact cents value); the ordering uses the RAW
+# double with a name tiebreak — identical on both engines.
 @query(
     "q_join_lateral",
     oracle="""

@@ -23,6 +23,9 @@ from ._helpers import DEC
 INCR_CUTOFF = "1997-01-01"
 
 
+# ROUND-safe: sum_price rounds the decimal-exact sum of 2-dp money
+# back to 2 dp — the sum sits within ~1e-6 of an exact cents value,
+# never near a .005 tie on either engine.
 @query(
     "q_agg_incremental",
     oracle="""

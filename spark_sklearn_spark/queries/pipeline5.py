@@ -680,8 +680,8 @@ BOILER_DF = 50  # a 3-gram in more than this many docs is boilerplate
                count(*) AS n_grams,
                CAST(count(CASE WHEN d.ndocs > {BOILER_DF} THEN 1 END)
                     AS BIGINT) AS n_boiler,
-               ROUND(count(CASE WHEN d.ndocs > {BOILER_DF} THEN 1 END)
-                     * 1.0 / count(*), 6) AS boiler_ratio
+               CAST(count(CASE WHEN d.ndocs > {BOILER_DF} THEN 1 END)
+                    * 1000000 // count(*) AS BIGINT) AS boiler_ppm
         FROM tg t JOIN df d ON t.ng = d.ng
         GROUP BY t.doc_id
         ORDER BY t.doc_id
@@ -697,7 +697,8 @@ def q_text_boilerplate(spark, d):
     same stream on the gram key (vocabulary-sized relation, AQE
     broadcasts when it fits) — then a per-doc combinable rollup.
     The gram stream is staged once (same multi-consumer rule as
-    operators/srp.py); ratios are IEEE divisions of exact counts."""
+    operators/srp.py); the boilerplate share is exact integer ppm
+    (long div long on both engines)."""
     from .pipeline4 import _word_ngrams
 
     docs = load(spark, d, "documents")
@@ -726,8 +727,8 @@ def q_text_boilerplate(spark, d):
             "doc_id",
             "n_grams",
             "n_boiler",
-            F.round(F.col("n_boiler") / F.col("n_grams"), 6).alias(
-                "boiler_ratio"
+            F.expr("n_boiler * 1000000L div n_grams").alias(
+                "boiler_ppm"
             ),
         )
         .orderBy("doc_id")
@@ -811,10 +812,12 @@ def q_dedup_url(spark, d):
         SELECT source, lang,
                count(*) AS n_docs,
                CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-               ROUND(sum(n_tokens) * 1.0 / count(*), 6) AS mean_tokens,
-               ROUND(CAST(sum(CAST(n_uniq * 1.0 / n_tokens
-                                   AS DECIMAL(30,10))) AS DOUBLE)
-                     / count(*), 6) AS mean_uniq_ratio,
+               CAST(sum(n_tokens) * 1000000 // count(*) AS BIGINT)
+                   AS mean_tokens_micro,
+               CAST(floor(CAST(sum(CAST(n_uniq * 1.0 / n_tokens
+                                        AS DECIMAL(30,10))) AS DOUBLE)
+                          / count(*) * 1000000) AS BIGINT)
+                   AS mean_uniq_ratio_micro,
                CAST(min(n_chars) AS BIGINT) AS min_chars,
                CAST(max(n_chars) AS BIGINT) AS max_chars
         FROM t
@@ -831,7 +834,8 @@ def q_corpus_health(spark, d):
     agg onto the tiny (source, lang) key space. The uniq-ratio mean
     routes each per-doc ratio through the exact decimal path before
     summing (a raw double sum would be order-dependent across
-    partitionings)."""
+    partitionings); both means leave as integer micro (exact long
+    div, and floor(x*1e6) on the identical double)."""
     docs = load(spark, d, "documents")
     t = docs.select(
         "source",
@@ -845,18 +849,18 @@ def q_corpus_health(spark, d):
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").cast("long").alias("total_tokens"),
-            F.round(
-                F.sum("n_tokens") * F.lit(1.0) / F.count(F.lit(1)), 6
-            ).alias("mean_tokens"),
-            F.round(
+            F.expr("sum(n_tokens) * 1000000L div count(*)").alias(
+                "mean_tokens_micro"
+            ),
+            F.floor(
                 F.sum(
                     (F.col("n_uniq") * F.lit(1.0) / F.col("n_tokens")).cast(
                         DEC
                     )
                 ).cast("double")
-                / F.count(F.lit(1)),
-                6,
-            ).alias("mean_uniq_ratio"),
+                / F.count(F.lit(1))
+                * 1000000
+            ).alias("mean_uniq_ratio_micro"),
             F.min("n_chars").cast("long").alias("min_chars"),
             F.max("n_chars").cast("long").alias("max_chars"),
         )

@@ -185,17 +185,21 @@ def q_graph_copurchase(spark, d):
           SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM per_type
         )
         SELECT p.event_type, p.n_ref, p.n_cur,
-               ROUND((p.n_ref + 1.0) / (t.t_ref + k.k), 6) AS share_ref,
-               ROUND((p.n_cur + 1.0) / (t.t_cur + k.k), 6) AS share_cur,
-               ROUND(((p.n_cur + 1.0) / (t.t_cur + k.k)
-                      - (p.n_ref + 1.0) / (t.t_ref + k.k))
-                     * ln(((p.n_cur + 1.0) / (t.t_cur + k.k))
-                          / ((p.n_ref + 1.0) / (t.t_ref + k.k))), 6)
-                   AS psi_term,
-               ROUND(CASE WHEN p.n_ref > 0
-                          THEN p.sv_ref / p.n_ref END, 6) AS avg_ref,
-               ROUND(CASE WHEN p.n_cur > 0
-                          THEN p.sv_cur / p.n_cur END, 6) AS avg_cur
+               CAST((p.n_ref + 1) * 1000000 // (t.t_ref + k.k)
+                    AS BIGINT) AS share_ref_ppm,
+               CAST((p.n_cur + 1) * 1000000 // (t.t_cur + k.k)
+                    AS BIGINT) AS share_cur_ppm,
+               CAST(floor(((p.n_cur + 1.0) / (t.t_cur + k.k)
+                           - (p.n_ref + 1.0) / (t.t_ref + k.k))
+                          * ln(((p.n_cur + 1.0) / (t.t_cur + k.k))
+                               / ((p.n_ref + 1.0) / (t.t_ref + k.k)))
+                          * 1000000) AS BIGINT) AS psi_term_micro,
+               CAST(floor(CASE WHEN p.n_ref > 0
+                               THEN p.sv_ref / p.n_ref END * 1000000)
+                    AS BIGINT) AS avg_ref_micro,
+               CAST(floor(CASE WHEN p.n_cur > 0
+                               THEN p.sv_cur / p.n_cur END * 1000000)
+                    AS BIGINT) AS avg_cur_micro
         FROM per_type p, tot t, k
         ORDER BY p.event_type
     """,
@@ -211,7 +215,8 @@ def q_dq_schema_drift(spark, d):
     positive so ln() is total, and makes the expression the
     IDENTICAL double computation on both engines (single ln per
     row — no float summation anywhere; value means ride the decimal
-    policy). Plan: one scan, one combinable per-type agg, two
+    policy). Shares are exact integer ppm; the PSI term and means
+    leave as floor(x*1e6) integer micro. Plan: one scan, one combinable per-type agg, two
     single-row broadcasts (cutoff, totals) — the q_dq_freshness
     shape; no window, no shuffle beyond the type agg."""
     ev = load(spark, d, "events").select("event_type", "ts", "value")
@@ -252,23 +257,27 @@ def q_dq_schema_drift(spark, d):
             "event_type",
             "n_ref",
             "n_cur",
-            F.round(p_ref, 6).alias("share_ref"),
-            F.round(p_cur, 6).alias("share_cur"),
-            F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias(
-                "psi_term"
-            ),
-            F.round(
+            F.expr(
+                "(n_ref + 1) * 1000000L div (t_ref + k)"
+            ).alias("share_ref_ppm"),
+            F.expr(
+                "(n_cur + 1) * 1000000L div (t_cur + k)"
+            ).alias("share_cur_ppm"),
+            F.floor(
+                (p_cur - p_ref) * F.log(p_cur / p_ref) * 1000000
+            ).alias("psi_term_micro"),
+            F.floor(
                 F.when(
                     F.col("n_ref") > 0, F.col("sv_ref") / F.col("n_ref")
-                ),
-                6,
-            ).alias("avg_ref"),
-            F.round(
+                )
+                * 1000000
+            ).alias("avg_ref_micro"),
+            F.floor(
                 F.when(
                     F.col("n_cur") > 0, F.col("sv_cur") / F.col("n_cur")
-                ),
-                6,
-            ).alias("avg_cur"),
+                )
+                * 1000000
+            ).alias("avg_cur_micro"),
         )
         .orderBy("event_type")
     )
@@ -728,20 +737,21 @@ def _lr_step_sql(i: int) -> str:
         {_lr_step_sql(1)},
         {_lr_step_sql(2)},
         {_lr_step_sql(3)}
-        SELECT ROUND(w.w0, 6) AS w0,
-               ROUND(w.w1, 6) AS w1,
-               ROUND(w.w2, 6) AS w2,
+        SELECT CAST(floor(w.w0 * 1000000) AS BIGINT) AS w0_micro,
+               CAST(floor(w.w1 * 1000000) AS BIGINT) AS w1_micro,
+               CAST(floor(w.w2 * 1000000) AS BIGINT) AS w2_micro,
                n.n AS n_rows,
                CAST(SUM(CASE WHEN (w.w0 + w.w1 * f.x1 + w.w2 * f.x2 >= 0)
                                   = (f.y = 1.0)
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
-               ROUND(CAST(SUM(CAST(
+               CAST(floor(CAST(SUM(CAST(
                    -(f.y * ln(1.0 / (1.0 + exp(-(w.w0 + w.w1 * f.x1
                                                 + w.w2 * f.x2))))
                      + (1.0 - f.y)
                        * ln(1.0 - 1.0 / (1.0 + exp(-(w.w0 + w.w1 * f.x1
                                                      + w.w2 * f.x2)))))
-                   AS DECIMAL(30,10))) AS DOUBLE) / n.n, 4) AS log_loss
+                   AS DECIMAL(30,10))) AS DOUBLE) / n.n * 1000000)
+                   AS BIGINT) AS log_loss_micro
         FROM feats f, it3 w, n
         GROUP BY w.w0, w.w1, w.w2, n.n
     """,
@@ -777,7 +787,7 @@ def q_ml_logreg(spark, d):
             F.sum(
                 F.when((z >= 0) == (F.col("y") == 1.0), 1).otherwise(0)
             ).alias("n_correct"),
-            F.round(
+            F.floor(
                 F.sum(
                     (
                         -(
@@ -787,17 +797,17 @@ def q_ml_logreg(spark, d):
                     ).cast(DEC)
                 )
                 .cast("double")
-                / F.col("n"),
-                4,
-            ).alias("log_loss"),
+                / F.col("n")
+                * 1000000
+            ).alias("log_loss_micro"),
         )
         .select(
-            F.round("w0", 6).alias("w0"),
-            F.round("w1", 6).alias("w1"),
-            F.round("w2", 6).alias("w2"),
+            F.floor(F.col("w0") * 1000000).alias("w0_micro"),
+            F.floor(F.col("w1") * 1000000).alias("w1_micro"),
+            F.floor(F.col("w2") * 1000000).alias("w2_micro"),
             F.col("n").alias("n_rows"),
             "n_correct",
-            "log_loss",
+            "log_loss_micro",
         )
     )
 
@@ -915,17 +925,19 @@ _CUSUM_SQL = """
     )
     SELECT event_type,
            n_days,
-           ROUND(CAST(MAX(s_pos) AS DOUBLE), 6) AS max_cusum_pos,
-           ROUND(CAST(MAX(s_neg) AS DOUBLE), 6) AS max_cusum_neg,
-           CAST(SUM(CASE WHEN ROUND(CAST(s_pos AS DOUBLE), 6)
-                              > ROUND(3.0 * sd, 6)
-                           OR ROUND(CAST(s_neg AS DOUBLE), 6)
-                              > ROUND(3.0 * sd, 6)
+           CAST(floor(CAST(MAX(s_pos) AS DOUBLE) * 1000000) AS BIGINT)
+               AS max_cusum_pos_micro,
+           CAST(floor(CAST(MAX(s_neg) AS DOUBLE) * 1000000) AS BIGINT)
+               AS max_cusum_neg_micro,
+           CAST(SUM(CASE WHEN floor(CAST(s_pos AS DOUBLE) * 1000000)
+                              > floor(3.0 * sd * 1000000)
+                           OR floor(CAST(s_neg AS DOUBLE) * 1000000)
+                              > floor(3.0 * sd * 1000000)
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_alarm_days,
-           MIN(CASE WHEN ROUND(CAST(s_pos AS DOUBLE), 6)
-                         > ROUND(3.0 * sd, 6)
-                      OR ROUND(CAST(s_neg AS DOUBLE), 6)
-                         > ROUND(3.0 * sd, 6)
+           MIN(CASE WHEN floor(CAST(s_pos AS DOUBLE) * 1000000)
+                         > floor(3.0 * sd * 1000000)
+                      OR floor(CAST(s_neg AS DOUBLE) * 1000000)
+                         > floor(3.0 * sd * 1000000)
                     THEN i END) AS first_alarm_i
     FROM walk
     GROUP BY event_type, n_days, sd
@@ -952,8 +964,9 @@ def q_ts_cusum(spark, d):
     policy, and the per-day deviations QUANTIZE to DECIMAL(30,10)
     before the window sums — the cumulative sums are EXACT decimals,
     immune to Spark-vs-DuckDB window accumulation order (DuckDB's
-    segment-tree float sums are the documented trap); alarm
-    thresholds compare round-6 values on both sides. One SQL text
+    segment-tree float sums are the documented trap); maxima and
+    alarm thresholds are integer-micro (floor(x*1e6) on identical
+    doubles — no engine-specific ROUND anywhere). One SQL text
     runs on both engines."""
     from ..sources.io import register_views
 
@@ -2315,6 +2328,10 @@ def _rrf_oracle() -> str:
     """
 
 
+# ROUND-safe: the only ROUND sites are inside the embedded
+# driver-PROVEN q_text_bm25 oracle (pass r5), used purely to rank the
+# lex list (doc_id tiebreak); every declared output column here is an
+# exact integer (ranks + floor-quantized rrf_q12).
 @query("q_search_hybrid_rrf", oracle=_rrf_oracle())
 def q_search_hybrid_rrf(spark, d):
     """DECLARED hybrid retrieval via reciprocal-rank fusion: the

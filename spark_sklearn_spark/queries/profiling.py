@@ -38,11 +38,13 @@ _PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
                CAST(sum(CASE WHEN v IS NULL THEN cnt ELSE 0 END) AS BIGINT)
                    AS n_null,
                CAST(count(v) AS BIGINT) AS n_distinct,
-               ROUND(min(v), 6) AS vmin,
-               ROUND(max(v), 6) AS vmax,
-               ROUND(CAST(sum(CAST(v AS DECIMAL(30,10)) * cnt) AS DOUBLE)
-                     / sum(CASE WHEN v IS NOT NULL THEN cnt ELSE 0 END), 6)
-                   AS vmean
+               CAST(floor(min(v) * 1000000) AS BIGINT) AS vmin_micro,
+               CAST(floor(max(v) * 1000000) AS BIGINT) AS vmax_micro,
+               CAST(floor(CAST(sum(CAST(v AS DECIMAL(30,10)) * cnt)
+                               AS DOUBLE)
+                          / sum(CASE WHEN v IS NOT NULL THEN cnt
+                                     ELSE 0 END) * 1000000) AS BIGINT)
+                   AS vmean_micro
         FROM g GROUP BY column_name
         ORDER BY column_name
     """,
@@ -57,7 +59,8 @@ def q_profile_table(spark, d):
     from, with map-side combine doing the heavy lifting), and a
     ~|distinct|-row rollup per column derives every statistic from
     the value-count pairs (n = Σcnt, nulls = Σcnt over null values,
-    mean = decimal Σ(v·cnt)/Σcnt). This deliberately avoids Spark's
+    mean = decimal Σ(v·cnt)/Σcnt); min/max/mean leave as
+    floor(x*1e6) integer micro. This deliberately avoids Spark's
     expand-based multi-distinct (n_cols× row multiplication through a
     single-partition final agg — measured ~4× slower at sf0.1) and
     never funnels full rows through one partition. At 100 TB swap
@@ -79,17 +82,17 @@ def q_profile_table(spark, d):
                 F.when(F.col("v").isNull(), F.col("cnt")).otherwise(F.lit(0))
             ).alias("n_null"),
             F.count("v").alias("n_distinct"),
-            F.round(F.min("v"), 6).alias("vmin"),
-            F.round(F.max("v"), 6).alias("vmax"),
-            F.round(
+            F.floor(F.min("v") * 1000000).alias("vmin_micro"),
+            F.floor(F.max("v") * 1000000).alias("vmax_micro"),
+            F.floor(
                 F.sum(F.col("v").cast(DEC) * F.col("cnt")).cast("double")
                 / F.sum(
                     F.when(F.col("v").isNotNull(), F.col("cnt")).otherwise(
                         F.lit(0)
                     )
-                ),
-                6,
-            ).alias("vmean"),
+                )
+                * 1000000
+            ).alias("vmean_micro"),
         )
         .orderBy("column_name")
     )

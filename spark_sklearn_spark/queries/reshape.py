@@ -327,19 +327,19 @@ def q_pivot_dynamic(spark, d):
         SELECT user_id,
                COUNT(CASE WHEN event_type = 'click' THEN 1 END)
                    AS click_n,
-               ROUND(CAST(SUM(CASE WHEN event_type = 'click'
-                     THEN CAST(value AS DECIMAL(30,10)) END) AS DOUBLE), 2)
-                   AS click_sum,
+               CAST(floor(CAST(SUM(CASE WHEN event_type = 'click'
+                     THEN CAST(value AS DECIMAL(30,10)) END) AS DOUBLE)
+                          * 100) AS BIGINT) AS click_sum_cents,
                COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
                    AS purchase_n,
-               ROUND(CAST(SUM(CASE WHEN event_type = 'purchase'
-                     THEN CAST(value AS DECIMAL(30,10)) END) AS DOUBLE), 2)
-                   AS purchase_sum,
+               CAST(floor(CAST(SUM(CASE WHEN event_type = 'purchase'
+                     THEN CAST(value AS DECIMAL(30,10)) END) AS DOUBLE)
+                          * 100) AS BIGINT) AS purchase_sum_cents,
                COUNT(CASE WHEN event_type = 'error' THEN 1 END)
                    AS error_n,
-               ROUND(CAST(SUM(CASE WHEN event_type = 'error'
-                     THEN CAST(value AS DECIMAL(30,10)) END) AS DOUBLE), 2)
-                   AS error_sum
+               CAST(floor(CAST(SUM(CASE WHEN event_type = 'error'
+                     THEN CAST(value AS DECIMAL(30,10)) END) AS DOUBLE)
+                          * 100) AS BIGINT) AS error_sum_cents
         FROM events
         WHERE user_id % 5 = 0
         GROUP BY user_id
@@ -352,17 +352,18 @@ def q_pivot_multi_agg(spark, d):
     {value}_{aggAlias}, and pinning that naming against the oracle is
     the point: multi-agg pivots are where silent column-name drift
     breaks downstream schemas. Explicit value list (the
-    q_pivot_dynamic rule), decimal-path sums, one partial+final agg;
-    the %5 slice bounds the declared output."""
+    q_pivot_dynamic rule), decimal-path sums leaving as floor(x*100)
+    integer cents, one partial+final agg; the %5 slice bounds the
+    declared output."""
     ev = load(spark, d, "events").filter(F.col("user_id") % 5 == 0)
     out = (
         ev.groupBy("user_id")
         .pivot("event_type", ["click", "purchase", "error"])
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(
-                F.sum(F.col("value").cast(DEC)).cast("double"), 2
-            ).alias("sum"),
+            F.floor(
+                F.sum(F.col("value").cast(DEC)).cast("double") * 100
+            ).alias("sum_cents"),
         )
     )
     # a (user, type) combination with no rows pivots to NULL counts in
@@ -371,9 +372,9 @@ def q_pivot_multi_agg(spark, d):
     return out.select(
         "user_id",
         F.coalesce("click_n", F.lit(0)).alias("click_n"),
-        F.col("click_sum"),
+        F.col("click_sum_cents"),
         F.coalesce("purchase_n", F.lit(0)).alias("purchase_n"),
-        F.col("purchase_sum"),
+        F.col("purchase_sum_cents"),
         F.coalesce("error_n", F.lit(0)).alias("error_n"),
-        F.col("error_sum"),
+        F.col("error_sum_cents"),
     ).orderBy("user_id")

@@ -271,11 +271,10 @@ def q_fn_variant(spark, d):
                     AS TIMESTAMP) AS next_month_start,
                CAST(datediff('day', TIMESTAMP '1995-01-01', o_orderdate)
                     AS BIGINT) AS days_since_epoch_ref,
-               ROUND((datediff('month', DATE '1995-01-01',
-                               CAST(o_orderdate AS DATE))
-                      + CASE WHEN extract(day FROM o_orderdate) >= 1
-                             THEN (extract(day FROM o_orderdate) - 1)
-                                  / 31.0 ELSE 0 END), 6) AS months_approx
+               CAST(datediff('month', DATE '1995-01-01',
+                             CAST(o_orderdate AS DATE)) * 1000000
+                    + (extract(day FROM o_orderdate) - 1) * 1000000
+                      // 31 AS BIGINT) AS months_approx_micro
         FROM orders
         WHERE o_orderkey % 100 = 0
         ORDER BY o_orderkey
@@ -287,16 +286,18 @@ def q_fn_interval(spark, d):
     against a fixed reference, and a deterministic fractional-month
     measure (integer month delta + day-of-month fraction — built from
     integer parts on BOTH engines instead of months_between, whose
-    31-day convention DuckDB does not share). Pure codegen'd date
+    31-day convention DuckDB does not share; the fraction is exact
+    integer micro, (dom-1)*1e6 div 31). Pure codegen'd date
     arithmetic — no shuffle beyond the final sort; the hash-sample
     predicate prunes at the scan."""
     o = load(spark, d, "orders").filter(F.col("o_orderkey") % 100 == 0)
     od = F.col("o_orderdate")
     months_int = (
         (F.year(od) - F.lit(1995)) * 12 + (F.month(od) - F.lit(1))
-    ).cast("double")
-    months_approx = F.round(
-        months_int + (F.dayofmonth(od) - 1) / F.lit(31.0), 6
+    ).cast("long")
+    months_approx = (
+        months_int * 1000000
+        + F.expr("(dayofmonth(o_orderdate) - 1) * 1000000L div 31")
     )
     return o.select(
         "o_orderkey",
@@ -307,7 +308,7 @@ def q_fn_interval(spark, d):
         F.datediff(od, F.lit("1995-01-01").cast("timestamp"))
         .cast("long")
         .alias("days_since_epoch_ref"),
-        months_approx.alias("months_approx"),
+        months_approx.alias("months_approx_micro"),
     ).orderBy("o_orderkey")
 
 
@@ -316,8 +317,9 @@ def q_fn_interval(spark, d):
     oracle="""
         SELECT l_orderkey, l_linenumber,
                CASE WHEN l_discount = 0 THEN NULL
-                    ELSE ROUND(l_extendedprice / l_discount, 6) END
-                   AS price_per_disc,
+                    ELSE CAST(floor(l_extendedprice / l_discount
+                                    * 1000000) AS BIGINT) END
+                   AS price_per_disc_micro,
                TRY_CAST(l_returnflag AS BIGINT) AS flag_as_int,
                CASE WHEN l_quantity = 0 THEN NULL
                     ELSE CAST(floor(l_extendedprice / l_quantity) AS BIGINT)
@@ -340,9 +342,10 @@ def q_fn_try_arith(spark, d):
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(
-            F.try_divide(F.col("l_extendedprice"), F.col("l_discount")), 6
-        ).alias("price_per_disc"),
+        F.floor(
+            F.try_divide(F.col("l_extendedprice"), F.col("l_discount"))
+            * 1000000
+        ).try_cast("bigint").alias("price_per_disc_micro"),
         F.col("l_returnflag").try_cast("bigint").alias("flag_as_int"),
         # floor() both sides: a bare double→bigint cast TRUNCATES in
         # Spark but ROUNDS in DuckDB — floor is the portable form

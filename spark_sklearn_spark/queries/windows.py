@@ -181,8 +181,9 @@ def q_win_distribution(spark, d):
     oracle="""
         SELECT event_id, user_id, ts,
                CAST(count(*) OVER w AS BIGINT) AS n_last_2h,
-               ROUND(CAST(sum(CAST(value AS DECIMAL(30,10))) OVER w
-                          AS DOUBLE), 2) AS sum_last_2h
+               CAST(floor(CAST(sum(CAST(value AS DECIMAL(30,10)))
+                               OVER w AS DOUBLE) * 100) AS BIGINT)
+                   AS sum_last_2h_cents
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts
                      RANGE BETWEEN INTERVAL 2 HOUR PRECEDING
@@ -196,7 +197,8 @@ def q_win_range_interval(spark, d):
     row count (a user with bursty traffic gets a wide frame, a sparse
     one a narrow frame; ROWS frames can't express this). One shuffle
     on user_id, sorted range-frame scan per partition; sums ride the
-    exact decimal path inside the frame. Identical frame semantics on
+    exact decimal path inside the frame and leave as floor(x*100)
+    integer cents. Identical frame semantics on
     both engines: RANGE over timestamps with an INTERVAL bound
     includes ties on ts."""
     from ..sources.io import register_views
@@ -206,8 +208,9 @@ def q_win_range_interval(spark, d):
         """
         SELECT event_id, user_id, ts,
                count(*) OVER w AS n_last_2h,
-               ROUND(CAST(sum(CAST(value AS DECIMAL(30,10))) OVER w
-                          AS DOUBLE), 2) AS sum_last_2h
+               CAST(floor(CAST(sum(CAST(value AS DECIMAL(30,10)))
+                               OVER w AS DOUBLE) * 100) AS BIGINT)
+                   AS sum_last_2h_cents
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts
                      RANGE BETWEEN INTERVAL 2 HOURS PRECEDING
@@ -269,15 +272,18 @@ def q_win_nth(spark, d):
           GROUP BY day
         )
         SELECT day, revenue,
-               ROUND((revenue - lag(revenue) OVER (ORDER BY day))
-                     / lag(revenue) OVER (ORDER BY day), 6) AS pct_change,
-               ROUND(CAST(SUM(CAST(revenue AS DECIMAL(30,10)))
-                          OVER (ORDER BY day
-                                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
-                          AS DOUBLE)
-                     / COUNT(*) OVER (ORDER BY day
-                                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
-                     6) AS ma7
+               CAST(floor((revenue - lag(revenue) OVER (ORDER BY day))
+                          / lag(revenue) OVER (ORDER BY day) * 1000000)
+                    AS BIGINT) AS pct_change_micro,
+               CAST(floor(CAST(SUM(CAST(revenue AS DECIMAL(30,10)))
+                               OVER (ORDER BY day
+                                     ROWS BETWEEN 6 PRECEDING
+                                              AND CURRENT ROW)
+                               AS DOUBLE)
+                          / COUNT(*) OVER (ORDER BY day
+                                     ROWS BETWEEN 6 PRECEDING
+                                              AND CURRENT ROW)
+                          * 1000000) AS BIGINT) AS ma7_micro
         FROM daily
         ORDER BY day
     """,
@@ -290,7 +296,8 @@ def q_win_pct_change(spark, d):
     that follows runs on a calendar-BOUNDED relation — the same
     single-partition-is-safe argument as q_win_pareto's top-100.
     Daily sums are rounded on the decimal path BEFORE the derived
-    metrics; the moving average re-sums the rounded dailies exactly."""
+    metrics (2-dp money — ROUND-safe); pct-change and the moving
+    average leave as floor(x*1e6) integer micro."""
     from pyspark.sql import Window as W
 
     o = load(spark, d, "orders")
@@ -307,12 +314,14 @@ def q_win_pct_change(spark, d):
     return daily.select(
         "day",
         "revenue",
-        F.round((F.col("revenue") - prev) / prev, 6).alias("pct_change"),
-        F.round(
+        F.floor(
+            (F.col("revenue") - prev) / prev * 1000000
+        ).alias("pct_change_micro"),
+        F.floor(
             F.sum(F.col("revenue").cast(DEC)).over(w_ma).cast("double")
-            / F.count(F.lit(1)).over(w_ma),
-            6,
-        ).alias("ma7"),
+            / F.count(F.lit(1)).over(w_ma)
+            * 1000000
+        ).alias("ma7_micro"),
     ).orderBy("day")
 
 
@@ -325,12 +334,14 @@ def q_win_pct_change(spark, d):
           FROM events
         )
         SELECT user_id, event_id,
-               ROUND(last_value(v IGNORE NULLS) OVER (
+               CAST(floor(last_value(v IGNORE NULLS) OVER (
                    PARTITION BY user_id ORDER BY ts, event_id
-                   ROWS UNBOUNDED PRECEDING), 6) AS last_known,
-               ROUND(first_value(v IGNORE NULLS) OVER (
+                   ROWS UNBOUNDED PRECEDING) * 1000000) AS BIGINT)
+                   AS last_known_micro,
+               CAST(floor(first_value(v IGNORE NULLS) OVER (
                    PARTITION BY user_id ORDER BY ts, event_id
-                   ROWS UNBOUNDED PRECEDING), 6) AS first_known
+                   ROWS UNBOUNDED PRECEDING) * 1000000) AS BIGINT)
+                   AS first_known_micro
         FROM readings
         ORDER BY user_id, event_id
     """,
@@ -342,7 +353,8 @@ def q_win_ignore_nulls(spark, d):
     third event_id to exercise it; unlike q_ts_gapfill this is the
     WINDOW-function form, one pass with no self-join). Both frames
     share a single (user_id; ts, event_id) partitioning — one
-    shuffle, one sort."""
+    shuffle, one sort; carried values leave as floor(x*1e6) integer
+    micro (the carried double is identical on both engines)."""
     from pyspark.sql import Window as W
 
     ev = load(spark, d, "events").select(
@@ -361,10 +373,10 @@ def q_win_ignore_nulls(spark, d):
     return ev.select(
         "user_id",
         "event_id",
-        F.round(F.last("v", ignorenulls=True).over(w), 6).alias(
-            "last_known"
-        ),
-        F.round(F.first("v", ignorenulls=True).over(w), 6).alias(
-            "first_known"
-        ),
+        F.floor(
+            F.last("v", ignorenulls=True).over(w) * 1000000
+        ).alias("last_known_micro"),
+        F.floor(
+            F.first("v", ignorenulls=True).over(w) * 1000000
+        ).alias("first_known_micro"),
     ).orderBy("user_id", "event_id")

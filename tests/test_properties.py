@@ -400,8 +400,8 @@ def test_ml_logreg_matches_numpy(spark, sf_dir):
         w = w - LR_RATE * g / n
 
     assert row["n_rows"] == n
-    for wi, name in zip(w, ["w0", "w1", "w2"]):
-        assert abs(row[name] - round(wi, 6)) < 2e-6, (name, wi)
+    for wi, name in zip(w, ["w0_micro", "w1_micro", "w2_micro"]):
+        assert abs(row[name] / 1e6 - wi) < 3e-6, (name, wi)
     z = w[0] + w[1] * x1 + w[2] * x2
     # the numpy weights match the engine's only to ~2e-6, so rows
     # whose margin sits inside that drift may legitimately flip the
@@ -413,7 +413,7 @@ def test_ml_logreg_matches_numpy(spark, sf_dir):
     )
     p = 1.0 / (1.0 + np.exp(-z))
     ll = dec_sum(-(y * np.log(p) + (1.0 - y) * np.log(1.0 - p))) / n
-    assert abs(row["log_loss"] - round(ll, 4)) < 2e-4
+    assert abs(row["log_loss_micro"] / 1e6 - ll) < 2e-4
 
 
 def test_tree_split_invariants(spark, sf_dir):

@@ -640,7 +640,8 @@ def test_pacf_lag1_matches_autocorr(spark, sf_dir):
     qs = entry.queries()
     r = qs["q_ts_pacf"](spark, sf_dir).collect()[0]
     acf = {
-        row.k: row.acf for row in qs["q_ts_autocorr"](spark, sf_dir).collect()
+        row.k: row.acf_micro / 1e6
+        for row in qs["q_ts_autocorr"](spark, sf_dir).collect()
     }
     assert abs(r.rho1_micro / 1e6 - acf[1]) < 3e-6
     r1, r2 = r.rho1_micro / 1e6, r.rho2_micro / 1e6
