@@ -25,6 +25,8 @@ Primitives covered (one column each, see q_dq_engine_canary):
                                      the sketches.HLL_NUMER mechanism)
   bitshift/mask extraction          (the r9 bootstrap byte-draw
                                      mechanism: >> and & on bigint)
+  scale-6 multiply-round tie        (the r8-adjudicated DuckDB
+                                     x*1e6-lands-on-.5 mechanism)
 """
 
 from __future__ import annotations
@@ -60,7 +62,9 @@ _CANARY_ORACLE = f"""
           AS tie_floor_micro,
       CAST(floor(CAST('0.7213475204444817' AS DOUBLE)
                  * 1000000000000000000.0) AS BIGINT) AS dbl_literal_atto,
-      CAST((1234605616436508552 >> 16) & 255 AS BIGINT) AS bitshift_mask
+      CAST((1234605616436508552 >> 16) & 255 AS BIGINT) AS bitshift_mask,
+      CAST(round(round(CAST(0.1234565 AS DOUBLE), 6) * 1000000.0)
+           AS BIGINT) AS round_tie_micro
     FROM nation
 """
 
@@ -147,4 +151,15 @@ def q_dq_engine_canary(spark, d):
         F.expr("shiftright(1234605616436508552L, 16) & 255")
         .cast("long")
         .alias("bitshift_mask"),
+        # the r8-adjudicated multiply-round tie, probed head-on: the
+        # double nearest 0.1234565 sits BELOW the .5 boundary, yet
+        # BOTH engines round it UP today — DuckDB because its
+        # multiply-based round lands the product exactly on 123456.5
+        # and breaks half-away, Spark because BigDecimal.valueOf goes
+        # through the SHORTEST string repr ("0.1234565"), not the
+        # exact binary expansion. Either implementation moving (exact
+        # BigDecimal, half-even product) flips this column to 123456.
+        F.round(F.round(F.lit(0.1234565), 6) * 1000000.0, 0)
+        .cast("long")
+        .alias("round_tie_micro"),
     )

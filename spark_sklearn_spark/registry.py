@@ -28,36 +28,134 @@ ORACLES: dict[str, str] = {}
 # hard gate, so we pin an explicit priority order and ROTATE it each round so
 # no key goes more than two rounds without a driver re-check.
 #
-# Round-9 order. CORRECTNESS_r08 was a clean 50/50 and confirmed the r8
-# window cut exactly after q_text_hapax (position 50) — so the 4 remaining
-# r7 reds (hardened in 0098c7f, judge-verified green, but never re-sampled)
-# sat at 51-54 and STILL carry a FAIL as their latest driver row. Window
-# plan: (1) the canary (extended this round: round_half_dir /
-# tie_floor_micro / dbl_literal_atto / bitshift_mask columns); (2) the 4
-# unresampled r7 reds — these MUST green; (3) keys whose code or oracle
-# changed this round; (4a-4l) the round-9 batches in landing order (zero
-# driver history; the 50-key window ends inside batch G — batches H-K and
-# everything after are next round's head, every one of them strict-swept
-# green in this session's full sf0.01 sweeps); then (5) the keys the r8
-# reorder displaced, (6) q_dedup_simhash (declared rewrite newer than its
-# only driver row), (7) never-driver-checked declared keys, (8) oldest
-# driver rows. tests/test_queries_smoke.py asserts every name here is
-# registered; tests/test_round9.py pins the must-be-in-window set.
+# Round-10 order. CORRECTNESS_r09 was a clean 50/50 (canary + the 4
+# hardened r7 reds + the 3 r9-changed keys + 42 r9-batch keys all
+# green), so the r9 window rotates to the back. Window plan:
+# (1) the canary; (2) the 29 keys whose OUTPUTS changed this round —
+# the pre-policy ROUND()-oracle band converted to exact integer
+# ppm/micro/cents per the r8 adjudication (VERDICT r9 item 1); these
+# are declared+changed, so they MUST be driver-sampled; (3)
+# q_dedup_simhash — the only declared key whose latest driver row
+# (rows-only r3) predates its r6 rewrite (VERDICT r9 item 2); (4) the
+# 19 r9 batch H-L keys that sat just past the r9 cut, zero driver
+# history. That is exactly 50. Past the cut: the ROUND-safe-annotated
+# never-checked keys, the r8-displaced never-checked band, remaining
+# never-checked keys, then oldest driver rows. tests/
+# test_queries_smoke.py asserts every name here is registered;
+# tests/test_round9.py pins the must-be-in-window set.
 DRIVER_PRIORITY: list[str] = [
     # (1) portability canary — if the driver env drifts, this names the column
     "q_dq_engine_canary",
-    # (2) the 4 r7 reds hardened in r8 but never re-sampled (ADVICE r8)
+    # (2) round-10 ROUND-band conversions (integer ppm/micro/cents
+    # outputs) — changed this round, never driver-checked before
+    "q_ml_auc",
+    "q_ml_confusion",
+    "q_ml_pr_curve",
+    "q_ml_gains",
+    "q_ml_ks",
+    "q_ts_cusum",
+    "q_ts_twap",
+    "q_ts_autocorr",
+    "q_ts_seasonal",
+    "q_ts_backtest",
+    "q_ts_interpolate",
+    "q_behavior_rfm",
+    "q_text_perplexity",
+    "q_text_kl_source",
+    "q_text_boilerplate",
+    "q_corpus_health",
+    "q_dq_schema_drift",
+    "q_search_hybrid_rrf",
+    "q_ml_logreg",
+    "q_emb_recall_grid",
+    "q_agg_moments",
+    "q_agg_boolean",
+    "q_profile_table",
+    "q_pivot_multi_agg",
+    "q_cdc_snapshot_diff",
+    "q_win_range_interval",
+    "q_win_pct_change",
+    "q_win_ignore_nulls",
+    "q_fn_interval",
+    "q_fn_try_arith",
+    # (3) declared rewrite (r6) newer than its only driver row (r3)
+    "q_dedup_simhash",
+    # (4) round-9 batches H-L — sat just past the r9 cut, zero driver
+    # history, judge-sweep green in r9
+    "q_dq_crossfield",
+    "q_ml_friedman",
+    "q_behavior_uplift",
+    "q_ts_lttb",
+    "q_ml_cluster_purity",
+    "q_ml_rand_index",
+    "q_graph_adamic_adar",
+    "q_ts_bollinger",
+    "q_pii_tokenize",
+    "q_join_pit_scd2",
+    "q_dq_table_checksum",
+    "q_ts_esd",
+    "q_ml_nmi",
+    "q_ts_granger",
+    "q_ml_tost",
+    "q_source_glob_tree",
+    "q_ml_kruskal",
+    "q_behavior_powerlaw",
+    "q_dq_double_charge",
+    # ---- 50-key window cuts exactly here ----
+    # (5) ROUND-safe-annotated this round, never driver-checked —
+    # next round's window head
+    "q_graph_triangles",
+    "q_agg_incremental",
+    "q_join_null_safe",
+    "q_join_lateral",
+    # (6) displaced past the r8/r9 windows, never driver-checked
+    "q_ml_gbm_round",
+    "q_ml_calibration",
+    "q_emb_centroid_sim",
+    "q_ml_label_noise_knn",
+    "q_dedup_incremental",
+    "q_sample_balanced",
+    # (7) remaining never-driver-checked declared keys
+    "q_sim_mmr_exact",
+    "q_sim_ann_grid",
+    "q_dedup_funnel",
+    "q_sim_ann_ivf_kmeans",
+    "q_ml_tree_stump",
+    "q_behavior_lifecycle",
+    "q_emb_hamming_knn",
+    "q_dq_freshness",
+    "q_udtf_arrow",
+    "q_sql_recursive",
+    "q_fn_timezone",
+    "q_graph_copurchase",
+    "q_ml_naive_bayes",
+    "q_ml_kmeans",
+    "q_emb_pq_adc",
+    "q_dedup_recall_minhash",
+    "q_ml_tree_depth2",
+    "q_dedup_editdist",
+    "q_ts_survival",
+    "q_scan_metadata",
+    "q_agg_mode",
+    "q_win_nth",
+    "q_fn_variant",
+    "q_udf_iter",
+    "q_udtf_python",
+    "q_behavior_transitions",
+    "q_url_canonical",
+    "q_dedup_url",
+    "q_layout_zorder",
+    "q_split_train",
+    "q_pivot_dynamic",
+    # (8) the r9 window keys (all green r9), rotate behind the
+    # never-checked band
     "q_win_running_distinct",
     "q_sample_weighted",
     "q_ts_outlier_mad",
     "q_mix_budget",
-    # (3) changed this round: floor-before-cast LTV, integer-cents upsert,
-    # ASCII-gated multimodal raster
     "q_behavior_ltv",
     "q_stream_upsert_final",
     "q_multimodal_hash",
-    # (4) new round-9 keys — zero driver history — plus the freshly
-    # PROMOTED q_agg_approx_percentile (rows-only -> declared this round)
     "q_agg_approx_percentile",
     "q_emb_pca_topk",
     "q_text_minhash_containment",
@@ -68,7 +166,6 @@ DRIVER_PRIORITY: list[str] = [
     "q_behavior_absorbing",
     "q_text_simpson",
     "q_join_range_bucket",
-    # (4b) round-9 batch B + the literal TPC-H Q1
     "q_ml_spearman",
     "q_ml_kendall",
     "q_graph_assortativity",
@@ -76,15 +173,12 @@ DRIVER_PRIORITY: list[str] = [
     "q_sample_reservoir",
     "q_dq_reconcile",
     "q_tpch_q1",
-    # (4c) round-9 batch C
     "q_source_binaryfile",
     "q_graph_modularity",
     "q_emb_whiten",
-    # (4d) round-9 batch D
     "q_win_gaps_islands",
     "q_sample_neyman",
     "q_emb_ann_recall_ivf",
-    # (4e) round-9 batch E
     "q_ml_mannwhitney",
     "q_ml_anova",
     "q_ts_pacf",
@@ -94,7 +188,6 @@ DRIVER_PRIORITY: list[str] = [
     "q_geo_grid_join",
     "q_dq_skew",
     "q_graph_label_prop",
-    # (4f) round-9 batch F
     "q_ml_logrank",
     "q_ml_mcnemar",
     "q_ml_kappa",
@@ -102,115 +195,10 @@ DRIVER_PRIORITY: list[str] = [
     "q_join_asof_tolerance",
     "q_layout_file_skipping",
     "q_source_json_corrupt",
-    # (4g) round-9 batch G — the window holds exactly 3 of these 4;
-    # q_dq_crossfield sits first past the cut (next round's head)
     "q_ml_silhouette",
     "q_ml_davies_bouldin",
     "q_ml_kcenter_init",
-    # ---- 50-key window cuts exactly here (29 new r9 keys inside) ----
-    # (4h) batch G overflow + round-9 batch H — first past the cut,
-    # next round's window head
-    "q_dq_crossfield",
-    "q_ml_friedman",
-    "q_behavior_uplift",
-    "q_ts_lttb",
-    # (4i) round-9 batch I — past the cut with (4h), next round's head
-    "q_ml_cluster_purity",
-    "q_ml_rand_index",
-    "q_graph_adamic_adar",
-    "q_ts_bollinger",
-    "q_pii_tokenize",
-    # (4j) round-9 batch J
-    "q_join_pit_scd2",
-    "q_dq_table_checksum",
-    "q_ts_esd",
-    "q_ml_nmi",
-    # (4k) round-9 batch K
-    "q_ts_granger",
-    "q_ml_tost",
-    "q_source_glob_tree",
-    # (4l) round-9 batch L
-    "q_ml_kruskal",
-    "q_behavior_powerlaw",
-    "q_dq_double_charge",
-    # (5) displaced just past the r8 window, never driver-checked
-    "q_ml_gbm_round",
-    "q_ml_calibration",
-    "q_emb_centroid_sim",
-    "q_ml_label_noise_knn",
-    "q_dedup_incremental",
-    "q_sample_balanced",
-    # (6) declared rewrite newer than its only driver row
-    "q_dedup_simhash",
-    # (7) never-driver-checked declared keys (HUGEINT-defused r8 batch
-    # first, then the r7 batch) — all strict-swept green this session
-    "q_ml_auc",
-    "q_ml_confusion",
-    "q_ml_pr_curve",
-    "q_ml_gains",
-    "q_ml_ks",
-    "q_sim_mmr_exact",
-    "q_sim_ann_grid",
-    "q_dedup_funnel",
-    "q_text_kl_source",
-    "q_sim_ann_ivf_kmeans",
-    "q_ml_tree_stump",
-    "q_ts_twap",
-    "q_behavior_lifecycle",
-    "q_ts_seasonal",
-    "q_emb_hamming_knn",
-    "q_cdc_snapshot_diff",
-    "q_dq_freshness",
-    "q_udtf_arrow",
-    "q_win_pct_change",
-    "q_sql_recursive",
-    "q_fn_timezone",
-    "q_ts_autocorr",
-    "q_win_ignore_nulls",
-    "q_pivot_multi_agg",
-    "q_ts_backtest",
-    "q_text_perplexity",
-    "q_emb_recall_grid",
-    "q_graph_copurchase",
-    "q_dq_schema_drift",
-    "q_ml_naive_bayes",
-    "q_ml_kmeans",
-    "q_ml_logreg",
-    "q_ts_cusum",
-    "q_emb_pq_adc",
-    "q_dedup_recall_minhash",
-    "q_ml_tree_depth2",
-    "q_dedup_editdist",
-    "q_ts_survival",
-    "q_search_hybrid_rrf",
-    # (7 cont.) never-driver-checked older keys
-    "q_scan_metadata",
-    "q_agg_mode",
-    "q_agg_moments",
-    "q_agg_boolean",
-    "q_win_range_interval",
-    "q_win_nth",
-    "q_fn_variant",
-    "q_fn_interval",
-    "q_fn_try_arith",
-    "q_join_null_safe",
-    "q_join_lateral",
-    "q_udf_iter",
-    "q_udtf_python",
-    "q_behavior_transitions",
-    "q_ts_interpolate",
-    "q_behavior_rfm",
-    "q_graph_triangles",
-    "q_url_canonical",
-    "q_text_boilerplate",
-    "q_dedup_url",
-    "q_corpus_health",
-    "q_agg_incremental",
-    "q_layout_zorder",
-    "q_profile_table",
-    "q_split_train",
-    "q_pivot_dynamic",
-    # (6) oldest driver rows on file (r3), cycle back through
+    # (9) oldest driver rows on file (r3), cycle back through
     "q_ml_keyed_fit",
     "q_ml_keyed_transform",
     "q_ml_vector_roundtrip",

@@ -55,24 +55,29 @@ def test_registry_keys_all_documented_in_survey():
     assert not missing, f"registry keys absent from SURVEY.md: {missing}"
 
 
-def test_driver_priority_covers_round9_risk():
-    """The four r7 reds and every round-9 new/changed key must sit in
-    the first 50 priority positions (the driver's check window)."""
+def test_driver_priority_covers_round10_risk():
+    """The canary, every round-10 ROUND-band conversion (changed
+    outputs), q_dedup_simhash (rewrite newer than its only driver
+    row), and the r9 batch H-L never-checked keys must sit in the
+    first 50 priority positions (the driver's check window)."""
     from spark_sklearn_spark.registry import DRIVER_PRIORITY
 
     window = set(DRIVER_PRIORITY[:50])
     must = {
         "q_dq_engine_canary",
-        "q_win_running_distinct", "q_sample_weighted",
-        "q_ts_outlier_mad", "q_mix_budget",
-        "q_behavior_ltv", "q_stream_upsert_final", "q_multimodal_hash",
-        "q_agg_approx_percentile", "q_emb_pca_topk",
-        "q_text_minhash_containment", "q_ts_changepoint", "q_feat_woe",
-        "q_graph_jaccard_nbrs", "q_ts_hurst", "q_behavior_absorbing",
-        "q_text_simpson", "q_join_range_bucket",
-        "q_ml_spearman", "q_ml_kendall", "q_graph_assortativity",
-        "q_behavior_gaps", "q_sample_reservoir", "q_dq_reconcile",
-        "q_tpch_q1",
+        # r10 ROUND-band conversions
+        "q_ml_auc", "q_ml_confusion", "q_ml_pr_curve", "q_ml_gains",
+        "q_ml_ks", "q_ts_cusum", "q_ts_twap", "q_ts_autocorr",
+        "q_ts_seasonal", "q_ts_backtest", "q_ts_interpolate",
+        "q_behavior_rfm", "q_text_perplexity", "q_text_kl_source",
+        "q_text_boilerplate", "q_corpus_health", "q_dq_schema_drift",
+        "q_search_hybrid_rrf", "q_ml_logreg", "q_emb_recall_grid",
+        "q_agg_moments", "q_agg_boolean", "q_profile_table",
+        "q_pivot_multi_agg", "q_cdc_snapshot_diff",
+        "q_win_range_interval", "q_win_pct_change",
+        "q_win_ignore_nulls", "q_fn_interval", "q_fn_try_arith",
+        # declared rewrite newer than its only driver row
+        "q_dedup_simhash",
     }
     assert must <= window, sorted(must - window)
 
@@ -991,9 +996,14 @@ def test_lttb_picks_one_per_interior_bucket(spark, sf_dir):
 
 def test_canary_bitshift_column(spark, sf_dir):
     """The new bitshift_mask column must extract byte 2 of the pinned
-    constant: (0x1122334455667788 >> 16) & 255 = 0x66 = 102."""
+    constant: (0x1122334455667788 >> 16) & 255 = 0x66 = 102. The r10
+    round_tie_micro column pins the multiply-round tie: the double
+    nearest 0.1234565 is BELOW the boundary yet both engines round UP
+    (DuckDB: product lands exactly on 123456.5, half-away; Spark:
+    BigDecimal.valueOf goes through the shortest string repr)."""
     r = entry.queries()["q_dq_engine_canary"](spark, sf_dir).collect()[0]
     assert r.bitshift_mask == 102
+    assert r.round_tie_micro == 123457
 
 
 # ---------------------------------------------------------------------------
