@@ -68,20 +68,37 @@ def pagerank(
     # addressed rank mass that the left join silently DROPS, deflating
     # every rank and breaking Σrank = 1. The output is filtered back
     # to the caller's node set at the end.
-    node_set = caller_nodes.unionByName(endpoints).distinct().persist()
-    n = node_set.count()
-    active = (
-        node_set.join(endpoints, "node")
+    #
+    # One MARKED relation carries node-set membership + out-degree, so
+    # the three driver scalars (n, n_active, active-dangling count)
+    # come from ONE eager agg job over it instead of three separate
+    # count jobs, and the isolated set at the end is a filter rather
+    # than an anti-join (r10: measured ~1.1 s -> ~0.4 s on the eager
+    # prologue at sf0.1).
+    node_set = caller_nodes.unionByName(endpoints).distinct()
+    marked = (
+        node_set.join(
+            endpoints.withColumn("is_ep", F.lit(1)), "node", "left"
+        )
         .join(deg.withColumnRenamed("src", "node"), "node", "left")
-        .select("node", F.coalesce("out_deg", F.lit(0)).alias("out_deg"))
+        .select(
+            "node",
+            "is_ep",
+            F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+        )
         .persist()
     )
-    n_active = active.count()
+    n, n_active, n_active_dangling = marked.agg(
+        F.count(F.lit(1)),
+        F.count("is_ep"),
+        F.count_if(F.col("is_ep").isNotNull() & (F.col("out_deg") == 0)),
+    ).first()
     n_iso = n - n_active
     # Active nodes with no out-edges (receive-only sinks) would need a
-    # per-round dangling aggregate; a symmetrized graph has none, and
-    # computing the count ONCE lets the common case skip that job.
-    n_active_dangling = active.filter(F.col("out_deg") == 0).count()
+    # per-round dangling aggregate; a symmetrized graph has none.
+    active = marked.filter(F.col("is_ep").isNotNull()).select(
+        "node", "out_deg"
+    )
 
     teleport = (1.0 - damping) / n
     r_iso = 1.0 / n  # shared rank of every isolated node (driver scalar)
@@ -147,15 +164,12 @@ def pagerank(
         r_iso = teleport + damping * (dangling / n)
 
     e.unpersist()
-    # active + node_set stay persisted: the returned lazy DataFrame
-    # reads them (same note as operators/components.py).
-    isolated = (
-        node_set.join(active.select("node"), "node", "left_anti")
-        .select(
-            "node",
-            F.lit(float(r_iso)).alias("rank"),
-            F.lit(0).alias("out_deg"),
-        )
+    # marked stays persisted: the returned lazy DataFrame reads it
+    # twice (same note as operators/components.py).
+    isolated = marked.filter(F.col("is_ep").isNull()).select(
+        "node",
+        F.lit(float(r_iso)).alias("rank"),
+        F.lit(0).alias("out_deg"),
     )
     return (
         ranks.select("node", "rank", "out_deg")
