@@ -78,7 +78,7 @@ def q_emb_pca_topk(spark, d):
     fit's own."""
     from .pca_power import power_fit
 
-    cent, iterates = power_fit(spark, d)
+    cent, _, iterates = power_fit(spark, d)
     v = iterates[-1]
     proj = (
         cent.join(F.broadcast(v), "i")

@@ -521,97 +521,3 @@ def q_emb_dimstats(spark, d):
         .orderBy("dim")
     )
 
-
-# --------------------------------------------------------------------------
-# PCA projection (distributed gramian, driver-side 64×64 eig)
-# --------------------------------------------------------------------------
-
-
-@query("q_emb_pca")  # rows-only: eigendecomposition is not SQL-expressible
-def q_emb_pca(spark, d):
-    """PCA projection of the embedding corpus onto its top-2
-    principal components — the whitening/visualization step of a
-    vector pipeline. The scale-correct split: (1) per-partition
-    moment matrices (n, Σx, ΣxxT) via one Arrow-batched BLAS pass —
-    mapInPandas emits ONE tiny row per batch, so the collected
-    partials are bounded by O(partitions · d²), independent of row
-    count (same bounded-driver-step argument as the IVF coarse
-    quantizer); (2) a 64×64 eigendecomposition on the driver —
-    microseconds, no cluster involvement; (3) the two eigenvectors
-    return as literal arrays and each row's projection is an O(d)
-    JVM fold — no second Python crossing. Eigenvector sign is fixed
-    (first max-|.| component positive) so output is deterministic
-    run-to-run. Declared as rows-only: the oracle side cannot
-    eigendecompose."""
-    import numpy as np
-    from pyspark.sql.types import (
-        ArrayType, DoubleType, LongType, StructField, StructType,
-    )
-
-    emb = load(spark, d, "embeddings")
-
-    partial_schema = StructType(
-        [
-            StructField("n", LongType()),
-            StructField("s", ArrayType(DoubleType())),
-            StructField("g", ArrayType(DoubleType())),
-        ]
-    )
-
-    def moments(batches):
-        import numpy as np  # executor-side
-        import pandas as pd
-
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            X = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
-            yield pd.DataFrame(
-                {
-                    "n": [X.shape[0]],
-                    "s": [X.sum(axis=0).tolist()],
-                    "g": [(X.T @ X).ravel().tolist()],
-                }
-            )
-
-    parts = emb.select("embedding").mapInPandas(moments, partial_schema).collect()
-    # the dimension comes for free from the collected partials — a
-    # dedicated first() job just to read it would add a scan per run
-    dim = len(parts[0]["s"])
-    n = sum(r["n"] for r in parts)
-    s = np.sum([np.array(r["s"]) for r in parts], axis=0)
-    g = np.sum([np.array(r["g"]).reshape(dim, dim) for r in parts], axis=0)
-    mu = s / n
-    cov = (g - np.outer(s, mu)) / (n - 1)
-    evals, evecs = np.linalg.eigh(cov)
-    order = np.argsort(evals)[::-1]
-    evals, evecs = evals[order], evecs[:, order]
-    pcs = []
-    for j in range(2):
-        v = evecs[:, j]
-        if v[int(np.argmax(np.abs(v)))] < 0:
-            v = -v
-        pcs.append(v)
-    evr = evals / evals.sum()
-
-    def lit_vec(v):
-        return F.array(*[F.lit(float(x)) for x in v])
-
-    x = as_double_array(F.col("embedding"))
-
-    def proj(pc, mean):
-        centered = F.zip_with(x, lit_vec(mean), lambda a, b: a - b)
-        return F.aggregate(
-            F.zip_with(centered, lit_vec(pc), lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, t: acc + t,
-        )
-
-    return emb.select(
-        "vec_id",
-        "label",
-        F.round(proj(pcs[0], mu), 6).alias("pc1"),
-        F.round(proj(pcs[1], mu), 6).alias("pc2"),
-        F.round(F.lit(float(evr[0])), 6).alias("evr1"),
-        F.round(F.lit(float(evr[1])), 6).alias("evr2"),
-    ).orderBy("vec_id")

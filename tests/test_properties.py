@@ -181,50 +181,66 @@ def test_approx_distinct_error_bound(spark, sf_dir):
         )
 
 
-def test_emb_pca_matches_numpy_and_invariants(spark, sf_dir):
-    """q_emb_pca is rows-only for the driver (eig isn't SQL-
-    expressible); give the path teeth here (VERDICT r5 item 9):
-    (1) projections match a from-scratch numpy PCA with the same
-    sign convention, (2) explained-variance ratios are ordered and
-    in (0, 1], (3) sample variance of pc1/pc2 equals the top two
-    eigenvalues and the components are empirically uncorrelated —
-    i.e. the distributed gramian really computed the covariance."""
+def test_emb_pca_matches_numpy_integer_replay(spark, sf_dir):
+    """q_emb_pca is DECLARED as of r10 (integer power iteration +
+    deflation); this test replays the ENTIRE pipeline — milli
+    quantize, trunc-div centering, damped integer Gram, three
+    renormalized power rounds, integer Gram-Schmidt deflation, exact
+    projections — in numpy with int64 arithmetic and demands
+    BIT-EXACT equality with the engine output (a stronger contract
+    than the old atol comparison against float eig), plus the
+    deflation guarantee: the PC2 iterate is near-orthogonal to the
+    PC1 iterate (|cos| bounded by the integer truncation)."""
     import __spark_entry__ as entry
 
+    from spark_sklearn_spark.queries.pca_power import (
+        PCA_PROJ_MOD, PP_DAMP, PP_Q, PP_ROUNDS, PP_VSCALE,
+    )
     from spark_sklearn_spark.sources.io import load
 
     rows = entry.queries()["q_emb_pca"](spark, sf_dir).collect()
     assert rows
-    emb = {
-        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+    emb = sorted(
+        (r["vec_id"], np.asarray(r["embedding"], dtype=np.float64))
         for r in load(spark, sf_dir, "embeddings")
         .select("vec_id", "embedding")
         .collect()
-    }
-    X = np.vstack([emb[r["vec_id"]] for r in rows])
-    mu = X.mean(axis=0)
-    cov = (X - mu).T @ (X - mu) / (len(X) - 1)
-    evals, evecs = np.linalg.eigh(cov)
-    order = np.argsort(evals)[::-1]
-    evals, evecs = evals[order], evecs[:, order]
-    for j, col in enumerate(["pc1", "pc2"]):
-        v = evecs[:, j]
-        if v[int(np.argmax(np.abs(v)))] < 0:
-            v = -v
-        want = (X - mu) @ v
-        got = np.array([r[col] for r in rows])
-        assert np.allclose(got, np.round(want, 6), atol=2e-5), col
-    # explained-variance ratios: ordered, positive, consistent
-    evr1, evr2 = rows[0]["evr1"], rows[0]["evr2"]
-    assert 0 < evr2 <= evr1 <= 1
-    assert abs(evr1 - evals[0] / evals.sum()) < 1e-4
-    # the projections realize the eigenvalues and are uncorrelated
-    p1 = np.array([r["pc1"] for r in rows])
-    p2 = np.array([r["pc2"] for r in rows])
-    assert abs(p1.var(ddof=1) - evals[0]) < 1e-3 * max(1.0, evals[0])
-    assert abs(p2.var(ddof=1) - evals[1]) < 1e-3 * max(1.0, evals[1])
-    denom = np.sqrt(p1.var(ddof=1) * p2.var(ddof=1))
-    assert abs(np.cov(p1, p2, ddof=1)[0, 1]) / denom < 1e-3
+    )
+    ids = np.array([i for i, _ in emb])
+    X = np.vstack([v for _, v in emb])
+
+    def tdiv(a, b):  # trunc-toward-zero div, positive divisor
+        a = np.asarray(a, dtype=np.int64)
+        return np.sign(a) * (np.abs(a) // np.int64(b))
+
+    Q = np.floor(X * PP_Q).astype(np.int64)
+    mean = tdiv(Q.sum(axis=0), len(Q))
+    C = Q - mean
+    M = tdiv(C.T @ C, PP_DAMP)
+    v = np.full(64, PP_VSCALE, dtype=np.int64)
+    for _ in range(PP_ROUNDS):
+        w = M @ v
+        v = tdiv(w * PP_VSCALE, np.abs(w).max())
+    n1 = int((v * v).sum())
+    u = PP_VSCALE - tdiv(PP_VSCALE * int(v.sum()), n1) * v
+    u = tdiv(u * PP_VSCALE, np.abs(u).max())
+    for _ in range(PP_ROUNDS):
+        w = M @ u
+        t = tdiv(int((w * v).sum()), n1)
+        o = w - t * v
+        u = tdiv(o * PP_VSCALE, np.abs(o).max())
+    keep = ids % PCA_PROJ_MOD == 0
+    want1 = C[keep] @ v
+    want2 = C[keep] @ u
+    got = {r["vec_id"]: (r["p1_q"], r["p2_q"]) for r in rows}
+    assert set(got) == set(ids[keep].tolist())
+    for vid, w1, w2 in zip(ids[keep].tolist(), want1, want2):
+        assert got[vid] == (w1, w2), (vid, got[vid], (w1, w2))
+    # deflation keeps the second iterate near-orthogonal to the first
+    cos = abs(float((u * v).sum())) / (
+        np.linalg.norm(u) * np.linalg.norm(v)
+    )
+    assert cos < 0.05, cos
 
 
 def test_pagerank_invariants(spark, sf_dir):
