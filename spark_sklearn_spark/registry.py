@@ -78,8 +78,10 @@ DRIVER_PRIORITY: list[str] = [
     "q_win_ignore_nulls",
     "q_fn_interval",
     "q_fn_try_arith",
-    # (3) declared rewrite (r6) newer than its only driver row (r3)
+    # (3) declared rewrite (r6) newer than its only driver row (r3),
+    # and the r10 rows-only -> declared promotion (integer PCA top-2)
     "q_dedup_simhash",
+    "q_emb_pca",
     # (4) round-9 batches H-L — sat just past the r9 cut, zero driver
     # history, judge-sweep green in r9
     "q_dq_crossfield",
@@ -100,10 +102,10 @@ DRIVER_PRIORITY: list[str] = [
     "q_source_glob_tree",
     "q_ml_kruskal",
     "q_behavior_powerlaw",
-    "q_dq_double_charge",
     # ---- 50-key window cuts exactly here ----
-    # (5) ROUND-safe-annotated this round, never driver-checked —
-    # next round's window head
+    # (5) first past the cut (judge-swept green r9 / ROUND-safe
+    # annotated this round, never driver-checked) — next round's head
+    "q_dq_double_charge",
     "q_graph_triangles",
     "q_agg_incremental",
     "q_join_null_safe",

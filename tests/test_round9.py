@@ -78,6 +78,8 @@ def test_driver_priority_covers_round10_risk():
         "q_win_ignore_nulls", "q_fn_interval", "q_fn_try_arith",
         # declared rewrite newer than its only driver row
         "q_dedup_simhash",
+        # r10 rows-only -> declared promotion
+        "q_emb_pca",
     }
     assert must <= window, sorted(must - window)
 
