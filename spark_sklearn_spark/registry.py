@@ -101,10 +101,10 @@ DRIVER_PRIORITY: list[str] = [
     "q_ml_tost",
     "q_source_glob_tree",
     "q_ml_kruskal",
-    "q_behavior_powerlaw",
     # ---- 50-key window cuts exactly here ----
     # (5) first past the cut (judge-swept green r9 / ROUND-safe
     # annotated this round, never driver-checked) — next round's head
+    "q_behavior_powerlaw",
     "q_dq_double_charge",
     "q_graph_triangles",
     "q_agg_incremental",
