@@ -1,0 +1,263 @@
+"""Round-10 batch A: the SRP-LSH recall/selectivity curve.
+
+New keys (SURVEY.md §2B):
+- q_dedup_recall_srp — sign-random-projection banding selectivity
+  curve for the embedding dedup tier, the vector-tier counterpart of
+  q_dedup_recall_minhash (VERDICT r9 item 6): for every probe-panel
+  pair, the rate at which an 8-band x r=8 sign-signature scheme
+  emits the pair as a candidate, bucketed by signed cos^2-percent
+  decile.
+
+Hash-verified because the WHOLE scheme is integer-exact and
+portable: hyperplane weights derive from the md5-head hash
+(w(i,j) = h56('srp:i:j') % 2001 - 1000 — the CLAUDE.md portable-hash
+idiom, no engine RNG), vectors quantize to milli BIGINTs, dots and
+band hashes are exact integer sums, and the cosine bucket is the
+integer sign(dot) * dot^2 * 100 div (|a|^2 |b|^2) — no float exists
+anywhere in the query. The fixture is isotropic (no true near-dups),
+so scaled copies of every 20th vector are planted in-query — sign
+bits are scale-invariant, so each copy collides with its source in
+every band and the cos^2 = 100 bucket pins recall = 1; random pairs
+land in low buckets and pin the false-candidate floor
+(expected 1 - (1 - p^8)^8 with p = 1 - theta/pi; ~3% at cos 0).
+
+Scale: signatures are one broadcast join of the 4096-row weight
+matrix onto the exploded (vec, dim) stream + two combinable aggs —
+O(n * d * planes) map-side work, one shuffle on vec_id. The truth
+panel is a bounded probe fan-out (the q_sim_knn_batch shape) and the
+candidate check is band-keyed on the probe side only — never
+all-pairs. Production retrieval keeps operators/srp.py's 64x16
+scheme (bucket sizes ~n/2^16); the 8x8 scheme here is the MEASURED
+curve, restricted to the probe panel exactly because r=8 buckets
+would go quadratic unrestricted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.io import load
+from ._helpers import h56, sql_h56
+
+SRP_BANDS = 8
+SRP_ROWS = 8  # bits per band; planes = SRP_BANDS * SRP_ROWS = 64
+SRP_PLANES = SRP_BANDS * SRP_ROWS
+SRP_Q = 1000  # milli quantization of components
+SRP_PROBE_MOD = 20  # probe panel + planted-copy stride
+SRP_DIM = 64
+
+_SRP_KEY = "'srp:' || CAST(i AS VARCHAR) || ':' || CAST(j AS VARCHAR)"
+_SRP_W = f"({sql_h56(_SRP_KEY)} % 2001) - 1000"
+
+_SRP_ORACLE = f"""
+    WITH planted AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * {SRP_Q})
+                           AS BIGINT)) AS q
+      FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id,
+             list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * 2.0 * {SRP_Q})
+                           AS BIGINT)) AS q
+      FROM embeddings WHERE vec_id % {SRP_PROBE_MOD} = 0
+    ),
+    qv AS (
+      SELECT vec_id, q,
+             CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT)
+                 AS n2
+      FROM planted
+    ),
+    vals AS (
+      SELECT vec_id, j, q[j] AS qj
+      FROM planted,
+           LATERAL (SELECT unnest(generate_series(1, {SRP_DIM})) AS j)
+    ),
+    weights AS (
+      SELECT i, j, CAST({_SRP_W} AS BIGINT) AS w
+      FROM (SELECT unnest(generate_series(0, {SRP_PLANES - 1})) AS i),
+           (SELECT unnest(generate_series(1, {SRP_DIM})) AS j)
+    ),
+    dots AS (
+      SELECT v.vec_id, w.i, CAST(SUM(v.qj * w.w) AS BIGINT) AS s
+      FROM vals v JOIN weights w ON w.j = v.j
+      GROUP BY v.vec_id, w.i
+    ),
+    bands AS (
+      SELECT vec_id, i // {SRP_ROWS} AS band,
+             CAST(SUM(CASE WHEN s >= 0
+                           THEN (1 << (i % {SRP_ROWS})) ELSE 0 END)
+                  AS BIGINT) AS bh
+      FROM dots GROUP BY vec_id, i // {SRP_ROWS}
+    ),
+    cand AS (
+      SELECT DISTINCT least(a.vec_id, b.vec_id) AS doc_a,
+                      greatest(a.vec_id, b.vec_id) AS doc_b
+      FROM bands a
+      JOIN bands b ON b.band = a.band AND b.bh = a.bh
+                  AND b.vec_id <> a.vec_id
+      WHERE a.vec_id % {SRP_PROBE_MOD} = 0
+    ),
+    dotted AS (
+      SELECT least(p.vec_id, v.vec_id) AS doc_a,
+             greatest(p.vec_id, v.vec_id) AS doc_b,
+             CAST(list_sum(list_transform(
+                 generate_series(1, {SRP_DIM}),
+                 k -> p.q[k] * v.q[k])) AS BIGINT) AS dot,
+             p.n2 AS pn2, v.n2 AS n2
+      FROM qv p
+      JOIN qv v ON v.vec_id <> p.vec_id
+      WHERE p.vec_id % {SRP_PROBE_MOD} = 0
+    ),
+    truth AS (
+      SELECT DISTINCT doc_a, doc_b,
+             (CASE WHEN dot < 0 THEN -1 ELSE 1 END)
+             * ((dot * dot * 100) // (pn2 * n2)) AS c2_pct
+      FROM dotted
+    ),
+    marked AS (
+      SELECT t.c2_pct // 10 AS c2_bucket,
+             CASE WHEN c.doc_a IS NULL THEN 0 ELSE 1 END AS caught
+      FROM truth t
+      LEFT JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+    )
+    SELECT CAST(c2_bucket AS BIGINT) AS c2_bucket,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(caught) AS BIGINT) AS n_cand,
+           CAST(SUM(caught) * 1000000 // COUNT(*) AS BIGINT)
+               AS cand_rate_ppm
+    FROM marked
+    GROUP BY c2_bucket
+    ORDER BY c2_bucket
+"""
+
+
+@query("q_dedup_recall_srp", oracle=_SRP_ORACLE)
+def q_dedup_recall_srp(spark, d):
+    """SRP-banding selectivity curve over the embedding corpus +
+    planted scaled copies (module docstring: portable integer
+    hyperplanes, exact BIGINT dots/band hashes, integer cos^2
+    buckets). Plan: weight matrix (4096 rows) BROADCAST onto the
+    exploded (vec, dim) stream -> (vec, plane) dot agg -> (vec, band)
+    hash agg (two combinable shuffles on vec_id); candidates are a
+    band-keyed equi-join with the probe side filtered; the truth
+    panel is a bounded probe fan-out with a fused integer dot fold
+    per pair. Output: <= 21 bucket rows, all BIGINT."""
+    emb = load(spark, d, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> cast(floor(cast(x as double)"
+            f" * {SRP_Q}) as bigint))"
+        ).alias("q"),
+    )
+    copies = emb.filter(F.col("vec_id") % SRP_PROBE_MOD == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.expr(
+            f"transform(embedding, x -> cast(floor(cast(x as double)"
+            f" * 2.0 * {SRP_Q}) as bigint))"
+        ).alias("q"),
+    )
+    planted = base.unionByName(copies)
+    qv = planted.select(
+        "vec_id",
+        "q",
+        F.expr("aggregate(q, 0L, (acc, x) -> acc + x * x)").alias("n2"),
+    )
+    vals = planted.select(
+        "vec_id", F.posexplode("q").alias("j0", "qj")
+    ).select("vec_id", (F.col("j0") + 1).alias("j"), "qj")
+    weights = (
+        spark.range(0, SRP_PLANES)
+        .select(F.col("id").alias("i"))
+        .crossJoin(
+            spark.range(1, SRP_DIM + 1).select(F.col("id").alias("j"))
+        )
+        .select(
+            "i",
+            "j",
+            (
+                h56(
+                    "concat('srp:', cast(i as string), ':',"
+                    " cast(j as string))"
+                )
+                % 2001
+                - 1000
+            ).alias("w"),
+        )
+    )
+    dots = (
+        vals.join(F.broadcast(weights), "j")
+        .groupBy("vec_id", "i")
+        .agg(F.sum(F.col("qj") * F.col("w")).alias("s"))
+    )
+    bands = dots.groupBy(
+        "vec_id", F.expr(f"i div {SRP_ROWS}").alias("band")
+    ).agg(
+        F.sum(
+            F.when(
+                F.col("s") >= 0,
+                F.expr(f"shiftleft(1L, cast(i % {SRP_ROWS} as int))"),
+            ).otherwise(0)
+        ).alias("bh")
+    )
+    ba = bands.filter(F.col("vec_id") % SRP_PROBE_MOD == 0).select(
+        F.col("vec_id").alias("va"), "band", "bh"
+    )
+    bb = bands.select(F.col("vec_id").alias("vb"), "band", "bh")
+    cand = (
+        ba.join(bb, ["band", "bh"])
+        .filter(F.col("va") != F.col("vb"))
+        .select(
+            F.least("va", "vb").alias("doc_a"),
+            F.greatest("va", "vb").alias("doc_b"),
+        )
+        .distinct()
+    )
+    probes = qv.filter(F.col("vec_id") % SRP_PROBE_MOD == 0).select(
+        F.col("vec_id").alias("pid"),
+        F.col("q").alias("pq"),
+        F.col("n2").alias("pn2"),
+    )
+    truth = (
+        qv.crossJoin(F.broadcast(probes))
+        .filter(F.col("pid") != F.col("vec_id"))
+        .select(
+            F.least("pid", "vec_id").alias("doc_a"),
+            F.greatest("pid", "vec_id").alias("doc_b"),
+            F.expr(
+                "aggregate(zip_with(q, pq, (a, b) -> a * b), 0L,"
+                " (acc, x) -> acc + x)"
+            ).alias("dot"),
+            "n2",
+            "pn2",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(
+                "(CASE WHEN dot < 0 THEN -1 ELSE 1 END)"
+                " * ((dot * dot * 100) div (n2 * pn2))"
+            ).alias("c2_pct"),
+        )
+        .distinct()
+    )
+    marked = truth.join(
+        cand.withColumn("hit", F.lit(1)), ["doc_a", "doc_b"], "left"
+    ).select(
+        F.expr("c2_pct div 10").alias("c2_bucket"),
+        F.when(F.col("hit").isNull(), 0).otherwise(1).alias("caught"),
+    )
+    return (
+        marked.groupBy("c2_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("caught").alias("n_cand"),
+            F.expr("sum(caught) * 1000000L div count(*)").alias(
+                "cand_rate_ppm"
+            ),
+        )
+        .orderBy("c2_bucket")
+    )

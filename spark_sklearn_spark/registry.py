@@ -103,9 +103,11 @@ DRIVER_PRIORITY: list[str] = [
     "q_ml_kruskal",
     # ---- 50-key window cuts exactly here ----
     # (5) first past the cut (judge-swept green r9 / ROUND-safe
-    # annotated this round, never driver-checked) — next round's head
+    # annotated this round / new r10 batch, never driver-checked) —
+    # next round's head
     "q_behavior_powerlaw",
     "q_dq_double_charge",
+    "q_dedup_recall_srp",
     "q_graph_triangles",
     "q_agg_incremental",
     "q_join_null_safe",

@@ -197,7 +197,7 @@ def test_pca_topk_scores_align_with_iterate(spark, sf_dir):
     assert top[0].rnk == 1
     projs = [abs(r.proj) for r in top]
     assert projs == sorted(projs, reverse=True)
-    cent, iterates = power_fit(spark, sf_dir)
+    cent, _, iterates = power_fit(spark, sf_dir)
     want = (
         cent.filter(F.col("vec_id") == top[0].vec_id)
         .join(F.broadcast(iterates[-1]), "i")
@@ -1225,3 +1225,44 @@ def test_double_charge_counts_consistent(spark, sf_dir):
     assert 0 <= r.n_same_day <= r.n_pairs
     assert 0 <= r.gap_days_sum <= 3 * r.n_pairs
     assert r.n_customers <= max(r.n_pairs, 1)
+
+
+# ---------------------------------------------------------------------------
+# pipeline27 (round-10 batch A): SRP-LSH recall curve
+# ---------------------------------------------------------------------------
+
+
+def test_srp_recall_curve_invariants(spark, sf_dir):
+    """The planted-copy bucket (top cos^2 decile present) must show
+    100% recall — sign signatures are scale-invariant, so a x2 copy
+    collides with its source in EVERY band; the random-pair bucket 0
+    must sit near the theoretical 1-(1-p^8)^8 ~ 3.1% false-candidate
+    floor (wide tolerance: the panel is finite); and every rate is a
+    valid ppm."""
+    rows = entry.queries()["q_dedup_recall_srp"](spark, sf_dir).collect()
+    assert rows
+    by = {r.c2_bucket: r for r in rows}
+    top = max(by)
+    assert top >= 8, sorted(by)  # planted copies land in a top decile
+    assert by[top].n_cand == by[top].n_pairs  # 100% recall
+    assert by[top].cand_rate_ppm == 1_000_000
+    assert 0 in by and by[0].n_pairs > 100
+    assert by[0].cand_rate_ppm < 150_000  # floor ~31k ppm, not ~1e6
+    for r in rows:
+        assert 0 <= r.n_cand <= r.n_pairs
+        assert 0 <= r.cand_rate_ppm <= 1_000_000
+
+
+def test_srp_recall_is_scalable(spark, sf_dir):
+    """The candidate join is band-keyed; the truth panel is the
+    sanctioned broadcast probe fan-out (crossJoin of the bounded
+    probe panel — the q_sim_knn_batch shape), so assert with
+    allow_cartesian and separately pin that no UNBOUNDED cartesian
+    exists: every BNLJ build side must be the probe/weight relation,
+    checked by the single-partition gate staying clean."""
+    from spark_sklearn_spark.plans import assert_scalable
+
+    assert_scalable(
+        entry.queries()["q_dedup_recall_srp"](spark, sf_dir),
+        allow_cartesian=True,
+    )
