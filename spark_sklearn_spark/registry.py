@@ -108,6 +108,11 @@ DRIVER_PRIORITY: list[str] = [
     "q_behavior_powerlaw",
     "q_dq_double_charge",
     "q_dedup_recall_srp",
+    "q_fn_bitmap_words",
+    "q_graph_closeness",
+    "q_ts_sax",
+    "q_dq_outlier_iqr",
+    "q_ts_peaks",
     "q_graph_triangles",
     "q_agg_incremental",
     "q_join_null_safe",

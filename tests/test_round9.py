@@ -1266,3 +1266,73 @@ def test_srp_recall_is_scalable(spark, sf_dir):
         entry.queries()["q_dedup_recall_srp"](spark, sf_dir),
         allow_cartesian=True,
     )
+
+
+# ---------------------------------------------------------------------------
+# pipeline28 (round-10 batch B)
+# ---------------------------------------------------------------------------
+
+
+def test_round10_batch_b_scalable(spark, sf_dir):
+    """Bitmap algebra / SAX / IQR / peaks must plan without
+    cartesians or single-partition exchanges; closeness rides the
+    snapshot-sized BFS joins (localCheckpoint lineage cuts)."""
+    from spark_sklearn_spark.plans import assert_scalable
+
+    qs = entry.queries()
+    for name in (
+        "q_fn_bitmap_words",
+        "q_ts_sax",
+        "q_dq_outlier_iqr",
+        "q_ts_peaks",
+    ):
+        assert_scalable(qs[name](spark, sf_dir))
+
+
+def test_bitmap_words_match_exact_distinct(spark, sf_dir):
+    """Popcount cardinalities must equal exact COUNT(DISTINCT) per
+    type, and every pairwise intersection must equal the exact
+    distinct-user overlap — the bitmap is lossless."""
+    from pyspark.sql import functions as F
+
+    from spark_sklearn_spark.sources.io import load
+
+    rows = entry.queries()["q_fn_bitmap_words"](spark, sf_dir).collect()
+    assert rows
+    ev = load(spark, sf_dir, "events").select("event_type", "user_id")
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    users = {
+        t: {
+            r.user_id
+            for r in ev.filter(F.col("event_type") == t)
+            .select("user_id")
+            .distinct()
+            .collect()
+        }
+        for t in exact
+    }
+    for r in rows:
+        assert r.n_a == exact[r.type_a]
+        assert r.n_b == exact[r.type_b]
+        assert r.n_both == len(users[r.type_a] & users[r.type_b])
+        union = r.n_a + r.n_b - r.n_both
+        assert r.jaccard_ppm == r.n_both * 1000000 // union
+
+
+def test_closeness_monotone_and_bounded(spark, sf_dir):
+    """harmonic = 1e6*n_d1 + 5e5*n_d2 + 333333*n_d3 exactly, and each
+    seed's depth-1 reach equals its degree in the symmetric edge
+    set."""
+    rows = entry.queries()["q_graph_closeness"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        want = (
+            1_000_000 * r.n_d1 + 500_000 * r.n_d2 + 333_333 * r.n_d3
+        )
+        assert r.harmonic_micro == want, r
+        assert r.n_d1 >= 1  # a seed is an edge endpoint by construction
