@@ -113,6 +113,10 @@ DRIVER_PRIORITY: list[str] = [
     "q_ts_sax",
     "q_dq_outlier_iqr",
     "q_ts_peaks",
+    "q_ml_isotonic_bins",
+    "q_funnel_window",
+    "q_ts_periodogram",
+    "q_ml_cohen_d",
     "q_graph_triangles",
     "q_agg_incremental",
     "q_join_null_safe",

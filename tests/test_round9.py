@@ -1336,3 +1336,74 @@ def test_closeness_monotone_and_bounded(spark, sf_dir):
         )
         assert r.harmonic_micro == want, r
         assert r.n_d1 >= 1  # a seed is an edge endpoint by construction
+
+
+# ---------------------------------------------------------------------------
+# pipeline29 (round-10 batch C)
+# ---------------------------------------------------------------------------
+
+
+def test_round10_batch_c_scalable(spark, sf_dir):
+    """The funnel's heavy stages must stay key-shuffled equi-joins —
+    pinned by asserting NO cartesian/BNLJ appears anywhere in its
+    plan (its three 1-row COUNT aggregates legitimately end in
+    SinglePartition exchanges — the q_funnel_ordered shape — so the
+    single-partition gate doesn't apply). The bounded-relation
+    queries (bin triangle, period rows, type pairs) assert with
+    allow_cartesian per the q_basket_lift rule."""
+    from spark_sklearn_spark.plans import executed_plan
+
+    qs = entry.queries()
+    plan = executed_plan(qs["q_funnel_window"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # Bounded-relation queries: their 1-row / k-row global aggregates
+    # legitimately end in SinglePartition exchanges and tiny-side
+    # crosses (q_basket_lift shape) — pin only that the CORPUS-sized
+    # stage is a plain hash agg, i.e. no cartesian before the first
+    # aggregation.
+    for name in ("q_ml_isotonic_bins", "q_ts_periodogram", "q_ml_cohen_d"):
+        p = executed_plan(qs[name](spark, sf_dir))
+        assert "CartesianProduct" not in p, name
+
+
+def test_isotonic_is_monotone_and_brackets_rates(spark, sf_dir):
+    """The PAV fit must be nondecreasing in the bin, agree with the
+    raw rate wherever the raw curve is already monotone across the
+    whole range, and stay inside [min rate, max rate]."""
+    rows = entry.queries()["q_ml_isotonic_bins"](spark, sf_dir).collect()
+    assert rows
+    iso = [r.iso_ppm for r in rows]
+    assert iso == sorted(iso)
+    rates = [r.rate_ppm for r in rows]
+    assert min(rates) <= iso[0] and iso[-1] <= max(rates)
+
+
+def test_funnel_window_bounded_by_unbounded(spark, sf_dir):
+    """Each windowed stage count must be <= the unbounded funnel's
+    count at the same stage (the window only removes conversions),
+    and stages must be nonincreasing."""
+    qs = entry.queries()
+    w = {r.stage: r.n_users for r in qs["q_funnel_window"](spark, sf_dir).collect()}
+    u = {r.stage: r.n_users for r in qs["q_funnel_ordered"](spark, sf_dir).collect()}
+    assert w[1] == u[1]  # stage 1 has no window
+    assert w[2] <= u[2] and w[3] <= u[3]
+    assert w[1] >= w[2] >= w[3] >= 0
+
+
+def test_periodogram_values_bounded(spark, sf_dir):
+    rows = entry.queries()["q_ts_periodogram"](spark, sf_dir).collect()
+    assert {r.period for r in rows} == {7, 11}
+    for r in rows:
+        assert 0 <= r.rel_power_micro <= 1_000_000
+        assert r.total > 0
+
+
+def test_cohen_d_antisymmetric_pairs(spark, sf_dir):
+    """All 10 unordered type pairs present; d is finite and the
+    magnitude is sane for same-distribution synthetic types."""
+    rows = entry.queries()["q_ml_cohen_d"](spark, sf_dir).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r.type_a < r.type_b
+        assert abs(r.cohen_d_micro) < 5_000_000  # |d| < 5
