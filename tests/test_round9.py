@@ -55,33 +55,9 @@ def test_registry_keys_all_documented_in_survey():
     assert not missing, f"registry keys absent from SURVEY.md: {missing}"
 
 
-def test_driver_priority_covers_round10_risk():
-    """The canary, every round-10 ROUND-band conversion (changed
-    outputs), q_dedup_simhash (rewrite newer than its only driver
-    row), and the r9 batch H-L never-checked keys must sit in the
-    first 50 priority positions (the driver's check window)."""
-    from spark_sklearn_spark.registry import DRIVER_PRIORITY
-
-    window = set(DRIVER_PRIORITY[:50])
-    must = {
-        "q_dq_engine_canary",
-        # r10 ROUND-band conversions
-        "q_ml_auc", "q_ml_confusion", "q_ml_pr_curve", "q_ml_gains",
-        "q_ml_ks", "q_ts_cusum", "q_ts_twap", "q_ts_autocorr",
-        "q_ts_seasonal", "q_ts_backtest", "q_ts_interpolate",
-        "q_behavior_rfm", "q_text_perplexity", "q_text_kl_source",
-        "q_text_boilerplate", "q_corpus_health", "q_dq_schema_drift",
-        "q_search_hybrid_rrf", "q_ml_logreg", "q_emb_recall_grid",
-        "q_agg_moments", "q_agg_boolean", "q_profile_table",
-        "q_pivot_multi_agg", "q_cdc_snapshot_diff",
-        "q_win_range_interval", "q_win_pct_change",
-        "q_win_ignore_nulls", "q_fn_interval", "q_fn_try_arith",
-        # declared rewrite newer than its only driver row
-        "q_dedup_simhash",
-        # r10 rows-only -> declared promotion
-        "q_emb_pca",
-    }
-    assert must <= window, sorted(must - window)
+# (The round-10 window pin that lived here was retired after
+# CORRECTNESS_r10 proved its 50/50 green; the live pin is
+# tests/test_round11.py::test_driver_priority_covers_round11_risk.)
 
 
 # ---------------------------------------------------------------------------
