@@ -275,13 +275,117 @@ def _kmeans_fit(X, y):
     return _KMeans1D(X[:, 0])
 
 
-@query("q_ml_keyed_cluster")  # rows-only: iterative Lloyd's, engine-side
+def _fit2means_dec(vals):
+    """1-D 2-means on the oracle's exact arithmetic path: min/max
+    init, then 3 unrolled Lloyd iterations where each side's mean is
+    a DECIMAL(30,10)-quantized exact sum converted to double and
+    divided — mirroring the SQL replay step for step (the _scaler_fit
+    proof pattern extended to an ITERATIVE fit). Comparisons use raw
+    doubles (identical on both engines); only the sums quantize.
+    Returns (c0, c1, n0, n1) with sizes from the FINAL midpoint."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q10 = Decimal(1).scaleb(-10)
+    c0, c1 = min(vals), max(vals)
+    for _ in range(3):
+        if c0 == c1:
+            break
+        mid = (c0 + c1) / 2.0
+        left = [v for v in vals if v <= mid]
+        right = [v for v in vals if v > mid]
+        if not left or not right:
+            break
+        c0 = float(
+            sum(Decimal(v).quantize(q10, ROUND_HALF_UP) for v in left)
+        ) / len(left)
+        c1 = float(
+            sum(Decimal(v).quantize(q10, ROUND_HALF_UP) for v in right)
+        ) / len(right)
+    mid = (c0 + c1) / 2.0
+    n1 = sum(1 for v in vals if v > mid)
+    return c0, c1, len(vals) - n1, n1
+
+
+def _keyed_cluster_step(prev: str, i: int) -> str:
+    """One unrolled Lloyd iteration of the DuckDB replay: conditional
+    decimal sums against the previous centroids, update only while
+    not stopped (empty side / converged carries forward — the Python
+    fit's break semantics)."""
+    j = i - 1
+    stop_now = f"(s.stop{j} OR s.a{j} = s.b{j} OR s.nl = 0 OR s.nr = 0)"
+    return f"""
+        s{i} AS (
+          SELECT p.user_id, c.a{j}, c.b{j}, c.stop{j},
+                 SUM(CASE WHEN p.x <= (c.a{j} + c.b{j}) / 2
+                     THEN 1 ELSE 0 END) AS nl,
+                 SUM(CASE WHEN p.x > (c.a{j} + c.b{j}) / 2
+                     THEN 1 ELSE 0 END) AS nr,
+                 CAST(SUM(CASE WHEN p.x <= (c.a{j} + c.b{j}) / 2
+                      THEN CAST(p.x AS DECIMAL(30,10)) END)
+                      AS DOUBLE) AS sl,
+                 CAST(SUM(CASE WHEN p.x > (c.a{j} + c.b{j}) / 2
+                      THEN CAST(p.x AS DECIMAL(30,10)) END)
+                      AS DOUBLE) AS sr
+          FROM pts p JOIN {prev} c USING (user_id)
+          GROUP BY p.user_id, c.a{j}, c.b{j}, c.stop{j}
+        ),
+        c{i}t AS (
+          SELECT s.user_id,
+                 CASE WHEN {stop_now} THEN s.a{j}
+                      ELSE s.sl / s.nl END AS a{i},
+                 CASE WHEN {stop_now} THEN s.b{j}
+                      ELSE s.sr / s.nr END AS b{i},
+                 {stop_now} AS stop{i}
+          FROM s{i} s
+        )"""
+
+
+def _keyed_cluster_oracle() -> str:
+    steps = ",".join(
+        _keyed_cluster_step("c0t" if i == 1 else f"c{i - 1}t", i)
+        for i in (1, 2, 3)
+    )
+    return f"""
+        WITH pts AS (
+          SELECT user_id, CAST(value AS DOUBLE) AS x
+          FROM events WHERE value IS NOT NULL
+        ),
+        c0t AS (
+          SELECT user_id, MIN(x) AS a0, MAX(x) AS b0,
+                 FALSE AS stop0
+          FROM pts GROUP BY user_id
+        ),
+        {steps},
+        fin AS (
+          SELECT p.user_id, c.a3, c.b3,
+                 SUM(CASE WHEN p.x > (c.a3 + c.b3) / 2
+                     THEN 1 ELSE 0 END) AS n1,
+                 COUNT(*) AS ntot
+          FROM pts p JOIN c3t c USING (user_id)
+          GROUP BY p.user_id, c.a3, c.b3
+        )
+        SELECT user_id,
+               CAST(floor(a3 * 1000000) AS BIGINT) AS c0_micro,
+               CAST(floor(b3 * 1000000) AS BIGINT) AS c1_micro,
+               CAST(ntot - n1 AS BIGINT) AS n0,
+               CAST(n1 AS BIGINT) AS n1
+        FROM fin ORDER BY user_id
+    """
+
+
+@query("q_ml_keyed_cluster", oracle=_keyed_cluster_oracle())
 def q_ml_keyed_cluster(spark, d):
     """KeyedEstimator's CLUSTERER role (the reference's third
     estimator role next to predictor/transformer —
     keyed_models.py#KeyedEstimator role-typed output): one
     deterministic 1-D 2-means per user over event values, reported
-    as per-user centroids + cluster sizes.
+    as per-user micro centroids + cluster sizes. DECLARED (VERDICT
+    r10 item 5): the fit follows the decimal policy step for step
+    (_fit2means_dec — min/max init, 3 Lloyd iterations of
+    DECIMAL(30,10) conditional sums, double division, raw-double
+    comparisons), so the DuckDB oracle replays it exactly as 3
+    unrolled join+agg stages with carried stop flags; centroids land
+    as floor-micro BIGINTs.
 
     Physical shape: the per-key fit state is BOUNDED (a user's value
     list), so the values aggregate JVM-side (collect_list — one
@@ -291,37 +395,43 @@ def q_ml_keyed_cluster(spark, d):
     exercised in tests/test_ml_api.py for A5 role parity) measures
     ~3 ms of per-group overhead per key — 4+ s at 1.5k keys vs
     ~0.5 s for this shape; use per-key Arrow groups only when the
-    per-key data does NOT fit a collected list. Rows-only (iterative
-    refinement isn't SQL-expressible); invariants pinned in
-    tests/test_ml_api.py."""
+    per-key data does NOT fit a collected list."""
+    import math
+
     from pyspark.sql.functions import pandas_udf
 
-    ev = load(spark, d, "events").select(
-        "user_id", F.col("value").alias("x")
+    ev = (
+        load(spark, d, "events")
+        .filter(F.col("value").isNotNull())
+        .select("user_id", F.col("value").alias("x"))
     )
     agg = ev.groupBy("user_id").agg(F.collect_list("x").alias("xs"))
 
-    @pandas_udf("c0 double, c1 double, n0 bigint, n1 bigint")
+    @pandas_udf(
+        "c0_micro bigint, c1_micro bigint, n0 bigint, n1 bigint"
+    )
     def fit2means(xs: pd.Series) -> pd.DataFrame:
-        import numpy as np  # loop-invariant: once per batch, not per user
-
         rows = []
         for v in xs:
-            m = _KMeans1D(v)
-            a = np.asarray(v, dtype="float64")
-            mid = (m.c0 + m.c1) / 2.0
-            n1 = int((a > mid).sum())
+            c0, c1, n0, n1 = _fit2means_dec([float(t) for t in v])
             rows.append(
-                (round(m.c0, 6), round(m.c1, 6), len(a) - n1, n1)
+                (
+                    math.floor(c0 * 1000000),
+                    math.floor(c1 * 1000000),
+                    n0,
+                    n1,
+                )
             )
-        return pd.DataFrame(rows, columns=["c0", "c1", "n0", "n1"])
+        return pd.DataFrame(
+            rows, columns=["c0_micro", "c1_micro", "n0", "n1"]
+        )
 
     return (
         agg.select("user_id", fit2means("xs").alias("m"))
         .select(
             "user_id",
-            F.col("m.c0").alias("c0"),
-            F.col("m.c1").alias("c1"),
+            F.col("m.c0_micro").alias("c0_micro"),
+            F.col("m.c1_micro").alias("c1_micro"),
             F.col("m.n0").alias("n0"),
             F.col("m.n1").alias("n1"),
         )

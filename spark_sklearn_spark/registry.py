@@ -37,19 +37,24 @@ ORACLES: dict[str, str] = {}
 # (1) the canary; (2) the 2 keys whose outputs changed this round
 # (q_ts_periodogram pow->multiply hardening, q_dedup_recall_srp
 # exact post-quantization copy scaling — both were never-checked
-# anyway); (3) the other 8 r10-batch keys; (4) the declared ML-fit
-# family; (5) the ANN/embedding family; (6) the remaining
-# never-checked keys. That is exactly 50. Past the cut: the 4
-# deferred never-checked keys (simple relational surface —
-# q_scan_metadata / q_join_null_safe / q_join_lateral / q_win_nth)
-# lead the r12 window, then the r10 window keys (all green r10)
-# rotate behind, then the rest in prior rotation order.
+# anyway); (3) the 2 rows-only -> declared promotions
+# (q_ml_keyed_cluster decimal-policy Lloyd, q_multimodal_resize
+# raster replay) — newly declared, MUST be driver-sampled; (4) the
+# other 8 r10-batch keys; (5) the declared ML-fit family; (6) the
+# ANN/embedding family; (7) the remaining never-checked keys. That
+# is exactly 50. Past the cut: the 6 deferred never-checked keys
+# (simple relational surface — q_scan_metadata / q_join_null_safe /
+# q_join_lateral / q_win_nth / q_agg_mode / q_split_train) lead the
+# r12 window, then the r10 window keys (all green r10) rotate
+# behind, then the rest in prior rotation order.
 # tests/test_queries_smoke.py asserts every name here is registered;
 # tests/test_round11.py pins the must-be-in-window set.
 DRIVER_PRIORITY: list[str] = [
     "q_dq_engine_canary",
     "q_ts_periodogram",
     "q_dedup_recall_srp",
+    "q_ml_keyed_cluster",
+    "q_multimodal_resize",
     "q_fn_bitmap_words",
     "q_graph_closeness",
     "q_ts_sax",
@@ -72,7 +77,6 @@ DRIVER_PRIORITY: list[str] = [
     "q_dedup_recall_minhash",
     "q_emb_centroid_sim",
     "q_sim_mmr_exact",
-    "q_agg_mode",
     "q_fn_variant",
     "q_sql_recursive",
     "q_fn_timezone",
@@ -85,7 +89,6 @@ DRIVER_PRIORITY: list[str] = [
     "q_dedup_url",
     "q_agg_incremental",
     "q_layout_zorder",
-    "q_split_train",
     "q_pivot_dynamic",
     "q_dedup_funnel",
     "q_graph_copurchase",
@@ -103,6 +106,8 @@ DRIVER_PRIORITY: list[str] = [
     "q_join_null_safe",
     "q_join_lateral",
     "q_win_nth",
+    "q_agg_mode",
+    "q_split_train",
     # prior-rotation order (r10 window keys green r10, then older)
     "q_ml_auc",
     "q_ml_confusion",

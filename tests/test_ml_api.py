@@ -180,15 +180,18 @@ def test_keyed_cluster_invariants(spark, sf_dir):
     )
     by_user = {r["user_id"]: r for r in ev}
     for r in rows:
-        assert r["c0"] <= r["c1"], r
+        # declared r11: centroids are floor-micro BIGINTs
+        c0 = r["c0_micro"] / 1e6
+        c1 = r["c1_micro"] / 1e6
+        assert r["c0_micro"] <= r["c1_micro"], r
         u = by_user[r["user_id"]]
         assert r["n0"] + r["n1"] == u["n"], r
         xs = np.asarray(u["xs"], dtype="float64")
-        mid = (r["c0"] + r["c1"]) / 2.0
+        mid = (c0 + c1) / 2.0
         left, right = xs[xs <= mid], xs[xs > mid]
         if len(left) and len(right):
-            assert abs(left.mean() - r["c0"]) < 1.0, r
-            assert abs(right.mean() - r["c1"]) < 1.0, r
+            assert abs(left.mean() - c0) < 1.0, r
+            assert abs(right.mean() - c1) < 1.0, r
 
 
 def test_keyed_estimator_clusterer_role_mechanism(spark, sf_dir):

@@ -28,6 +28,8 @@ ROUND11_MUST_BE_IN_WINDOW = {
     "q_dq_engine_canary",
     # changed outputs this round
     "q_ts_periodogram", "q_dedup_recall_srp",
+    # rows-only -> declared promotions (newly declared outputs)
+    "q_ml_keyed_cluster", "q_multimodal_resize",
     # r10 batch, never driver-checked
     "q_fn_bitmap_words", "q_graph_closeness", "q_ts_sax",
     "q_dq_outlier_iqr", "q_ts_peaks", "q_ml_isotonic_bins",
@@ -41,11 +43,11 @@ ROUND11_MUST_BE_IN_WINDOW = {
     "q_emb_hamming_knn", "q_dedup_recall_minhash",
     "q_emb_centroid_sim", "q_sim_mmr_exact",
     # remaining never-checked declared keys
-    "q_agg_mode", "q_fn_variant", "q_sql_recursive", "q_fn_timezone",
+    "q_fn_variant", "q_sql_recursive", "q_fn_timezone",
     "q_udf_iter", "q_udtf_python", "q_udtf_arrow",
     "q_behavior_transitions", "q_graph_triangles", "q_url_canonical",
     "q_dedup_url", "q_agg_incremental", "q_layout_zorder",
-    "q_split_train", "q_pivot_dynamic", "q_dedup_funnel",
+    "q_pivot_dynamic", "q_dedup_funnel",
     "q_graph_copurchase", "q_dedup_editdist", "q_ts_survival",
     "q_dedup_incremental", "q_sample_balanced", "q_dq_freshness",
     "q_behavior_lifecycle", "q_behavior_powerlaw",
@@ -63,13 +65,13 @@ def test_driver_priority_covers_round11_risk():
 
 
 def test_deferred_never_checked_lead_the_tail():
-    """The 4 never-checked keys deferred past the cut must be the
-    r12 window's head — positions 50..53 exactly."""
+    """The 6 never-checked keys deferred past the cut must be the
+    r12 window's head — positions 50..55 exactly."""
     from spark_sklearn_spark.registry import DRIVER_PRIORITY
 
-    assert DRIVER_PRIORITY[50:54] == [
+    assert DRIVER_PRIORITY[50:56] == [
         "q_scan_metadata", "q_join_null_safe", "q_join_lateral",
-        "q_win_nth",
+        "q_win_nth", "q_agg_mode", "q_split_train",
     ]
 
 
