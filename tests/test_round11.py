@@ -20,59 +20,10 @@ import __spark_entry__ as entry
 # Driver-window rotation (VERDICT r10 item 2)
 # ---------------------------------------------------------------------------
 
-# The full never-driver-checked set as of CORRECTNESS_r10 (53 keys),
-# minus the 4 deferred simple-relational keys documented in
-# registry.py's window comment. Everything here MUST sit in the
-# driver's 50-key check window this round.
-ROUND11_MUST_BE_IN_WINDOW = {
-    "q_dq_engine_canary",
-    # changed outputs this round
-    "q_ts_periodogram", "q_dedup_recall_srp",
-    # rows-only -> declared promotions (newly declared outputs)
-    "q_ml_keyed_cluster", "q_multimodal_resize",
-    # r10 batch, never driver-checked
-    "q_fn_bitmap_words", "q_graph_closeness", "q_ts_sax",
-    "q_dq_outlier_iqr", "q_ts_peaks", "q_ml_isotonic_bins",
-    "q_funnel_window", "q_ml_cohen_d",
-    # declared ML-fit family
-    "q_ml_kmeans", "q_ml_naive_bayes", "q_ml_gbm_round",
-    "q_ml_tree_stump", "q_ml_tree_depth2", "q_ml_calibration",
-    "q_ml_label_noise_knn",
-    # ANN / embedding family
-    "q_sim_ann_grid", "q_sim_ann_ivf_kmeans", "q_emb_pq_adc",
-    "q_emb_hamming_knn", "q_dedup_recall_minhash",
-    "q_emb_centroid_sim", "q_sim_mmr_exact",
-    # remaining never-checked declared keys
-    "q_fn_variant", "q_sql_recursive", "q_fn_timezone",
-    "q_udf_iter", "q_udtf_python", "q_udtf_arrow",
-    "q_behavior_transitions", "q_graph_triangles", "q_url_canonical",
-    "q_dedup_url", "q_agg_incremental", "q_layout_zorder",
-    "q_pivot_dynamic", "q_dedup_funnel",
-    "q_graph_copurchase", "q_dedup_editdist", "q_ts_survival",
-    "q_dedup_incremental", "q_sample_balanced", "q_dq_freshness",
-    "q_behavior_lifecycle", "q_behavior_powerlaw",
-    "q_dq_double_charge",
-}
-
-
-def test_driver_priority_covers_round11_risk():
-    from spark_sklearn_spark.registry import DRIVER_PRIORITY
-
-    window = set(DRIVER_PRIORITY[:50])
-    assert ROUND11_MUST_BE_IN_WINDOW <= window, sorted(
-        ROUND11_MUST_BE_IN_WINDOW - window
-    )
-
-
-def test_deferred_never_checked_lead_the_tail():
-    """The 6 never-checked keys deferred past the cut must be the
-    r12 window's head — positions 50..55 exactly."""
-    from spark_sklearn_spark.registry import DRIVER_PRIORITY
-
-    assert DRIVER_PRIORITY[50:56] == [
-        "q_scan_metadata", "q_join_null_safe", "q_join_lateral",
-        "q_win_nth", "q_agg_mode", "q_split_train",
-    ]
+# The r11 window (canary + 2 hardened + 2 promotions + r10 batch +
+# ML-fit + ANN families) went 50/50 green in CORRECTNESS_r11 and
+# rotated to the back for r12; its membership pin retired with it.
+# The live window pin is tests/test_round12.py.
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,137 @@
+"""Round-12 gates.
+
+1. Fixture-assumption gate for q_multimodal_resize (ADVICE r11): its
+   DuckDB oracle walks documents.text with character-based
+   substr/ord/length and VARCHAR md5, which equals the Spark-side
+   byte-level numpy path only while every text is non-empty pure
+   ASCII (and k % n divides by zero on empty text). True at all three
+   local fixtures today — this test makes a fixture regen that breaks
+   the assumption fail LOUDLY in pytest instead of as a silent driver
+   hash-mismatch.
+
+2. Driver-window rotation pin (VERDICT r11 item 3): the r12 window
+   must lead with the 6 never-driver-sampled declared keys promised
+   by the r11 window comment, include the 2 never-sampled rows-only
+   keys (so coverage reaches 378/378), hold q_ml_keyed_cluster near
+   the head one more rotation (ADVICE r11 cascade risk), and fill
+   with the stalest r2/r3-era keys.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+ROUND12_MUST_BE_IN_WINDOW = {
+    "q_dq_engine_canary",
+    # never driver-sampled, declared (judge-swept green r11)
+    "q_scan_metadata", "q_join_null_safe", "q_join_lateral",
+    "q_win_nth", "q_agg_mode", "q_split_train",
+    # never driver-sampled, rows-only by design
+    "q_stream_foreach_upsert", "q_sim_mmr_rerank",
+    # held one extra rotation (iterative decimal-fit cascade risk)
+    "q_ml_keyed_cluster",
+    # stalest driver rows (r2-era)
+    "q_set_union", "q_set_union_distinct",
+}
+
+
+def test_driver_priority_covers_round12_risk():
+    from spark_sklearn_spark.registry import DRIVER_PRIORITY
+
+    window = set(DRIVER_PRIORITY[:50])
+    assert ROUND12_MUST_BE_IN_WINDOW <= window, sorted(
+        ROUND12_MUST_BE_IN_WINDOW - window
+    )
+
+
+def test_window_head_is_the_never_sampled_set():
+    """Positions 0..9: canary, the 6 deferred declared keys in the
+    promised order, the 2 never-sampled rows-only keys, then the
+    held-over q_ml_keyed_cluster."""
+    from spark_sklearn_spark.registry import DRIVER_PRIORITY
+
+    assert DRIVER_PRIORITY[:10] == [
+        "q_dq_engine_canary",
+        "q_scan_metadata", "q_join_null_safe", "q_join_lateral",
+        "q_win_nth", "q_agg_mode", "q_split_train",
+        "q_stream_foreach_upsert", "q_sim_mmr_rerank",
+        "q_ml_keyed_cluster",
+    ]
+
+
+def test_survey_2b_one_row_per_key():
+    """SURVEY §2B is the contract document: exactly ONE table row per
+    registered query key (VERDICT r11 item 6 — q_ml_ndcg and
+    q_sketch_kmv each carried a stale duplicate row), and a row for
+    EVERY registered key."""
+    import os
+    import re
+
+    import __spark_entry__ as entry
+
+    survey = open(
+        os.path.join(os.path.dirname(__file__), "..", "SURVEY.md")
+    ).read()
+    # A row's KEY CELL is the first `|`-cell; combined rows list
+    # several keys (`q_a` / `q_b`), the TPC-H row a range
+    # (`q_tpch_q2`…`q_tpch_q22`).
+    keyed = []
+    for cell in re.findall(r"^\| ((?:`q_\w+`)[^|]*) \|", survey, re.M):
+        rng = re.match(r"`(q_tpch_q)(\d+)`…`q_tpch_q(\d+)`", cell)
+        if rng:
+            keyed.extend(
+                f"{rng.group(1)}{i}"
+                for i in range(int(rng.group(2)), int(rng.group(3)) + 1)
+            )
+        else:
+            keyed.extend(re.findall(r"`(q_\w+)`", cell))
+    dupes = sorted({k for k in keyed if keyed.count(k) > 1})
+    assert not dupes, f"duplicate SURVEY §2B rows: {dupes}"
+    missing = sorted(set(entry.queries()) - set(keyed))
+    assert not missing, f"registered keys missing a SURVEY row: {missing}"
+
+
+def test_driver_priority_is_complete_and_unique():
+    """Every registered key appears exactly once in DRIVER_PRIORITY —
+    a key missing from the list would silently fall to dict-insertion
+    order behind the 50-key window forever."""
+    import __spark_entry__ as entry
+    from spark_sklearn_spark.registry import DRIVER_PRIORITY
+
+    qs = entry.queries()
+    assert len(DRIVER_PRIORITY) == len(set(DRIVER_PRIORITY))
+    assert set(DRIVER_PRIORITY) == set(qs)
+
+FIXTURES = [
+    "/root/testdata/sf0.001",
+    "/root/testdata/sf0.01",
+]
+
+
+@pytest.mark.parametrize("d", FIXTURES)
+def test_documents_text_ascii_nonempty(spark, d):
+    """octet_length(text) == char length AND length > 0 for every
+    document — the q_multimodal_resize oracle's load-bearing
+    assumption (pipeline3.py resize oracle: character-based substr/
+    ord vs Spark's byte-level numpy raster)."""
+    from spark_sklearn_spark.sources.io import load
+
+    bad = (
+        load(spark, d, "documents")
+        .selectExpr(
+            "count_if(text IS NULL) AS nulls",
+            "count_if(length(text) = 0) AS empties",
+            "count_if(octet_length(encode(text, 'utf-8')) != length(text))"
+            " AS multibyte",
+        )
+        .collect()[0]
+    )
+    assert bad["nulls"] == 0, "documents.text has NULLs — resize oracle unsafe"
+    assert bad["empties"] == 0, (
+        "documents.text has empty strings — k % n divides by zero in the "
+        "q_multimodal_resize oracle"
+    )
+    assert bad["multibyte"] == 0, (
+        "documents.text contains multibyte chars — the character-based "
+        "DuckDB resize oracle no longer equals Spark's byte-level path"
+    )
