@@ -218,6 +218,24 @@ PROBE_QUERIES = [
     "q_ml_kruskal",
     "q_behavior_powerlaw",
     "q_dq_double_charge",
+    # r10 batch (probes owed per VERDICT r11 item 4): 64-bit bitmap
+    # word aggs, BFS closeness on the memoized snapshot, SAX symbol
+    # windows, PAV-via-window isotonic bins, IQR fences, peak windows,
+    # two-group Cohen's d, windowed funnel scan
+    "q_fn_bitmap_words",
+    "q_graph_closeness",
+    "q_ts_sax",
+    "q_ml_isotonic_bins",
+    "q_dq_outlier_iqr",
+    "q_ts_peaks",
+    "q_ml_cohen_d",
+    "q_funnel_window",
+    # r11 promotions: collect_list-bounded per-user Lloyd fits,
+    # fixed 4096-cell raster resize
+    "q_ml_keyed_cluster",
+    "q_multimodal_resize",
+    # r12 promotion: CV fan-out + portable fold counts
+    "q_ml_grid_search",
 ]
 
 TABLES = [
