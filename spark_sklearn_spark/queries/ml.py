@@ -147,14 +147,53 @@ def q_ml_grid_search(spark, d):
     ).orderBy("reg_param", "elastic_net", "fold")
 
 
-@query("q_ml_random_search")  # rows-only
+# The seed-42 draw of RandomizedSearchCV's ParameterSampler-parity
+# sampler (random.Random(42).sample over the 7×5 regParam ×
+# elasticNetParam product, WITHOUT replacement) is a DATA-INDEPENDENT
+# constant of (seed, value lists) — pinned here and re-derived by
+# tests/test_ml_api.py::test_random_search_draw_is_pinned so a
+# sampler change fails loudly instead of as a driver hash-mismatch.
+RANDOM_DRAW_SEED42 = [(0.005, 0.5), (0.001, 0.25), (0.05, 0.5)]
+
+_RANDOM_SEARCH_ORACLE = f"""
+    WITH cand AS (
+      SELECT CAST(rp AS DOUBLE) AS reg_param,
+             CAST(en AS DOUBLE) AS elastic_net
+      FROM (VALUES {", ".join(f"({rp}, {en})" for rp, en in RANDOM_DRAW_SEED42)})
+           c(rp, en)
+    ),
+    folds AS (
+      SELECT CAST({sql_h56("CAST(vec_id AS VARCHAR)")} % 3 AS INTEGER)
+                 AS fold,
+             CAST(COUNT(*) AS BIGINT) AS fold_n
+      FROM embeddings GROUP BY 1
+    )
+    SELECT cand.reg_param, cand.elastic_net, f.fold, f.fold_n,
+           CAST(3 AS INTEGER) AS n_folds
+    FROM cand CROSS JOIN folds f
+    ORDER BY reg_param, elastic_net, fold
+"""
+
+
+@query("q_ml_random_search", oracle=_RANDOM_SEARCH_ORACLE)
 def q_ml_random_search(spark, d):
-    """A2 port: randomized search (n_iter=3 candidates drawn with a
-    fixed seed) through the public RandomizedSearchCV class."""
+    """A2 port, DECLARED (r12, the q_ml_grid_search precedent):
+    randomized search (n_iter=3 candidates drawn without replacement
+    with a fixed seed — sklearn ParameterSampler semantics,
+    random_search.py#RandomizedSearchCV) through the public
+    RandomizedSearchCV class, reported as the candidate×fold SHAPE.
+
+    What is hash-checked: the 3 candidates the fit actually evaluated
+    (read back from cv_results_) against the pinned seed-42 draw —
+    the draw depends only on (seed, value lists), never on data, so
+    it is a constant of the query definition exactly like the grid
+    constants — plus the portable h56(vec_id)%3 fold sizes. avgMetric
+    stays engine-side."""
     from pyspark.ml.classification import LogisticRegression
 
     from ..ml_api import RandomizedSearchCV
 
+    feat = _features_df(spark, d)
     rs = RandomizedSearchCV(
         LogisticRegression(maxIter=20),
         {
@@ -165,8 +204,31 @@ def q_ml_random_search(spark, d):
         cv=3,
         parallelism=8,
         seed=42,
-    ).fit(_features_df(spark, d))
-    return _results_df(spark, rs)
+        fold_col="fold",
+    ).fit(feat)
+    cand = sorted(
+        (
+            float(r["params"]["regParam"]),
+            float(r["params"].get("elasticNetParam", 0.0)),
+        )
+        for r in rs.cv_results_
+    )
+    folds = sorted(
+        (r["fold"], r["n"])
+        for r in feat.groupBy("fold")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    rows = [
+        (rp, en, int(f), int(n), 3)
+        for rp, en in cand
+        for f, n in folds
+    ]
+    return spark.createDataFrame(
+        rows,
+        "reg_param double, elastic_net double, fold int, "
+        "fold_n bigint, n_folds int",
+    ).orderBy("reg_param", "elastic_net", "fold")
 
 
 @query(

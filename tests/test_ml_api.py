@@ -158,6 +158,25 @@ def test_grid_search_respects_metric_direction(spark):
     assert gs.best_score_ == min(scores)
 
 
+def test_random_search_draw_is_pinned():
+    """q_ml_random_search's declared oracle hardcodes the seed-42
+    candidate draw (data-independent constant). Re-derive it from the
+    live sampler semantics so a sampler change fails HERE, not as a
+    driver hash-mismatch."""
+    import itertools
+    import random
+
+    from spark_sklearn_spark.queries.ml import RANDOM_DRAW_SEED42
+
+    combos = list(
+        itertools.product(
+            [0.001, 0.005, 0.01, 0.05, 0.1, 0.5, 1.0],
+            [0.0, 0.25, 0.5, 0.75, 1.0],
+        )
+    )
+    assert random.Random(42).sample(combos, 3) == RANDOM_DRAW_SEED42
+
+
 def test_keyed_cluster_invariants(spark, sf_dir):
     """Clusterer-role KeyedEstimator: per-user 2-means must satisfy
     c0 ≤ c1, n0+n1 = the user's event count, and the floor-micro
