@@ -379,3 +379,209 @@ def q_feat_mutual_info(spark, d):
         )
         .orderBy("x")
     )
+
+
+# --------------------------------------------------------------------------
+# Embedding isotropy (participation ratio of the scatter spectrum)
+# --------------------------------------------------------------------------
+
+
+def _isotropy_oracle() -> str:
+    from .pca_power import pca_with_body
+
+    # Unreferenced round CTEs in pca_with_body() are non-MATERIALIZED,
+    # so DuckDB prunes them — the oracle evaluates exactly vals ->
+    # means -> cent -> cells, the same lineage q_emb_pca_power proves.
+    return f"""
+        WITH {pca_with_body()}
+        SELECT CAST((SELECT COUNT(*) FROM embeddings) AS BIGINT)
+                   AS n_vecs,
+               CAST(SUM(CASE WHEN i = j THEN m ELSE 0 END) AS BIGINT)
+                   AS trace_damped,
+               CAST(SUM(m * m) AS BIGINT) AS fro2_damped,
+               CAST(floor(CAST(SUM(CASE WHEN i = j THEN m ELSE 0 END)
+                               AS DOUBLE)
+                          * SUM(CASE WHEN i = j THEN m ELSE 0 END)
+                          * 1000000.0 / SUM(m * m))
+                    AS BIGINT) AS pr_micro
+        FROM cells
+    """
+
+
+@query("q_emb_isotropy", oracle=_isotropy_oracle())
+def q_emb_isotropy(spark, d):
+    """Embedding-space isotropy: the participation ratio
+    PR = tr(S)² / ‖S‖_F² = (Σλ)²/(Σλ²) of the damped integer scatter
+    matrix — the effective RANK of the embedding spectrum without an
+    eigendecomposition (PR = 64 ⇔ perfectly isotropic, PR → 1 ⇔ the
+    space has collapsed onto one direction). The monitoring twin of
+    q_emb_pca: PCA tells you WHICH direction dominates, PR tells you
+    HOW MUCH the spectrum has degenerated — the standard collapse
+    alarm for learned embeddings.
+
+    Reuses the memoized pca_cells scatter snapshot (one O(n·d²)
+    combinable Gram agg shared with the whole PCA family — this query
+    adds only a 4096-row aggregate). Portability: trace and Frobenius
+    are exact BIGINTs; pr_micro is the identical double expression
+    floor(T·T·1e6 / F2) on both engines over identical integer inputs
+    — bit-identical, no accumulation-order exposure (single values,
+    not sums of floats). int64 headroom: T² · 1e6 ≈ 3.8e18 at sf0.1
+    and F2 ≈ 6e13·(n/2000)²; both overflow around n ≈ 2.8M vectors at
+    this variance — past that, raise PP_DAMP (the damping constant
+    already in the shared fit)."""
+    from .pca_power import power_fit
+
+    _, cells, _ = power_fit(spark, d)
+    n_vecs = load(spark, d, "embeddings").count()
+    t = F.sum(F.when(F.col("i") == F.col("j"), F.col("m")).otherwise(0))
+    f2 = F.sum(F.col("m") * F.col("m"))
+    return cells.agg(
+        F.lit(int(n_vecs)).cast("long").alias("n_vecs"),
+        t.cast("long").alias("trace_damped"),
+        f2.cast("long").alias("fro2_damped"),
+        F.floor(t.cast("double") * t * 1000000.0 / f2)
+        .cast("long")
+        .alias("pr_micro"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Randomization (permutation) test via portable hash reassignment
+# --------------------------------------------------------------------------
+
+PERM_REPS = 16
+
+
+def _perm_test_oracle() -> str:
+    from ._helpers import sql_h56
+
+    h = sql_h56("CAST(o_orderkey AS VARCHAR)")
+    return f"""
+        WITH base AS (
+          SELECT o_orderkey,
+                 CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+                 o_orderstatus,
+                 {h} AS h
+          FROM orders WHERE o_orderstatus IN ('F', 'O')
+        ),
+        obs AS (
+          SELECT (SUM(CASE WHEN o_orderstatus = 'F' THEN cents END)
+                  * 1000000)
+                 // COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END)
+                 - (SUM(CASE WHEN o_orderstatus = 'O' THEN cents END)
+                    * 1000000)
+                   // COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END)
+                     AS diff
+          FROM base
+        ),
+        reps AS (
+          SELECT b.o_orderkey, b.cents, r.rep,
+                 (b.h >> r.rep) & 1 AS arm
+          FROM base b,
+               LATERAL (SELECT unnest(generate_series(1, {PERM_REPS}))
+                        AS rep) r
+        ),
+        perm AS (
+          SELECT rep,
+                 CAST(COUNT(CASE WHEN arm = 0 THEN 1 END) AS BIGINT)
+                     AS n_a,
+                 CAST(COUNT(CASE WHEN arm = 1 THEN 1 END) AS BIGINT)
+                     AS n_b,
+                 CAST((SUM(CASE WHEN arm = 0 THEN cents END) * 1000000)
+                      // COUNT(CASE WHEN arm = 0 THEN 1 END)
+                      - (SUM(CASE WHEN arm = 1 THEN cents END) * 1000000)
+                        // COUNT(CASE WHEN arm = 1 THEN 1 END)
+                      AS BIGINT) AS diff_micro
+          FROM reps GROUP BY rep
+        )
+        SELECT p.rep, p.n_a, p.n_b, p.diff_micro,
+               CAST(CASE WHEN ABS(p.diff_micro) >= ABS(o.diff)
+                    THEN 1 ELSE 0 END AS BIGINT) AS exceeds
+        FROM perm p CROSS JOIN obs o
+        ORDER BY p.rep
+    """
+
+
+@query("q_ml_permutation_test", oracle=_perm_test_oracle())
+def q_ml_permutation_test(spark, d):
+    """Randomization test for the F-vs-O order-value gap: {PERM_REPS}
+    portable pseudo-random reassignments of orders to two arms
+    (rep r uses BIT r of one h56(orderkey) — md5 bits are independent,
+    so ONE hash per order yields all {PERM_REPS} permutations; both
+    engines compute the identical md5-head, so the 'random'
+    permutations replay exactly — and the md5 cost is paid once, not
+    {PERM_REPS}× as a per-(key,rep) hash would: measured 2.5 s → the
+    scan floor at sf0.1), each rep's
+    mean difference in integer micro-cents, and whether it exceeds
+    the observed |F-mean − O-mean|. The model-free significance
+    primitive next to q_ml_mannwhitney/q_ml_tost (rank/equivalence
+    tests) and q_ml_bootstrap_ci (resampling CI): Σ exceeds / reps IS
+    the permutation p-value, assembled here per-rep so the driver
+    hashes the full null distribution, not just the verdict.
+
+    Shape: ONE scan fills all reps (explode a {PERM_REPS}-element
+    sequence, conditional sums — a combinable 2×{PERM_REPS}-cell agg,
+    the q_ml_cv_stability one-scan-fills-all-folds pattern); the
+    observed statistic is a 1-row broadcast join onto the bounded
+    rep relation. Integer end-to-end: exact cents sums, micro-mean
+    floor division, integer compare."""
+    o = (
+        load(spark, d, "orders")
+        .filter(F.col("o_orderstatus").isin("F", "O"))
+        .select(
+            "o_orderkey",
+            F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").alias(
+                "cents"
+            ),
+            "o_orderstatus",
+            F.expr(
+                "cast(conv(substr(md5(cast(o_orderkey as string)),"
+                " 1, 14), 16, 10) as bigint)"
+            ).alias("h"),
+        )
+    )
+    obs = o.agg(
+        F.expr(
+            "sum(case when o_orderstatus = 'F' then cents end) * 1000000L"
+            " div count(case when o_orderstatus = 'F' then 1 end)"
+            " - sum(case when o_orderstatus = 'O' then cents end)"
+            "   * 1000000L"
+            "   div count(case when o_orderstatus = 'O' then 1 end)"
+        ).alias("obs_diff")
+    ).withColumn("k", F.lit(1))
+    reps = o.select(
+        "h",
+        "cents",
+        F.explode(F.expr(f"sequence(1, {PERM_REPS})")).alias("rep"),
+    ).select(
+        "rep",
+        "cents",
+        F.expr("(h >> rep) & 1").alias("arm"),
+    )
+    perm = reps.groupBy("rep").agg(
+        F.count(F.when(F.col("arm") == 0, 1)).alias("n_a"),
+        F.count(F.when(F.col("arm") == 1, 1)).alias("n_b"),
+        F.expr(
+            "sum(case when arm = 0 then cents end) * 1000000L"
+            " div count(case when arm = 0 then 1 end)"
+            " - sum(case when arm = 1 then cents end) * 1000000L"
+            "   div count(case when arm = 1 then 1 end)"
+        ).alias("diff_micro"),
+    )
+    return (
+        perm.withColumn("k", F.lit(1))
+        .join(F.broadcast(obs), "k")
+        .select(
+            "rep",
+            "n_a",
+            "n_b",
+            "diff_micro",
+            F.when(
+                F.abs(F.col("diff_micro")) >= F.abs(F.col("obs_diff")), 1
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("exceeds"),
+        )
+        .orderBy("rep")
+    )

@@ -33,6 +33,7 @@ ROUND12_MUST_BE_IN_WINDOW = {
     # new r12 declared keys + the two promoted CV-search shapes:
     # newly declared outputs must be driver-sampled the round they land
     "q_graph_katz", "q_ml_lof", "q_feat_mutual_info",
+    "q_emb_isotropy", "q_ml_permutation_test",
     "q_ml_grid_search", "q_ml_random_search",
     # stalest driver rows (r2-era)
     "q_set_union", "q_set_union_distinct",
@@ -162,6 +163,57 @@ def test_round12_batch_plans_are_scalable(spark):
     assert "partial_count" in plan  # map-side combine before shuffle
     assert "o_orderpriority" in plan and "o_totalprice" in plan
     assert "o_orderdate" not in plan  # column pruning reached the scan
+    # q_ml_permutation_test: same bounded exemption — the only BNLJ is
+    # the 1-row observed-statistic join onto the 16-row rep relation;
+    # the data-sized stage is one scan with a map-side combinable agg.
+    plan = executed_plan(qs["q_ml_permutation_test"](spark, sf))
+    assert "partial_count" in plan
+    assert "o_orderdate" not in plan
+    # q_emb_isotropy: one aggregate over the memoized 4096-row cells
+    # snapshot — the global agg's SinglePartition runs on a
+    # constant-size relation (Lloyd-shape exemption).
+    plan = executed_plan(qs["q_emb_isotropy"](spark, sf))
+    assert "pca_cells" in plan  # reads the shared fit snapshot
+
+
+def test_isotropy_bounds(spark):
+    """Participation ratio must land in (1, 64]·1e6 micro and the
+    trace/Frobenius identities must recombine: PR·F2 ≤ T²·1e6 <
+    (PR+1)·F2 (floor definition). The fixture embeddings are
+    near-isotropic, so PR should be well above half the dimension."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    r = entry.queries()["q_emb_isotropy"](spark, sf).collect()[0]
+    assert r.n_vecs > 0 and r.fro2_damped > 0
+    assert 1_000_000 < r.pr_micro <= 64_000_000
+    t2 = r.trace_damped * r.trace_damped
+    assert r.pr_micro * r.fro2_damped <= t2 * 1_000_000
+    assert t2 * 1_000_000 < (r.pr_micro + 1) * r.fro2_damped
+    assert r.pr_micro > 32_000_000  # isotropic fixture
+
+
+def test_permutation_test_invariants(spark):
+    """16 reps; each rep's arms partition the F+O orders; the
+    observed F-vs-O gap is genuine in the fixture so random
+    reassignment should rarely exceed it — but assert only structure
+    (exceeds ∈ {0,1}) plus the arm-count partition, not luck."""
+    import __spark_entry__ as entry
+
+    from spark_sklearn_spark.sources.io import load
+
+    sf = "/root/testdata/sf0.001"
+    rows = entry.queries()["q_ml_permutation_test"](spark, sf).collect()
+    assert [r.rep for r in rows] == list(range(1, 17))
+    n_fo = (
+        load(spark, sf, "orders")
+        .filter("o_orderstatus IN ('F', 'O')")
+        .count()
+    )
+    for r in rows:
+        assert r.n_a + r.n_b == n_fo
+        assert r.exceeds in (0, 1)
+        assert r.n_a > 0 and r.n_b > 0
 
 
 def test_survey_2b_one_row_per_key():

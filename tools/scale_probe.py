@@ -241,6 +241,10 @@ PROBE_QUERIES = [
     "q_graph_katz",
     "q_ml_lof",
     "q_feat_mutual_info",
+    # r12 batch B: shared-fit 4096-cell agg, one-scan 16-rep
+    # hash-permutation agg
+    "q_emb_isotropy",
+    "q_ml_permutation_test",
 ]
 
 TABLES = [
