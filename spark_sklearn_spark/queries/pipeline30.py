@@ -585,3 +585,360 @@ def q_ml_permutation_test(spark, d):
         )
         .orderBy("rep")
     )
+
+
+# --------------------------------------------------------------------------
+# Ljung-Box white-noise test on the daily activity series
+# --------------------------------------------------------------------------
+
+LB_LAGS = 7  # test lags 1..7 (one weekly cycle)
+
+
+_LB_ORACLE = f"""
+    WITH daily AS (
+      SELECT CAST(date_diff('day', DATE '1970-01-01', ts) AS BIGINT)
+                 AS day_idx,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY day_idx
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s
+      FROM daily
+    ),
+    den AS (
+      SELECT CAST(SUM((t.n * d.x - t.s) * (t.n * d.x - t.s)) AS BIGINT)
+                 AS den
+      FROM daily d CROSS JOIN tot t
+    ),
+    lags AS (SELECT unnest(generate_series(1, {LB_LAGS})) AS k),
+    num AS (
+      SELECT l.k,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM((t.n * a.x - t.s) * (t.n * b.x - t.s)) AS BIGINT)
+                 AS num
+      FROM daily a
+      JOIN lags l ON true
+      JOIN daily b ON b.day_idx = a.day_idx + l.k
+      CROSS JOIN tot t
+      GROUP BY l.k
+    ),
+    rho AS (
+      SELECT k, n_pairs,
+             CAST((num * 1000000) // den AS BIGINT) AS rho_micro,
+             t.n AS n
+      FROM num CROSS JOIN den CROSS JOIN tot t
+    )
+    SELECT k, n_pairs, rho_micro,
+           CAST(n * (n + 2)
+                * SUM((rho_micro * rho_micro) // (n - k))
+                  OVER (ORDER BY k) AS BIGINT) AS lb_q_scaled
+    FROM rho
+    ORDER BY k
+"""
+
+
+@query("q_ts_ljung_box", oracle=_LB_ORACLE)
+def q_ts_ljung_box(spark, d):
+    """Ljung-Box white-noise test on the daily event-count series:
+    per lag k = 1..{LB_LAGS}, the mean-centered autocorrelation and
+    the cumulative Q statistic — the 'is there ANY serial structure
+    left' gate that belongs after q_ts_seasonal/q_ts_stl residuals,
+    next to q_ts_autocorr's per-lag Pearson view (LB uses the common
+    mean and common denominator the test statistic requires).
+
+    Portability: multiplying the centered terms through by n makes
+    every autocovariance an exact INTEGER ((n·x_t − S) products — the
+    scatter-matrix trick), so ρ_k leaves as exact floor-micro and the
+    cumulative Q as the exact integer n(n+2)·Σ ρ²_micro div (n−k)
+    (units micro² — divide by 1e12 for the classic Q; compare to
+    χ²(k) quantiles at that scale). Signed // and div truncate
+    identically (CLAUDE.md pin). int64 headroom: terms are
+    (n·x)² ≈ (days·daily_count)² — safe through ~3e9 events/day at
+    a 90-day grain; past that, pre-scale x (the gains/ks posture).
+
+    Shape: corpus collapses to the calendar-bounded daily grain first
+    (one combinable agg); everything after — lag self-join, moment
+    sums, the 7-row cumulative window — runs on that bounded series."""
+    ev = load(spark, d, "events")
+    daily = ev.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("day_idx")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    tot = daily.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("s")
+    ).withColumn("j", F.lit(1))
+    dj = daily.withColumn("j", F.lit(1)).join(F.broadcast(tot), "j")
+    den = (
+        dj.agg(
+            F.sum(
+                (F.col("n") * F.col("x") - F.col("s"))
+                * (F.col("n") * F.col("x") - F.col("s"))
+            ).alias("den")
+        )
+    ).withColumn("j", F.lit(1))
+    lags = spark.range(1, LB_LAGS + 1).select(F.col("id").alias("k"))
+    a = dj.select("day_idx", F.col("x").alias("xa"), "n", "s")
+    b = daily.select(F.col("day_idx").alias("dj_idx"), F.col("x").alias("xb"))
+    num = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("dj_idx") == F.col("day_idx") + F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(
+                (F.col("n") * F.col("xa") - F.col("s"))
+                * (F.col("n") * F.col("xb") - F.col("s"))
+            ).alias("num"),
+            F.first("n").alias("n"),
+        )
+    )
+    rho = (
+        num.withColumn("j", F.lit(1))
+        .join(F.broadcast(den), "j")
+        .select(
+            "k",
+            "n_pairs",
+            F.expr("num * 1000000L div den").alias("rho_micro"),
+            "n",
+        )
+    )
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    return rho.select(
+        "k",
+        "n_pairs",
+        "rho_micro",
+        (
+            F.col("n")
+            * (F.col("n") + 2)
+            * F.sum(
+                F.expr("(rho_micro * rho_micro) div (n - k)")
+            ).over(w)
+        )
+        .cast("long")
+        .alias("lb_q_scaled"),
+    ).orderBy("k")
+
+
+# --------------------------------------------------------------------------
+# Permutation entropy (ordinal-pattern complexity) of daily series
+# --------------------------------------------------------------------------
+
+
+_PE_ORACLE = """
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_diff('day', DATE '1970-01-01', ts) AS BIGINT)
+                 AS day_idx,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY event_type, day_idx
+    ),
+    triples AS (
+      SELECT a.event_type, a.x AS x0, b.x AS x1, c.x AS x2
+      FROM daily a
+      JOIN daily b ON b.event_type = a.event_type
+                  AND b.day_idx = a.day_idx + 1
+      JOIN daily c ON c.event_type = a.event_type
+                  AND c.day_idx = a.day_idx + 2
+    ),
+    pats AS (
+      SELECT event_type,
+             CASE
+               WHEN x0 <= x1 AND x1 <= x2 THEN 0
+               WHEN x0 <= x2 AND x2 < x1 THEN 1
+               WHEN x1 < x0 AND x0 <= x2 THEN 2
+               WHEN x2 < x0 AND x0 <= x1 THEN 3
+               WHEN x1 <= x2 AND x2 < x0 THEN 4
+               ELSE 5
+             END AS pat
+      FROM triples
+    ),
+    counts AS (
+      SELECT event_type, pat, CAST(COUNT(*) AS BIGINT) AS c
+      FROM pats GROUP BY event_type, pat
+    )
+    SELECT event_type,
+           CAST(SUM(c) AS BIGINT) AS n_triples,
+           CAST(COUNT(*) AS BIGINT) AS n_patterns,
+           CAST(floor((ln(CAST(SUM(c) AS DOUBLE))
+                       - CAST(SUM(CAST(c * ln(CAST(c AS DOUBLE))
+                                       AS DECIMAL(30,10))) AS DOUBLE)
+                         / SUM(c)) * 1000000.0) AS BIGINT)
+               AS pe_micro
+    FROM counts
+    GROUP BY event_type
+    ORDER BY event_type
+"""
+
+
+@query("q_ts_permutation_entropy", oracle=_PE_ORACLE)
+def q_ts_permutation_entropy(spark, d):
+    """Permutation entropy (Bandt-Pompe, order 3) of each event
+    type's daily-count series: consecutive day triples map to one of
+    6 ordinal patterns (ties resolved by the fixed <=/< comparison
+    table so both engines bin identically), and the Shannon entropy
+    of the pattern distribution measures series COMPLEXITY —
+    ln(6)·1e6 ≈ 1.79e6 micro-nats for white noise, → 0 for monotone/
+    periodic structure. The complexity twin of q_ts_ljung_box: LB
+    detects linear autocorrelation, PE catches nonlinear determinism
+    invisibly to correlations.
+
+    Portability is the q_text_entropy posture verbatim: ln only sees
+    INTEGER counts, the Σ c·ln(c) term sum rides DECIMAL(30,10), the
+    closing expression is identical IEEE then floor-micro. Shape:
+    calendar-bounded daily agg → two +1/+2 self-joins on the tiny
+    grain → 6-cell pattern agg per type."""
+    ev = load(spark, d, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("day_idx"),
+    ).agg(F.count(F.lit(1)).alias("x"))
+    a = daily.select("event_type", "day_idx", F.col("x").alias("x0"))
+    b = daily.select(
+        "event_type", (F.col("day_idx") - 1).alias("day_idx"),
+        F.col("x").alias("x1"),
+    )
+    c = daily.select(
+        "event_type", (F.col("day_idx") - 2).alias("day_idx"),
+        F.col("x").alias("x2"),
+    )
+    pats = (
+        a.join(b, ["event_type", "day_idx"])
+        .join(c, ["event_type", "day_idx"])
+        .select(
+            "event_type",
+            F.expr(
+                "CASE WHEN x0 <= x1 AND x1 <= x2 THEN 0"
+                " WHEN x0 <= x2 AND x2 < x1 THEN 1"
+                " WHEN x1 < x0 AND x0 <= x2 THEN 2"
+                " WHEN x2 < x0 AND x0 <= x1 THEN 3"
+                " WHEN x1 <= x2 AND x2 < x0 THEN 4"
+                " ELSE 5 END"
+            ).alias("pat"),
+        )
+    )
+    counts = pats.groupBy("event_type", "pat").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        counts.groupBy("event_type")
+        .agg(
+            F.sum("c").alias("n_triples"),
+            F.count(F.lit(1)).alias("n_patterns"),
+            F.floor(
+                (
+                    F.log(F.sum("c").cast("double"))
+                    - F.sum(
+                        (F.col("c") * F.log(F.col("c").cast("double")))
+                        .cast(DEC)
+                    ).cast("double")
+                    / F.sum("c")
+                )
+                * 1000000.0
+            )
+            .cast("long")
+            .alias("pe_micro"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Mutual-kNN graph degree histogram over the LOF panel
+# --------------------------------------------------------------------------
+
+
+def _mutual_knn_oracle() -> str:
+    return f"""
+        WITH panel AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                     x -> CAST(floor(CAST(x AS DOUBLE) * {LOF_Q})
+                               AS BIGINT)) AS q
+          FROM embeddings WHERE vec_id % {LOF_PANEL_MOD} = 0
+        ),
+        pairs AS (
+          SELECT a.vec_id AS p, b.vec_id AS o,
+                 CAST(list_sum(list_transform(
+                     generate_series(1, 64),
+                     i -> (a.q[i] - b.q[i]) * (a.q[i] - b.q[i])))
+                     AS BIGINT) AS d2
+          FROM panel a JOIN panel b ON a.vec_id <> b.vec_id
+        ),
+        knn AS (
+          SELECT p, o
+          FROM (SELECT p, o,
+                       ROW_NUMBER() OVER (PARTITION BY p
+                                          ORDER BY d2, o) AS rk
+                FROM pairs)
+          WHERE rk <= {LOF_K}
+        ),
+        mutual AS (
+          SELECT a.p, COUNT(*) AS deg
+          FROM knn a JOIN knn b ON b.p = a.o AND b.o = a.p
+          GROUP BY a.p
+        ),
+        degs AS (
+          SELECT pl.vec_id,
+                 COALESCE(m.deg, 0) AS mutual_deg
+          FROM panel pl LEFT JOIN mutual m ON m.p = pl.vec_id
+        )
+        SELECT CAST(mutual_deg AS BIGINT) AS mutual_deg,
+               CAST(COUNT(*) AS BIGINT) AS n_points
+        FROM degs
+        GROUP BY mutual_deg
+        ORDER BY mutual_deg
+    """
+
+
+@query("q_emb_mutual_knn", oracle=_mutual_knn_oracle())
+def q_emb_mutual_knn(spark, d):
+    """Mutual-kNN graph degree histogram over the LOF probe panel:
+    an edge (p,o) survives only when each is in the other's kNN —
+    the symmetrization that graph-based ANN indexes and density
+    clustering (HDBSCAN-style) build on, because asymmetric
+    neighbors are exactly the hub/outlier contamination LOF flags.
+    Low mutual degree ⇒ hubness/boundary points; deg=k ⇒ stable
+    cluster cores. Same fixed panel, quantized distances, and rank
+    windows as q_ml_lof (one more self-equi-join on the directed
+    kNN relation), so the eval adds no new scale risk: panel work is
+    constant in corpus size."""
+    emb = load(spark, d, "embeddings")
+    panel = emb.filter(F.col("vec_id") % LOF_PANEL_MOD == 0).select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> cast(floor(cast(x as double)"
+            f" * {LOF_Q}) as bigint))"
+        ).alias("q"),
+    )
+    a = panel.select(F.col("vec_id").alias("p"), F.col("q").alias("pq"))
+    b = panel.select(F.col("vec_id").alias("o"), F.col("q").alias("oq"))
+    d2 = F.expr(
+        "aggregate(zip_with(pq, oq, (x, y) -> (x - y) * (x - y)),"
+        " 0L, (acc, v) -> acc + v)"
+    )
+    w = Window.partitionBy("p").orderBy("d2", "o")
+    knn = (
+        F.broadcast(a)
+        .join(b, F.col("p") != F.col("o"))
+        .select("p", "o", d2.alias("d2"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= LOF_K)
+        .select("p", "o")
+    )
+    rev = knn.select(F.col("o").alias("p"), F.col("p").alias("o"))
+    mutual = (
+        knn.join(rev, ["p", "o"])
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    degs = panel.select("vec_id").join(
+        mutual.select(F.col("p").alias("vec_id"), "deg"), "vec_id", "left"
+    ).select(F.coalesce("deg", F.lit(0)).alias("mutual_deg"))
+    return (
+        degs.groupBy("mutual_deg")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+        .orderBy("mutual_deg")
+    )

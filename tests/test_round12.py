@@ -34,6 +34,7 @@ ROUND12_MUST_BE_IN_WINDOW = {
     # newly declared outputs must be driver-sampled the round they land
     "q_graph_katz", "q_ml_lof", "q_feat_mutual_info",
     "q_emb_isotropy", "q_ml_permutation_test",
+    "q_ts_ljung_box", "q_ts_permutation_entropy", "q_emb_mutual_knn",
     "q_ml_grid_search", "q_ml_random_search",
     # stalest driver rows (r2-era)
     "q_set_union", "q_set_union_distinct",
@@ -214,6 +215,91 @@ def test_permutation_test_invariants(spark):
         assert r.n_a + r.n_b == n_fo
         assert r.exceeds in (0, 1)
         assert r.n_a > 0 and r.n_b > 0
+
+
+def test_ljung_box_replay(spark):
+    """Exact numpy replay of the integer-scaled Ljung-Box pipeline at
+    sf0.001: ρ_micro and the cumulative Q must match the n-scaled
+    scatter arithmetic bit for bit, and ρ must lie in [-1e6, 1e6]."""
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+
+    from spark_sklearn_spark.sources.io import load
+
+    sf = "/root/testdata/sf0.001"
+    rows = entry.queries()["q_ts_ljung_box"](spark, sf).collect()
+    assert [r.k for r in rows] == list(range(1, 8))
+    daily = {
+        r.day_idx: r.x
+        for r in load(spark, sf, "events")
+        .selectExpr(
+            "cast(datediff(to_date(ts), date '1970-01-01') as long)"
+            " as day_idx"
+        )
+        .groupBy("day_idx")
+        .agg(F.count(F.lit(1)).alias("x"))
+        .collect()
+    }
+    idx = sorted(daily)
+    n = len(idx)
+    s = sum(daily.values())
+    cent = {i: n * daily[i] - s for i in idx}
+    den = sum(v * v for v in cent.values())
+    cum = 0
+    for r in rows:
+        num = sum(
+            cent[i] * cent[i + r.k] for i in idx if i + r.k in daily
+        )
+        rho = (num * 1_000_000) // den if num >= 0 else -(
+            (-num * 1_000_000) // den
+        )
+        assert r.rho_micro == rho, (r.k, r.rho_micro, rho)
+        assert -1_000_000 <= r.rho_micro <= 1_000_000
+        t = rho * rho
+        cum += t // (n - r.k)
+        assert r.lb_q_scaled == n * (n + 2) * cum, r
+
+
+def test_permutation_entropy_bounds(spark):
+    """PE must land in [0, ln(6)]·1e6 micro-nats per event type, with
+    n_patterns ≤ 6 and triples = days − 2 when the type's daily
+    series is gap-free."""
+    import math
+
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    rows = entry.queries()["q_ts_permutation_entropy"](spark, sf).collect()
+    assert rows
+    cap = math.floor(math.log(6) * 1_000_000)
+    for r in rows:
+        assert 0 <= r.pe_micro <= cap, r
+        assert 1 <= r.n_patterns <= 6
+        assert r.n_triples > 0
+
+
+def test_mutual_knn_histogram(spark):
+    """Degrees lie in 0..k, the histogram covers the whole panel, and
+    the mutual-edge count implied by Σ deg·count is even (each mutual
+    edge contributes to two points' degrees)."""
+    import __spark_entry__ as entry
+
+    from spark_sklearn_spark.queries.pipeline30 import (
+        LOF_K,
+        LOF_PANEL_MOD,
+    )
+    from spark_sklearn_spark.sources.io import load
+
+    sf = "/root/testdata/sf0.001"
+    rows = entry.queries()["q_emb_mutual_knn"](spark, sf).collect()
+    panel_n = (
+        load(spark, sf, "embeddings")
+        .filter(f"vec_id % {LOF_PANEL_MOD} = 0")
+        .count()
+    )
+    assert sum(r.n_points for r in rows) == panel_n
+    assert all(0 <= r.mutual_deg <= LOF_K for r in rows)
+    assert sum(r.mutual_deg * r.n_points for r in rows) % 2 == 0
 
 
 def test_survey_2b_one_row_per_key():

@@ -245,6 +245,11 @@ PROBE_QUERIES = [
     # hash-permutation agg
     "q_emb_isotropy",
     "q_ml_permutation_test",
+    # r12 batch C: calendar-bounded LB moments, daily ordinal
+    # patterns, panel mutual-kNN
+    "q_ts_ljung_box",
+    "q_ts_permutation_entropy",
+    "q_emb_mutual_knn",
 ]
 
 TABLES = [
