@@ -942,3 +942,323 @@ def q_emb_mutual_knn(spark, d):
         .agg(F.count(F.lit(1)).alias("n_points"))
         .orderBy("mutual_deg")
     )
+
+
+# --------------------------------------------------------------------------
+# Lagged cross-correlation between two event-type daily series
+# --------------------------------------------------------------------------
+
+XCF_LAGS = 7  # lags -7..+7: does 'click' lead 'purchase'?
+XCF_A = "click"
+XCF_B = "purchase"
+
+
+_XCF_ORACLE = f"""
+    WITH dx AS (
+      SELECT CAST(date_diff('day', DATE '1970-01-01', ts) AS BIGINT)
+                 AS day_idx,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events WHERE event_type = '{XCF_A}' GROUP BY day_idx
+    ),
+    dy AS (
+      SELECT CAST(date_diff('day', DATE '1970-01-01', ts) AS BIGINT)
+                 AS day_idx,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events WHERE event_type = '{XCF_B}' GROUP BY day_idx
+    ),
+    mx AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(x) AS BIGINT) AS s
+           FROM dx),
+    my AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(y) AS BIGINT) AS s
+           FROM dy),
+    denx AS (
+      SELECT CAST(SUM((m.n * d.x - m.s) * (m.n * d.x - m.s)) AS BIGINT)
+                 AS den
+      FROM dx d CROSS JOIN mx m
+    ),
+    deny AS (
+      SELECT CAST(SUM((m.n * d.y - m.s) * (m.n * d.y - m.s)) AS BIGINT)
+                 AS den
+      FROM dy d CROSS JOIN my m
+    ),
+    lags AS (SELECT unnest(generate_series(-{XCF_LAGS}, {XCF_LAGS}))
+                 AS k),
+    num AS (
+      SELECT l.k,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM((a.n * d.x - a.s) * (b.n * e.y - b.s)) AS BIGINT)
+                 AS num
+      FROM dx d
+      JOIN lags l ON true
+      JOIN dy e ON e.day_idx = d.day_idx + l.k
+      CROSS JOIN mx a CROSS JOIN my b
+      GROUP BY l.k
+    )
+    SELECT n.k, n.n_pairs,
+           CAST(floor(n.num * 1000000.0
+                      / (sqrt(CAST(x.den AS DOUBLE))
+                         * sqrt(CAST(y.den AS DOUBLE))))
+                AS BIGINT) AS xcf_micro
+    FROM num n CROSS JOIN denx x CROSS JOIN deny y
+    ORDER BY n.k
+"""
+
+
+@query("q_ts_cross_correlation", oracle=_XCF_ORACLE)
+def q_ts_cross_correlation(spark, d):
+    """Lagged cross-correlation between the daily '{XCF_A}' and
+    '{XCF_B}' series, lags −{XCF_LAGS}..+{XCF_LAGS}: the lead-lag
+    screen (a peak at k>0 means {XCF_A} activity LEADS {XCF_B} by k
+    days) next to q_ts_granger's regression form — the CCF is what an
+    analyst reads first to pick Granger's lag. Full-series means and
+    denominators (the statistic's definition); only overlapping day
+    pairs enter the numerator, n_pairs reports the overlap.
+
+    Portability: the n-scaled scatter trick (q_ts_ljung_box) keeps
+    every centered product an exact INTEGER; the closing
+    num·1e6/(√denx·√deny) is the identical IEEE expression on
+    identical integer inputs (sqrt is correctly rounded per IEEE 754,
+    so both engines produce the same double), then floor. Shape: two
+    calendar-bounded daily collapses, a ±{XCF_LAGS}-lag self-join on
+    the tiny grain, 15-row output."""
+    ev = load(spark, d, "events")
+
+    def daily(t, col):
+        return (
+            ev.filter(F.col("event_type") == t)
+            .groupBy(
+                F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+                .cast("long")
+                .alias("day_idx")
+            )
+            .agg(F.count(F.lit(1)).alias(col))
+        )
+
+    dx = daily(XCF_A, "x")
+    dy = daily(XCF_B, "y")
+    mx = dx.agg(
+        F.count(F.lit(1)).alias("nx"), F.sum("x").alias("sx")
+    ).withColumn("j", F.lit(1))
+    my = dy.agg(
+        F.count(F.lit(1)).alias("ny"), F.sum("y").alias("sy")
+    ).withColumn("j", F.lit(1))
+    denx = (
+        dx.withColumn("j", F.lit(1))
+        .join(F.broadcast(mx), "j")
+        .agg(
+            F.sum(
+                (F.col("nx") * F.col("x") - F.col("sx"))
+                * (F.col("nx") * F.col("x") - F.col("sx"))
+            ).alias("den_x")
+        )
+        .withColumn("j", F.lit(1))
+    )
+    deny = (
+        dy.withColumn("j", F.lit(1))
+        .join(F.broadcast(my), "j")
+        .agg(
+            F.sum(
+                (F.col("ny") * F.col("y") - F.col("sy"))
+                * (F.col("ny") * F.col("y") - F.col("sy"))
+            ).alias("den_y")
+        )
+        .withColumn("j", F.lit(1))
+    )
+    lags = spark.range(-XCF_LAGS, XCF_LAGS + 1).select(
+        F.col("id").alias("k")
+    )
+    a = dx.withColumn("j", F.lit(1)).join(F.broadcast(mx), "j")
+    b = dy.select(F.col("day_idx").alias("dj_idx"), "y")
+    num = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("dj_idx") == F.col("day_idx") + F.col("k"))
+        .withColumn("j", F.lit(1))
+        .join(F.broadcast(my), "j")
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(
+                (F.col("nx") * F.col("x") - F.col("sx"))
+                * (F.col("ny") * F.col("y") - F.col("sy"))
+            ).alias("num"),
+        )
+        .withColumn("j", F.lit(1))
+    )
+    return (
+        num.join(F.broadcast(denx), "j")
+        .join(F.broadcast(deny), "j")
+        .select(
+            "k",
+            "n_pairs",
+            F.floor(
+                F.col("num")
+                * 1000000.0
+                / (
+                    F.sqrt(F.col("den_x").cast("double"))
+                    * F.sqrt(F.col("den_y").cast("double"))
+                )
+            )
+            .cast("long")
+            .alias("xcf_micro"),
+        )
+        .orderBy("k")
+    )
+
+
+# --------------------------------------------------------------------------
+# Term burstiness (Fano factor of per-document term counts)
+# --------------------------------------------------------------------------
+
+BURST_DF_MIN = 30  # report terms appearing in >= this many docs
+
+
+_BURST_ORACLE = f"""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    per_doc AS (
+      SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS c
+      FROM words GROUP BY term, doc_id
+    ),
+    n_docs AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents
+    ),
+    stats AS (
+      SELECT term,
+             CAST(COUNT(*) AS BIGINT) AS df,
+             CAST(SUM(c) AS BIGINT) AS s,
+             CAST(SUM(c * c) AS BIGINT) AS q
+      FROM per_doc GROUP BY term
+    )
+    SELECT term, df, s AS total_c,
+           CAST((n.nd * st.q - st.s * st.s) * 1000000
+                // (n.nd * st.s) AS BIGINT) AS fano_micro
+    FROM stats st CROSS JOIN n_docs n
+    WHERE df >= {BURST_DF_MIN}
+    ORDER BY term
+"""
+
+
+@query("q_text_burstiness", oracle=_BURST_ORACLE)
+def q_text_burstiness(spark, d):
+    """Term burstiness: the Fano factor (variance-to-mean ratio) of
+    each frequent term's per-document count, zeros included — Fano ≈ 1
+    means Poisson scatter (function words), Fano ≫ 1 means the term
+    CLUMPS into few documents (content/topic words). The classic
+    Church-Gale burstiness diagnostic, complementing q_text_zipf
+    (frequency ranks) and q_text_tfidf (per-doc weighting) with a
+    dispersion view the two cannot express.
+
+    Exact integers end-to-end: with N docs, S = Σc, Q = Σc² (zeros
+    contribute nothing to either), population var·N² = N·Q − S², so
+    fano_micro = (N·Q − S²)·1e6 div (N·S) — one integer expression,
+    no float ops. Shape: explode → (term, doc) agg → term agg, all
+    combinable; output is vocabulary-grain filtered to df ≥
+    {BURST_DF_MIN}."""
+    docs = load(spark, d, "documents")
+    per_doc = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("term")
+        )
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    nd = docs.agg(F.count(F.lit(1)).alias("nd")).withColumn(
+        "j", F.lit(1)
+    )
+    stats = per_doc.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("q"),
+    )
+    return (
+        stats.filter(F.col("df") >= BURST_DF_MIN)
+        .withColumn("j", F.lit(1))
+        .join(F.broadcast(nd), "j")
+        .select(
+            "term",
+            "df",
+            F.col("s").alias("total_c"),
+            F.expr("(nd * q - s * s) * 1000000L div (nd * s)").alias(
+                "fano_micro"
+            ),
+        )
+        .orderBy("term")
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-state entropy of the behavioral transition chain
+# --------------------------------------------------------------------------
+
+
+_ENTROPY_RATE_ORACLE = """
+    WITH seq AS (
+      SELECT event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    trans AS (
+      SELECT event_type, nxt, CAST(COUNT(*) AS BIGINT) AS c
+      FROM seq WHERE nxt IS NOT NULL
+      GROUP BY event_type, nxt
+    )
+    SELECT event_type,
+           CAST(SUM(c) AS BIGINT) AS n_out,
+           CAST(COUNT(*) AS BIGINT) AS n_next_types,
+           CAST(floor((ln(CAST(SUM(c) AS DOUBLE))
+                       - CAST(SUM(CAST(c * ln(CAST(c AS DOUBLE))
+                                       AS DECIMAL(30,10))) AS DOUBLE)
+                         / SUM(c)) * 1000000.0) AS BIGINT)
+               AS h_micro
+    FROM trans
+    GROUP BY event_type
+    ORDER BY event_type
+"""
+
+
+@query("q_behavior_entropy_rate", oracle=_ENTROPY_RATE_ORACLE)
+def q_behavior_entropy_rate(spark, d):
+    """Per-state entropy of the event-type transition chain: how
+    PREDICTABLE is the next action from each state (h → 0 means one
+    dominant successor, h → ln(k) means anything can follow) — the
+    per-state decomposition of the chain's entropy rate, reading the
+    same transition counts q_behavior_markov's steady-state uses.
+    Integer-ln/decimal-sum entropy posture (q_text_entropy). Shape:
+    ONE user-partitioned lead window is the only corpus shuffle;
+    everything after is |event_types|²-bounded."""
+    ev = load(spark, d, "events")
+    seq = ev.select(
+        "event_type",
+        F.expr(
+            "lead(event_type) OVER (PARTITION BY user_id"
+            " ORDER BY ts, event_id)"
+        ).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    trans = seq.groupBy("event_type", "nxt").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        trans.groupBy("event_type")
+        .agg(
+            F.sum("c").alias("n_out"),
+            F.count(F.lit(1)).alias("n_next_types"),
+            F.floor(
+                (
+                    F.log(F.sum("c").cast("double"))
+                    - F.sum(
+                        (F.col("c") * F.log(F.col("c").cast("double")))
+                        .cast(DEC)
+                    ).cast("double")
+                    / F.sum("c")
+                )
+                * 1000000.0
+            )
+            .cast("long")
+            .alias("h_micro"),
+        )
+        .orderBy("event_type")
+    )

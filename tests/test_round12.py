@@ -35,6 +35,8 @@ ROUND12_MUST_BE_IN_WINDOW = {
     "q_graph_katz", "q_ml_lof", "q_feat_mutual_info",
     "q_emb_isotropy", "q_ml_permutation_test",
     "q_ts_ljung_box", "q_ts_permutation_entropy", "q_emb_mutual_knn",
+    "q_ts_cross_correlation", "q_text_burstiness",
+    "q_behavior_entropy_rate",
     "q_ml_grid_search", "q_ml_random_search",
     # stalest driver rows (r2-era)
     "q_set_union", "q_set_union_distinct",
@@ -300,6 +302,74 @@ def test_mutual_knn_histogram(spark):
     assert sum(r.n_points for r in rows) == panel_n
     assert all(0 <= r.mutual_deg <= LOF_K for r in rows)
     assert sum(r.mutual_deg * r.n_points for r in rows) % 2 == 0
+
+
+def test_cross_correlation_invariants(spark):
+    """15 lag rows; |xcf| ≤ 1e6 + 1 micro; the lag-0 value is
+    symmetric ground truth (overlap of the two full series), and
+    n_pairs is maximal at k=0 for gap-free series."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    rows = entry.queries()["q_ts_cross_correlation"](spark, sf).collect()
+    assert [r.k for r in rows] == list(range(-7, 8))
+    by_k = {r.k: r for r in rows}
+    for r in rows:
+        assert abs(r.xcf_micro) <= 1_000_001, r
+        assert r.n_pairs > 0
+    assert all(by_k[0].n_pairs >= by_k[k].n_pairs for k in by_k)
+
+
+def test_burstiness_replay(spark):
+    """Exact integer replay of the Fano pipeline for every reported
+    term at sf0.001, and Fano must be positive (a term with df≥30 in
+    500 docs always disperses)."""
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+
+    from spark_sklearn_spark.sources.io import load
+
+    sf = "/root/testdata/sf0.001"
+    rows = entry.queries()["q_text_burstiness"](spark, sf).collect()
+    assert rows
+    docs = load(spark, sf, "documents")
+    nd = docs.count()
+    stats = {
+        r.term: (r.df, r.s, r.q)
+        for r in docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("term")
+        )
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("c").alias("s"),
+            F.sum(F.expr("c * c")).alias("q"),
+        )
+        .collect()
+    }
+    for r in rows:
+        df, s, q = stats[r.term]
+        assert r.df == df and r.total_c == s
+        assert r.fano_micro == (nd * q - s * s) * 1_000_000 // (nd * s)
+        assert r.fano_micro > 0
+
+
+def test_entropy_rate_bounds(spark):
+    """h ∈ [0, ln(n_next_types)]·1e6 per state, and the transition
+    totals cover every non-terminal event."""
+    import math
+
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    rows = entry.queries()["q_behavior_entropy_rate"](spark, sf).collect()
+    assert rows
+    for r in rows:
+        cap = math.floor(math.log(r.n_next_types) * 1_000_000) + 1
+        assert 0 <= r.h_micro <= cap, r
+        assert r.n_out >= r.n_next_types
 
 
 def test_survey_2b_one_row_per_key():

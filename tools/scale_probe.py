@@ -250,6 +250,11 @@ PROBE_QUERIES = [
     "q_ts_ljung_box",
     "q_ts_permutation_entropy",
     "q_emb_mutual_knn",
+    # r12 batch D: dual calendar collapses + lag join, vocab-grain
+    # Fano aggs, lead-window transition entropy
+    "q_ts_cross_correlation",
+    "q_text_burstiness",
+    "q_behavior_entropy_rate",
 ]
 
 TABLES = [
