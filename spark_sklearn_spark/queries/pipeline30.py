@@ -36,7 +36,7 @@ from ._helpers import DEC
 # Katz centrality (bounded-hop, integer-exact)
 # --------------------------------------------------------------------------
 
-KATZ_ROUNDS = 3  # walk lengths 1..3; beta = 1/4 -> weights 16, 4, 1
+# walk lengths 1..3; beta = 1/4 -> integer weights 16, 4, 1
 
 
 def _katz_oracle() -> str:
@@ -208,7 +208,7 @@ def _lof_oracle() -> str:
 
 @query("q_ml_lof", oracle=_lof_oracle())
 def q_ml_lof(spark, d):
-    """Local Outlier Factor (k={LOF_K}) over a fixed probe panel of
+    """Local Outlier Factor (k=5) over a fixed probe panel of
     embeddings — the density-based outlier detector
     (sklearn.neighbors.LocalOutlierFactor semantics) next to
     q_emb_outliers' global centroid z-scores: a point is anomalous
@@ -504,13 +504,13 @@ def _perm_test_oracle() -> str:
 
 @query("q_ml_permutation_test", oracle=_perm_test_oracle())
 def q_ml_permutation_test(spark, d):
-    """Randomization test for the F-vs-O order-value gap: {PERM_REPS}
+    """Randomization test for the F-vs-O order-value gap: 16
     portable pseudo-random reassignments of orders to two arms
     (rep r uses BIT r of one h56(orderkey) — md5 bits are independent,
-    so ONE hash per order yields all {PERM_REPS} permutations; both
+    so ONE hash per order yields all 16 permutations; both
     engines compute the identical md5-head, so the 'random'
     permutations replay exactly — and the md5 cost is paid once, not
-    {PERM_REPS}× as a per-(key,rep) hash would: measured 2.5 s → the
+    16× as a per-(key,rep) hash would: measured 2.5 s → the
     scan floor at sf0.1), each rep's
     mean difference in integer micro-cents, and whether it exceeds
     the observed |F-mean − O-mean|. The model-free significance
@@ -519,8 +519,8 @@ def q_ml_permutation_test(spark, d):
     the permutation p-value, assembled here per-rep so the driver
     hashes the full null distribution, not just the verdict.
 
-    Shape: ONE scan fills all reps (explode a {PERM_REPS}-element
-    sequence, conditional sums — a combinable 2×{PERM_REPS}-cell agg,
+    Shape: ONE scan fills all reps (explode a 16-element
+    sequence, conditional sums — a combinable 2×16-cell agg,
     the q_ml_cv_stability one-scan-fills-all-folds pattern); the
     observed statistic is a 1-row broadcast join onto the bounded
     rep relation. Integer end-to-end: exact cents sums, micro-mean
@@ -640,7 +640,7 @@ _LB_ORACLE = f"""
 @query("q_ts_ljung_box", oracle=_LB_ORACLE)
 def q_ts_ljung_box(spark, d):
     """Ljung-Box white-noise test on the daily event-count series:
-    per lag k = 1..{LB_LAGS}, the mean-centered autocorrelation and
+    per lag k = 1..7, the mean-centered autocorrelation and
     the cumulative Q statistic — the 'is there ANY serial structure
     left' gate that belongs after q_ts_seasonal/q_ts_stl residuals,
     next to q_ts_autocorr's per-lag Pearson view (LB uses the common
@@ -1007,9 +1007,9 @@ _XCF_ORACLE = f"""
 
 @query("q_ts_cross_correlation", oracle=_XCF_ORACLE)
 def q_ts_cross_correlation(spark, d):
-    """Lagged cross-correlation between the daily '{XCF_A}' and
-    '{XCF_B}' series, lags −{XCF_LAGS}..+{XCF_LAGS}: the lead-lag
-    screen (a peak at k>0 means {XCF_A} activity LEADS {XCF_B} by k
+    """Lagged cross-correlation between the daily 'click' and
+    'purchase' series, lags −7..+7: the lead-lag
+    screen (a peak at k>0 means click activity LEADS purchase by k
     days) next to q_ts_granger's regression form — the CCF is what an
     analyst reads first to pick Granger's lag. Full-series means and
     denominators (the statistic's definition); only overlapping day
@@ -1020,7 +1020,7 @@ def q_ts_cross_correlation(spark, d):
     num·1e6/(√denx·√deny) is the identical IEEE expression on
     identical integer inputs (sqrt is correctly rounded per IEEE 754,
     so both engines produce the same double), then floor. Shape: two
-    calendar-bounded daily collapses, a ±{XCF_LAGS}-lag self-join on
+    calendar-bounded daily collapses, a ±7-lag self-join on
     the tiny grain, 15-row output."""
     ev = load(spark, d, "events")
 
@@ -1156,7 +1156,7 @@ def q_text_burstiness(spark, d):
     fano_micro = (N·Q − S²)·1e6 div (N·S) — one integer expression,
     no float ops. Shape: explode → (term, doc) agg → term agg, all
     combinable; output is vocabulary-grain filtered to df ≥
-    {BURST_DF_MIN}."""
+    30."""
     docs = load(spark, d, "documents")
     per_doc = (
         docs.select(
