@@ -1262,3 +1262,194 @@ def q_behavior_entropy_rate(spark, d):
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Gini concentration of user activity
+# --------------------------------------------------------------------------
+
+
+_GINI_ORACLE = """
+    WITH per_user AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY user_id
+    ),
+    ranked AS (
+      SELECT x,
+             ROW_NUMBER() OVER (ORDER BY x, user_id) AS i
+      FROM per_user
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS s,
+             CAST(SUM(i * x) AS BIGINT) AS sw
+      FROM ranked
+    )
+    SELECT n AS n_users, s AS n_events,
+           CAST((2 * sw - (n + 1) * s) * 1000000 // (n * s) AS BIGINT)
+               AS gini_micro
+    FROM agg
+"""
+
+
+@query("q_behavior_gini", oracle=_GINI_ORACLE)
+def q_behavior_gini(spark, d):
+    """Gini coefficient of per-user event counts — the concentration
+    diagnostic (0 = perfectly even usage, → 1 = all activity from a
+    few power users) that complements q_behavior_powerlaw's tail
+    exponent and q_dq_skew's count-of-counts with the single summary
+    number capacity planners and abuse teams watch. Exact integers:
+    with counts x ranked ascending (ties broken by user_id on both
+    engines), G = (2·Σ i·x_i − (n+1)·Σx)/(n·Σx) — every term a
+    BIGINT, output floor-micro via one integer division.
+
+    Shape: one combinable per-user agg, then a rank window + 3-sum
+    agg over the user-grain relation. The rank window orders the
+    per-user relation globally — user-grain, not event-grain, and a
+    single ordered pass is the statistic's definition; at extreme
+    user cardinality the same moments can run on a count-of-counts
+    collapse (the q_dq_skew relation) instead."""
+    ev = load(spark, d, "events")
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("x"))
+    ranked = per_user.select(
+        "x",
+        F.row_number()
+        .over(Window.orderBy("x", "user_id"))
+        .cast("long")
+        .alias("i"),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("x").alias("n_events"),
+        F.expr(
+            "(2 * sum(i * x) - (count(1) + 1) * sum(x)) * 1000000L"
+            " div (count(1) * sum(x))"
+        ).alias("gini_micro"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Heaps'-law vocabulary-growth exponent
+# --------------------------------------------------------------------------
+
+
+_HEAPS_ORACLE = """
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    doc_tokens AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS toks
+      FROM words GROUP BY doc_id
+    ),
+    first_doc AS (
+      SELECT term, CAST(MIN(doc_id) AS BIGINT) AS fd
+      FROM words GROUP BY term
+    ),
+    new_terms AS (
+      SELECT fd AS doc_id, CAST(COUNT(*) AS BIGINT) AS novel
+      FROM first_doc GROUP BY fd
+    ),
+    curve AS (
+      SELECT d.doc_id,
+             CAST(SUM(d.toks) OVER (ORDER BY d.doc_id) AS BIGINT)
+                 AS cum_tokens,
+             CAST(SUM(COALESCE(n.novel, 0)) OVER (ORDER BY d.doc_id)
+                  AS BIGINT) AS cum_vocab
+      FROM doc_tokens d LEFT JOIN new_terms n USING (doc_id)
+    ),
+    pts AS (
+      SELECT ln(CAST(cum_tokens AS DOUBLE)) AS u,
+             ln(CAST(cum_vocab AS DOUBLE)) AS v
+      FROM curve
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(CAST(u AS DECIMAL(30,10))) AS DOUBLE) AS su,
+             CAST(SUM(CAST(v AS DECIMAL(30,10))) AS DOUBLE) AS sv,
+             CAST(SUM(CAST(u * v AS DECIMAL(30,10))) AS DOUBLE) AS suv,
+             CAST(SUM(CAST(u * u AS DECIMAL(30,10))) AS DOUBLE) AS suu
+      FROM pts
+    )
+    SELECT m AS n_points,
+           CAST(floor((m * suv - su * sv) * 1000000.0
+                      / (m * suu - su * su)) AS BIGINT) AS beta_micro,
+           CAST(floor((sv - (m * suv - su * sv)
+                            / (m * suu - su * su) * su)
+                      * 1000000.0 / m) AS BIGINT) AS lnk_micro
+    FROM m
+"""
+
+
+@query("q_text_heaps_law", oracle=_HEAPS_ORACLE)
+def q_text_heaps_law(spark, d):
+    """Heaps'-law fit V(n) ≈ K·n^β for the corpus in ingestion order:
+    OLS slope β of ln(cum vocabulary) on ln(cum tokens) over the
+    doc-ordered growth curve. β ≈ 0.4–0.6 is natural text; β falling
+    toward 0 is the vocabulary-saturation signal that tells a crawl
+    when new documents stop contributing new language (the fitted
+    twin of q_text_novelty's per-source ppm view).
+
+    The growth curve costs NO running-distinct: a term's first
+    occurrence is one MIN(doc_id) agg, cum vocab is the cumsum of
+    first-occurrence counts — two combinable aggs and one
+    doc-grain ordered window. Portability: ln only sees INTEGER
+    cumulative counts (identical doubles), per-point ln products
+    quantize to DECIMAL(30,10) before the moment sums (the OLS
+    decimal posture, li_ols_moments precedent), and the closing
+    slope/intercept expressions are identical IEEE then floor-micro.
+    The doc-grain window is a single ordered pass over a corpus-
+    bounded relation (one row per document)."""
+    docs = load(spark, d, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    doc_tokens = words.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("toks")
+    )
+    new_terms = (
+        words.groupBy("term")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("novel"))
+    )
+    w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    curve = (
+        doc_tokens.join(new_terms, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.sum("toks").over(w).alias("cum_tokens"),
+            F.sum(F.coalesce("novel", F.lit(0))).over(w).alias(
+                "cum_vocab"
+            ),
+        )
+    )
+    pts = curve.select(
+        F.log(F.col("cum_tokens").cast("double")).alias("u"),
+        F.log(F.col("cum_vocab").cast("double")).alias("v"),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(F.col("u").cast(DEC)).cast("double").alias("su"),
+        F.sum(F.col("v").cast(DEC)).cast("double").alias("sv"),
+        F.sum((F.col("u") * F.col("v")).cast(DEC))
+        .cast("double")
+        .alias("suv"),
+        F.sum((F.col("u") * F.col("u")).cast(DEC))
+        .cast("double")
+        .alias("suu"),
+    )
+    slope = (F.col("m") * F.col("suv") - F.col("su") * F.col("sv")) / (
+        F.col("m") * F.col("suu") - F.col("su") * F.col("su")
+    )
+    return m.select(
+        F.col("m").alias("n_points"),
+        F.floor(slope * 1000000.0).cast("long").alias("beta_micro"),
+        F.floor(
+            (F.col("sv") - slope * F.col("su")) * 1000000.0 / F.col("m")
+        )
+        .cast("long")
+        .alias("lnk_micro"),
+    )

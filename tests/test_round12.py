@@ -36,7 +36,7 @@ ROUND12_MUST_BE_IN_WINDOW = {
     "q_emb_isotropy", "q_ml_permutation_test",
     "q_ts_ljung_box", "q_ts_permutation_entropy", "q_emb_mutual_knn",
     "q_ts_cross_correlation", "q_text_burstiness",
-    "q_behavior_entropy_rate",
+    "q_behavior_entropy_rate", "q_behavior_gini", "q_text_heaps_law",
     "q_ml_grid_search", "q_ml_random_search",
     # stalest driver rows (r2-era)
     "q_set_union", "q_set_union_distinct",
@@ -370,6 +370,46 @@ def test_entropy_rate_bounds(spark):
         cap = math.floor(math.log(r.n_next_types) * 1_000_000) + 1
         assert 0 <= r.h_micro <= cap, r
         assert r.n_out >= r.n_next_types
+
+
+def test_gini_replay(spark):
+    """Exact integer replay at sf0.001 and range sanity: Gini of a
+    real usage distribution lies strictly in (0, 1)·1e6 micro."""
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+
+    from spark_sklearn_spark.sources.io import load
+
+    sf = "/root/testdata/sf0.001"
+    r = entry.queries()["q_behavior_gini"](spark, sf).collect()[0]
+    counts = sorted(
+        (c.x, c.user_id)
+        for c in load(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("x"))
+        .collect()
+    )
+    n = len(counts)
+    s = sum(x for x, _ in counts)
+    sw = sum((i + 1) * x for i, (x, _) in enumerate(counts))
+    assert (r.n_users, r.n_events) == (n, s)
+    assert r.gini_micro == (2 * sw - (n + 1) * s) * 1_000_000 // (n * s)
+    assert 0 < r.gini_micro < 1_000_000
+
+
+def test_heaps_law_plausible(spark):
+    """β must land in (0, 1)·1e6 (vocabulary grows sublinearly in a
+    natural-ish corpus) and the curve's endpoint identities hold:
+    n_points = doc count."""
+    import __spark_entry__ as entry
+
+    from spark_sklearn_spark.sources.io import load
+
+    sf = "/root/testdata/sf0.001"
+    r = entry.queries()["q_text_heaps_law"](spark, sf).collect()[0]
+    assert r.n_points == load(spark, sf, "documents").count()
+    assert 0 < r.beta_micro < 1_000_000
+    assert r.lnk_micro is not None
 
 
 def test_survey_2b_one_row_per_key():

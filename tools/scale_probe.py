@@ -255,6 +255,9 @@ PROBE_QUERIES = [
     "q_ts_cross_correlation",
     "q_text_burstiness",
     "q_behavior_entropy_rate",
+    # r12 batch E: user-grain rank moments, doc-grain growth curve OLS
+    "q_behavior_gini",
+    "q_text_heaps_law",
 ]
 
 TABLES = [
