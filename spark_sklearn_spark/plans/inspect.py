@@ -81,6 +81,109 @@ def read_schema(df: DataFrame) -> list[str]:
     return cols
 
 
+# Column-name hints for enum-like domains: a window partitioned ONLY
+# by such keys has bounded parallelism (~|domain| partitions) — the
+# same funnel as a single-partition window in disguise at 100×, unless
+# the window input was ALREADY aggregated to that bounded grain (then
+# the funnel holds a bounded relation, which is fine). Used by the
+# all-keys audit in tests/test_plans.py; extend as new enum columns
+# enter the schema.
+BOUNDED_DOMAIN_HINTS: tuple[str, ...] = (
+    "event_type",
+    "o_orderstatus",
+    "o_orderpriority",
+    "l_returnflag",
+    "l_linestatus",
+    "l_shipmode",
+    "label",
+    "lang",
+    "status",
+    "source",
+    "kind",
+    "category",
+)
+
+
+def window_partitions(df: DataFrame) -> list[list[str]]:
+    """PARTITION BY key names of every Window node in the executed
+    plan, one list per node; a global (orderBy-only) window yields
+    ``[]``."""
+    return window_partitions_from_text(executed_plan(df))
+
+
+def window_partitions_from_text(plan: str) -> list[list[str]]:
+    """``window_partitions`` on an already-extracted plan string.
+    Parsed from the node's trailing ``, [partition], [order]``
+    lists — when only one trailing list is present it is the order
+    spec and the partition list is empty."""
+    out: list[list[str]] = []
+    for line in plan.splitlines():
+        stripped = line.lstrip(" +-:*")
+        if not stripped.startswith("Window "):
+            continue
+        groups = _top_level_bracket_groups(stripped)
+        # groups[0] = window functions; then [partition], [order].
+        # Either trailing list may be absent: a global running window
+        # prints only [order] (sort-direction tokens present), a
+        # partition-only window (no ORDER BY) prints only [partition].
+        if len(groups) >= 3:
+            out.append(_attr_names(groups[1]))
+        elif len(groups) == 2 and not re.search(
+            r"\b(ASC|DESC)\b", groups[1]
+        ):
+            out.append(_attr_names(groups[1]))
+        else:
+            out.append([])
+    return out
+
+
+def _attr_names(bracket_body: str) -> list[str]:
+    return [
+        g.split("#")[0].strip()
+        for g in bracket_body.split(",")
+        if g.strip()
+    ]
+
+
+def _top_level_bracket_groups(s: str) -> list[str]:
+    groups: list[str] = []
+    depth = 0
+    buf: list[str] = []
+    for ch in s:
+        if ch == "[":
+            depth += 1
+            if depth == 1:
+                buf = []
+                continue
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append("".join(buf))
+                continue
+        if depth >= 1:
+            buf.append(ch)
+    return groups
+
+
+def bounded_key_windows(
+    df: DataFrame,
+    hints: tuple[str, ...] = BOUNDED_DOMAIN_HINTS,
+) -> list[list[str]]:
+    """Window nodes whose EVERY partition key is an enum-like bounded
+    domain (by column-name hint) — the low-cardinality funnel that
+    passes the SinglePartition check but serializes at scale unless
+    the window input is itself a bounded (pre-aggregated) relation.
+    Global windows are NOT returned here (SinglePartition covers
+    them)."""
+    flagged = []
+    for keys in window_partitions_from_text(executed_plan(df)):
+        if keys and all(
+            any(h in k.lower() for h in hints) for k in keys
+        ):
+            flagged.append(keys)
+    return flagged
+
+
 def assert_scalable(df: DataFrame, allow_cartesian: bool = False) -> None:
     """Raise AssertionError on plan shapes that cannot survive a
     scale-up: cartesian products / broadcast nested loops (quadratic)

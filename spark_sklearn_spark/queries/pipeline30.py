@@ -155,6 +155,17 @@ LOF_PANEL_MOD = 10  # vec_id % 10 == 0 -> 50-200 panel points
 LOF_Q = 1000  # milli quantization: d2 <= 64 * (2e3)^2 ~ 2.6e8 per pair
 
 
+def _panel_predicate():
+    """The fixed probe-panel membership predicate shared by q_ml_lof
+    and q_emb_mutual_knn. A module-level seam on purpose:
+    tools/scale_probe.py --fixed-panel monkeypatches this to pin the
+    panel (vec_id % 50 == 0 AND vec_id < replica offset) while the
+    corpus replicates K× — proving panel×corpus linearity directly,
+    which the plain replica probe cannot (replica vec_ids are ≡0 mod
+    10, so the panel itself grows K× there by construction)."""
+    return F.col("vec_id") % LOF_PANEL_MOD == 0
+
+
 def _lof_oracle() -> str:
     return f"""
         WITH panel AS (
@@ -230,7 +241,7 @@ def q_ml_lof(spark, d):
     is the only data-sized stage). Broadcast panel self-pairs →
     per-point rank window → two bounded joins for reach/ratio."""
     emb = load(spark, d, "embeddings")
-    panel = emb.filter(F.col("vec_id") % LOF_PANEL_MOD == 0).select(
+    panel = emb.filter(_panel_predicate()).select(
         "vec_id",
         F.expr(
             f"transform(embedding, x -> cast(floor(cast(x as double)"
@@ -432,16 +443,25 @@ def q_emb_isotropy(spark, d):
     from .pca_power import power_fit
 
     _, cells, _ = power_fit(spark, d)
-    n_vecs = load(spark, d, "embeddings").count()
+    # n_vecs rides along as a lazy 1-row count agg broadcast onto the
+    # 1-row spectrum agg (Lloyd-shape bounded crossJoin) — an eager
+    # .count() here would pay a full embeddings scan job on every
+    # query CONSTRUCTION, including plan-only inspection (ADVICE r12).
+    n = load(spark, d, "embeddings").agg(
+        F.count(F.lit(1)).alias("n_vecs")
+    )
     t = F.sum(F.when(F.col("i") == F.col("j"), F.col("m")).otherwise(0))
     f2 = F.sum(F.col("m") * F.col("m"))
-    return cells.agg(
-        F.lit(int(n_vecs)).cast("long").alias("n_vecs"),
-        t.cast("long").alias("trace_damped"),
-        f2.cast("long").alias("fro2_damped"),
-        F.floor(t.cast("double") * t * 1000000.0 / f2)
-        .cast("long")
-        .alias("pr_micro"),
+    return (
+        cells.agg(
+            t.cast("long").alias("trace_damped"),
+            f2.cast("long").alias("fro2_damped"),
+            F.floor(t.cast("double") * t * 1000000.0 / f2)
+            .cast("long")
+            .alias("pr_micro"),
+        )
+        .crossJoin(F.broadcast(n))
+        .select("n_vecs", "trace_damped", "fro2_damped", "pr_micro")
     )
 
 
@@ -524,7 +544,14 @@ def q_ml_permutation_test(spark, d):
     the q_ml_cv_stability one-scan-fills-all-folds pattern); the
     observed statistic is a 1-row broadcast join onto the bounded
     rep relation. Integer end-to-end: exact cents sums, micro-mean
-    floor division, integer compare."""
+    floor division, integer compare. int64 headroom (ADVICE r12):
+    sum(cents)·1e6 is evaluated in Spark int64 but DuckDB HUGEINT —
+    the F-arm term crosses 2^63 near sum(cents) ≈ 9.2e12, i.e.
+    ~6e8 qualifying orders at this price mix (≈ sf2 in TPC-H
+    terms, 200× the bench fixture). Past that, restructure
+    mean-first (sum div count, THEN ·1e6) on BOTH engines — kept
+    as-is here because the div-at-the-end form is the hash-pinned
+    r12 contract."""
     o = (
         load(spark, d, "orders")
         .filter(F.col("o_orderstatus").isin("F", "O"))
@@ -906,7 +933,7 @@ def q_emb_mutual_knn(spark, d):
     kNN relation), so the eval adds no new scale risk: panel work is
     constant in corpus size."""
     emb = load(spark, d, "embeddings")
-    panel = emb.filter(F.col("vec_id") % LOF_PANEL_MOD == 0).select(
+    panel = emb.filter(_panel_predicate()).select(
         "vec_id",
         F.expr(
             f"transform(embedding, x -> cast(floor(cast(x as double)"
@@ -1274,16 +1301,23 @@ _GINI_ORACLE = """
       SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x
       FROM events GROUP BY user_id
     ),
-    ranked AS (
-      SELECT x,
-             ROW_NUMBER() OVER (ORDER BY x, user_id) AS i
-      FROM per_user
+    cc AS (
+      SELECT x AS v, CAST(COUNT(*) AS BIGINT) AS f
+      FROM per_user GROUP BY x
+    ),
+    cum AS (
+      SELECT v, f,
+             CAST(COALESCE(SUM(f) OVER (
+               ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS BIGINT) AS f_prev
+      FROM cc
     ),
     agg AS (
-      SELECT CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(x) AS BIGINT) AS s,
-             CAST(SUM(i * x) AS BIGINT) AS sw
-      FROM ranked
+      SELECT CAST(SUM(f) AS BIGINT) AS n,
+             CAST(SUM(v * f) AS BIGINT) AS s,
+             CAST(SUM(v * (f * f_prev + f * (f + 1) // 2)) AS BIGINT)
+                 AS sw
+      FROM cum
     )
     SELECT n AS n_users, s AS n_events,
            CAST((2 * sw - (n + 1) * s) * 1000000 // (n * s) AS BIGINT)
@@ -1298,32 +1332,45 @@ def q_behavior_gini(spark, d):
     diagnostic (0 = perfectly even usage, → 1 = all activity from a
     few power users) that complements q_behavior_powerlaw's tail
     exponent and q_dq_skew's count-of-counts with the single summary
-    number capacity planners and abuse teams watch. Exact integers:
-    with counts x ranked ascending (ties broken by user_id on both
-    engines), G = (2·Σ i·x_i − (n+1)·Σx)/(n·Σx) — every term a
-    BIGINT, output floor-micro via one integer division.
+    number capacity planners and abuse teams watch. Exact integers
+    via the tied-rank closed form on the count-of-counts collapse
+    (the q_dq_skew shape, pipeline19.py): Σ i·x_i is rank-tie
+    invariant, so with f users sharing count v and F_prev users at
+    smaller counts, the tie block contributes v·(f·F_prev +
+    f(f+1)/2); G = (2·Σ − (n+1)·Σx)/(n·Σx), every term BIGINT,
+    output floor-micro via one integer division. Int64 headroom:
+    sw ≤ n·s, so the 2e6·sw numerator stays under 2^63 while
+    n·s < 4.6e12 — comfortable at driver scales, documented per
+    the q_ts_ljung_box convention.
 
-    Shape: one combinable per-user agg, then a rank window + 3-sum
-    agg over the user-grain relation. The rank window orders the
-    per-user relation globally — user-grain, not event-grain, and a
-    single ordered pass is the statistic's definition; at extreme
-    user cardinality the same moments can run on a count-of-counts
-    collapse (the q_dq_skew relation) instead."""
+    Shape: one combinable per-user agg (the only corpus shuffle),
+    then a count-of-counts collapse — bounded by the number of
+    DISTINCT activity levels, not by users — and the cumulative +
+    3-sum agg run on that bounded relation (its SinglePartition
+    exchange is the documented bounded-relation exemption; the
+    user-grain relation never crosses a single partition)."""
     ev = load(spark, d, "events")
     per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("x"))
-    ranked = per_user.select(
-        "x",
-        F.row_number()
-        .over(Window.orderBy("x", "user_id"))
-        .cast("long")
-        .alias("i"),
+    cc = per_user.groupBy(F.col("x").alias("v")).agg(
+        F.count(F.lit(1)).alias("f")
     )
-    return ranked.agg(
-        F.count(F.lit(1)).alias("n_users"),
-        F.sum("x").alias("n_events"),
+    wprev = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = cc.select(
+        "v",
+        "f",
+        F.coalesce(F.sum("f").over(wprev), F.lit(0)).alias("f_prev"),
+    )
+    return cum.selectExpr(
+        "v", "f",
+        "v * (f * f_prev + f * (f + 1) div 2) AS sw_v",
+    ).agg(
+        F.sum("f").alias("n_users"),
+        F.sum(F.expr("v * f")).alias("n_events"),
         F.expr(
-            "(2 * sum(i * x) - (count(1) + 1) * sum(x)) * 1000000L"
-            " div (count(1) * sum(x))"
+            "(2 * sum(sw_v) - (sum(f) + 1) * sum(v * f)) * 1000000L"
+            " div (sum(f) * sum(v * f))"
         ).alias("gini_micro"),
     )
 
@@ -1338,6 +1385,9 @@ _HEAPS_ORACLE = """
       SELECT doc_id, unnest(string_split(text, ' ')) AS term
       FROM documents
     ),
+    mx AS (
+      SELECT CAST(MAX(doc_id) AS BIGINT) + 1 AS md FROM documents
+    ),
     doc_tokens AS (
       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS toks
       FROM words GROUP BY doc_id
@@ -1350,13 +1400,23 @@ _HEAPS_ORACLE = """
       SELECT fd AS doc_id, CAST(COUNT(*) AS BIGINT) AS novel
       FROM first_doc GROUP BY fd
     ),
+    bucketed AS (
+      SELECT CAST(CAST(d.doc_id AS BIGINT) * 4096 // m.md AS BIGINT)
+                 AS b,
+             CAST(SUM(d.toks) AS BIGINT) AS toks,
+             CAST(SUM(COALESCE(n.novel, 0)) AS BIGINT) AS novel
+      FROM doc_tokens d
+      LEFT JOIN new_terms n USING (doc_id)
+      CROSS JOIN mx m
+      GROUP BY 1
+    ),
     curve AS (
-      SELECT d.doc_id,
-             CAST(SUM(d.toks) OVER (ORDER BY d.doc_id) AS BIGINT)
+      SELECT b,
+             CAST(SUM(toks) OVER (ORDER BY b) AS BIGINT)
                  AS cum_tokens,
-             CAST(SUM(COALESCE(n.novel, 0)) OVER (ORDER BY d.doc_id)
-                  AS BIGINT) AS cum_vocab
-      FROM doc_tokens d LEFT JOIN new_terms n USING (doc_id)
+             CAST(SUM(novel) OVER (ORDER BY b) AS BIGINT)
+                 AS cum_vocab
+      FROM bucketed
     ),
     pts AS (
       SELECT ln(CAST(cum_tokens AS DOUBLE)) AS u,
@@ -1392,17 +1452,26 @@ def q_text_heaps_law(spark, d):
 
     The growth curve costs NO running-distinct: a term's first
     occurrence is one MIN(doc_id) agg, cum vocab is the cumsum of
-    first-occurrence counts — two combinable aggs and one
-    doc-grain ordered window. Portability: ln only sees INTEGER
-    cumulative counts (identical doubles), per-point ln products
-    quantize to DECIMAL(30,10) before the moment sums (the OLS
-    decimal posture, li_ols_moments precedent), and the closing
-    slope/intercept expressions are identical IEEE then floor-micro.
-    The doc-grain window is a single ordered pass over a corpus-
-    bounded relation (one row per document)."""
+    first-occurrence counts — two combinable aggs. The curve is then
+    SAMPLED at ≤4096 doc-bucket endpoints (bucket = doc_id·4096 div
+    (max_doc_id+1), one more combinable agg): the cumulative window
+    runs on that BOUNDED bucket relation, never on the doc grain —
+    the exact values of the true curve at each bucket's last doc, so
+    the fitted β is the same statistic on a fixed-size sample however
+    large the corpus (at ≤4096 docs the bucketing is injective and
+    the fit is bit-identical to the per-doc curve). The 1-row
+    max-doc broadcast is the sanctioned Lloyd-shape crossJoin.
+    Portability: ln only sees INTEGER cumulative counts (identical
+    doubles), per-point ln products quantize to DECIMAL(30,10)
+    before the moment sums (the OLS decimal posture, li_ols_moments
+    precedent), and the closing slope/intercept expressions are
+    identical IEEE then floor-micro."""
     docs = load(spark, d, "documents")
     words = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    mx = docs.agg(
+        (F.max("doc_id").cast("long") + F.lit(1)).alias("md")
     )
     doc_tokens = words.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("toks")
@@ -1413,18 +1482,24 @@ def q_text_heaps_law(spark, d):
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("novel"))
     )
-    w = Window.orderBy("doc_id").rowsBetween(
+    bucketed = (
+        doc_tokens.join(new_terms, "doc_id", "left")
+        .crossJoin(F.broadcast(mx))
+        .groupBy(
+            F.expr("cast(doc_id as bigint) * 4096L div md").alias("b")
+        )
+        .agg(
+            F.sum("toks").alias("toks"),
+            F.sum(F.coalesce("novel", F.lit(0))).alias("novel"),
+        )
+    )
+    w = Window.orderBy("b").rowsBetween(
         Window.unboundedPreceding, 0
     )
-    curve = (
-        doc_tokens.join(new_terms, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.sum("toks").over(w).alias("cum_tokens"),
-            F.sum(F.coalesce("novel", F.lit(0))).over(w).alias(
-                "cum_vocab"
-            ),
-        )
+    curve = bucketed.select(
+        "b",
+        F.sum("toks").over(w).alias("cum_tokens"),
+        F.sum("novel").over(w).alias("cum_vocab"),
     )
     pts = curve.select(
         F.log(F.col("cum_tokens").cast("double")).alias("u"),

@@ -165,6 +165,39 @@ def test_parse_filter_list_robustness():
     ]
 
 
+def test_window_partitions_parser():
+    """window_partitions_from_text must distinguish the three Window
+    node prints: [funcs], [partition], [order] (partitioned);
+    [funcs], [order] (global running — order tokens present); and
+    [funcs], [partition] (partition-only, no ORDER BY — the shape the
+    r13 parser fix addressed: it was misread as global)."""
+    from spark_sklearn_spark.plans.inspect import (
+        window_partitions_from_text,
+    )
+
+    plan = "\n".join(
+        [
+            "+- Window [row_number() windowspecdefinition(user_id#2L,"
+            " ts#3 ASC NULLS FIRST, specifiedwindowframe(RowFrame,"
+            " unboundedpreceding$(), currentrow$())) AS rn#9],"
+            " [user_id#2L], [ts#3 ASC NULLS FIRST]",
+            "   +- Window [sum(f#17L) windowspecdefinition(v#16L ASC"
+            " NULLS FIRST, specifiedwindowframe(RowFrame,"
+            " unboundedpreceding$(), -1)) AS _we0#23L],"
+            " [v#16L ASC NULLS FIRST]",
+            "      +- Window [count(1) windowspecdefinition("
+            "cluster_id#5L, specifiedwindowframe(RowFrame,"
+            " unboundedpreceding$(), unboundedfollowing$()))"
+            " AS csize#7L], [cluster_id#5L]",
+        ]
+    )
+    assert window_partitions_from_text(plan) == [
+        ["user_id"],
+        [],
+        ["cluster_id"],
+    ]
+
+
 def test_srp_dedup_has_no_all_pairs_stage(spark, sf_dir):
     """The SRP-LSH dedup query (the production embedding-dedup path)
     must contain no cartesian/BNLJ and no single-partition exchange —

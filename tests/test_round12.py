@@ -21,50 +21,13 @@ from __future__ import annotations
 
 import pytest
 
-ROUND12_MUST_BE_IN_WINDOW = {
-    "q_dq_engine_canary",
-    # never driver-sampled, declared (judge-swept green r11)
-    "q_scan_metadata", "q_join_null_safe", "q_join_lateral",
-    "q_win_nth", "q_agg_mode", "q_split_train",
-    # never driver-sampled, rows-only by design
-    "q_stream_foreach_upsert", "q_sim_mmr_rerank",
-    # held one extra rotation (iterative decimal-fit cascade risk)
-    "q_ml_keyed_cluster",
-    # new r12 declared keys + the two promoted CV-search shapes:
-    # newly declared outputs must be driver-sampled the round they land
-    "q_graph_katz", "q_ml_lof", "q_feat_mutual_info",
-    "q_emb_isotropy", "q_ml_permutation_test",
-    "q_ts_ljung_box", "q_ts_permutation_entropy", "q_emb_mutual_knn",
-    "q_ts_cross_correlation", "q_text_burstiness",
-    "q_behavior_entropy_rate", "q_behavior_gini", "q_text_heaps_law",
-    "q_ml_grid_search", "q_ml_random_search",
-    # stalest driver rows (r2-era)
-    "q_set_union", "q_set_union_distinct",
-}
+# The r12 window (canary + 6 deferred + 2 never-sampled rows-only +
+# q_ml_keyed_cluster + the 13 new r12 keys + the CV-search promotions
+# + the r2/r3 stale block) went 50/50 green in CORRECTNESS_r12 and
+# rotated to the back for r13; its membership pin retired with it.
+# The live window pin is tests/test_round13.py.
 
 
-def test_driver_priority_covers_round12_risk():
-    from spark_sklearn_spark.registry import DRIVER_PRIORITY
-
-    window = set(DRIVER_PRIORITY[:50])
-    assert ROUND12_MUST_BE_IN_WINDOW <= window, sorted(
-        ROUND12_MUST_BE_IN_WINDOW - window
-    )
-
-
-def test_window_head_is_the_never_sampled_set():
-    """Positions 0..9: canary, the 6 deferred declared keys in the
-    promised order, the 2 never-sampled rows-only keys, then the
-    held-over q_ml_keyed_cluster."""
-    from spark_sklearn_spark.registry import DRIVER_PRIORITY
-
-    assert DRIVER_PRIORITY[:10] == [
-        "q_dq_engine_canary",
-        "q_scan_metadata", "q_join_null_safe", "q_join_lateral",
-        "q_win_nth", "q_agg_mode", "q_split_train",
-        "q_stream_foreach_upsert", "q_sim_mmr_rerank",
-        "q_ml_keyed_cluster",
-    ]
 
 
 def test_katz_walk_counts_consistent(spark):

@@ -1,0 +1,234 @@
+"""Round-13 gates: the staleness-ordered driver-window rotation
+(VERDICT r12 item 3), plan-shape pins for the two de-funneled keys
+(q_behavior_gini's count-of-counts closed form, q_text_heaps_law's
+bounded doc-bucket curve — VERDICT r12 What's-wrong #1), and the
+q_emb_isotropy construction-laziness fix (ADVICE r12).
+"""
+
+from __future__ import annotations
+
+import re
+
+import __spark_entry__ as entry
+
+
+# ---------------------------------------------------------------------------
+# Driver-window rotation (VERDICT r12 item 3)
+# ---------------------------------------------------------------------------
+
+# Latest-driver-sample staleness band as of the r13 rotation: the 11
+# r3-era keys (never re-sampled since CORRECTNESS_r03) and the 49
+# r4-era keys. VERDICT r12 item 3: ≥40 of the 50 window slots must
+# come from this band, and EVERY r3 key must be inside the window
+# (an r4 key left out stays r4 — acceptable; an r3 key left out would
+# violate the no-older-than-r4 post-rotation contract).
+R3_BAND = {
+    "q_text_stats", "q_text_tfidf", "q_text_tokens", "q_topk_per_group",
+    "q_tpch_q10", "q_tpch_q3", "q_tpch_q5", "q_tpch_q6",
+    "q_udf_scalar", "q_udtf_split", "q_win_ntile",
+}
+
+R4_BAND = {
+    "q_agg_histogram", "q_agg_percentile", "q_dedup_canonical",
+    "q_dedup_clusters", "q_dedup_ngram", "q_emb_centroid",
+    "q_emb_quantize", "q_funnel_ordered", "q_fuzzy_join", "q_join_anti",
+    "q_join_asof_forward", "q_join_asof_nearest", "q_join_broadcast",
+    "q_join_semi", "q_join_shuffle", "q_multimodal_cols",
+    "q_multimodal_frames", "q_pivot_wide", "q_retention_cohort",
+    "q_sample_hash", "q_sample_stratified", "q_stream_join",
+    "q_stream_static_join", "q_text_chunk", "q_text_fingerprint_rolling",
+    "q_text_ngram_counts", "q_text_winnow", "q_tpch_q11", "q_tpch_q12",
+    "q_tpch_q13", "q_tpch_q14", "q_tpch_q15", "q_tpch_q16", "q_tpch_q17",
+    "q_tpch_q18", "q_tpch_q19", "q_tpch_q2", "q_tpch_q20", "q_tpch_q21",
+    "q_tpch_q22", "q_tpch_q4", "q_tpch_q7", "q_tpch_q8", "q_tpch_q9",
+    "q_ts_gapfill", "q_ts_rollup_multigrain", "q_unpivot_long",
+    "q_upsert_snapshot", "q_win_distribution",
+}
+
+
+def test_window_head_is_canary_plus_rebuilt_and_new_keys():
+    """Slots 0–3: the canary, then the three keys whose plans were
+    rebuilt this round and must re-hash under the driver (gini's
+    tied-rank count-of-counts collapse, heaps' bounded bucket curve,
+    isotropy's lazy count crossJoin). Slots 4–6: the three NEW r13
+    declared keys — new declared outputs are driver-sampled the round
+    they land."""
+    from spark_sklearn_spark.registry import DRIVER_PRIORITY
+
+    assert DRIVER_PRIORITY[:7] == [
+        "q_dq_engine_canary",
+        "q_behavior_gini",
+        "q_text_heaps_law",
+        "q_emb_isotropy",
+        "q_behavior_yule_simon",
+        "q_ts_piecewise_trend",
+        "q_graph_leiden_refine",
+    ]
+
+
+def test_window_covers_stale_band():
+    from spark_sklearn_spark.registry import DRIVER_PRIORITY
+
+    window = DRIVER_PRIORITY[:50]
+    assert R3_BAND <= set(window), sorted(R3_BAND - set(window))
+    band_in_window = [k for k in window if k in R3_BAND | R4_BAND]
+    assert len(band_in_window) >= 40, len(band_in_window)
+
+
+def test_priority_tail_is_staleness_ordered():
+    """Behind the 7-key head (canary + rebuilt + new) the list is
+    (latest-sample round, name) sorted — the property that makes
+    every future rotation mechanical. Spot-check: all r3 keys precede
+    all r4 keys, which precede every non-band key."""
+    from spark_sklearn_spark.registry import DRIVER_PRIORITY
+
+    tail = DRIVER_PRIORITY[7:]
+    pos = {k: i for i, k in enumerate(tail)}
+    last_r3 = max(pos[k] for k in R3_BAND)
+    first_r4 = min(pos[k] for k in R4_BAND)
+    last_r4 = max(pos[k] for k in R4_BAND)
+    first_other = min(
+        i for k, i in pos.items() if k not in R3_BAND | R4_BAND
+    )
+    assert last_r3 < first_r4
+    assert last_r4 < first_other
+
+
+# ---------------------------------------------------------------------------
+# De-funneled plans (VERDICT r12 What's-wrong #1)
+# ---------------------------------------------------------------------------
+
+
+def _plan(spark, sf_dir, name):
+    df = entry.queries()[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_gini_funnels_only_the_count_of_counts(spark, sf_dir):
+    """q_behavior_gini's single-partition stage may hold ONLY the
+    count-of-counts collapse: the user-grain agg must shuffle by
+    user_id, a second x-grain re-agg must sit between it and the
+    (single) SinglePartition exchange, and the cumulative window must
+    be global over the collapsed relation — never over users."""
+    from spark_sklearn_spark.plans import window_partitions
+
+    df = entry.queries()["q_behavior_gini"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(user_id" in plan
+    assert "hashpartitioning(x" in plan  # the bounded collapse shuffle
+    assert plan.count("Exchange SinglePartition") == 1
+    assert window_partitions(df) == [[]]  # one global window (on cc)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_heaps_funnels_only_the_bucket_curve(spark, sf_dir):
+    """q_text_heaps_law's cumulative window must run on the ≤4096
+    doc-bucket relation (a grouping-expression agg shuffles ahead of
+    it); the only nested-loop join is the 1-row max-doc broadcast."""
+    df = entry.queries()["q_text_heaps_law"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(_groupingexpression" in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "CartesianProduct" not in plan
+    # doc-grain relations shuffle by doc_id / term (distributed);
+    # nothing data-sized reaches the single-partition stages
+    assert "hashpartitioning(doc_id" in plan
+    assert "hashpartitioning(term" in plan
+
+
+def test_heaps_bucketing_is_injective_at_fixture_scale(spark, sf_dir):
+    """At ≤4096 documents the bucket map doc_id·4096 div (max+1) is
+    injective, so the sampled curve IS the per-doc curve and n_points
+    equals the doc count — the bit-compatibility claim in the
+    docstring."""
+    from spark_sklearn_spark.sources.io import load
+
+    n_docs = load(spark, sf_dir, "documents").count()
+    assert n_docs <= 4096
+    r = entry.queries()["q_text_heaps_law"](spark, sf_dir).collect()[0]
+    assert r.n_points == n_docs
+
+
+# ---------------------------------------------------------------------------
+# New r13 keys: invariants / replays
+# ---------------------------------------------------------------------------
+
+
+def test_yule_simon_replay(spark, sf_dir):
+    """Exact integer replay: ρ̂ = S/(S−n) and P(1) = S/(2S−n) in
+    floor-micro/ppm, plus the distributional sanity ρ̂ > 1 (mean > 1
+    event per user) and both head probabilities inside (0, 1)."""
+    from pyspark.sql import functions as F
+
+    from spark_sklearn_spark.sources.io import load
+
+    r = entry.queries()["q_behavior_yule_simon"](spark, sf_dir).collect()[
+        0
+    ]
+    counts = [
+        c.x
+        for c in load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("x"))
+        .collect()
+    ]
+    n, s = len(counts), sum(counts)
+    f1 = sum(1 for x in counts if x == 1)
+    assert (r.n_users, r.n_events, r.n_singletons) == (n, s, f1)
+    assert r.rho_micro == s * 1_000_000 // (s - n)
+    assert r.p1_obs_ppm == f1 * 1_000_000 // n
+    assert r.p1_pred_ppm == s * 1_000_000 // (2 * s - n)
+    assert r.rho_micro > 1_000_000
+    assert 0 <= r.p1_obs_ppm < 1_000_000
+    assert 0 < r.p1_pred_ppm < 1_000_000
+
+
+def test_piecewise_trend_invariants(spark, sf_dir):
+    """The chosen break must be an interior candidate, the split SSE
+    can never exceed the single-line SSE (each side's OLS dominates
+    the restricted global line), and the gain is therefore in
+    [0, 1e6] ppm."""
+    r = entry.queries()["q_ts_piecewise_trend"](spark, sf_dir).collect()[
+        0
+    ]
+    assert r.n_days == 30
+    assert 2 <= r.break_i <= r.n_days - 2
+    assert r.sse_split_milli <= r.sse_single_milli
+    assert 0 <= r.sse_gain_ppm <= 1_000_000
+
+
+def test_leiden_refine_covers_all_graph_nodes(spark, sf_dir):
+    """The gain histogram must partition the near-dup graph's node
+    set exactly (Σ n_nodes = #nodes with ≥1 edge), and every gain is
+    bounded by the node's degree in absolute value — spot-checked
+    against the max degree."""
+    from pyspark.sql import functions as F
+
+    from spark_sklearn_spark.queries.pipeline31 import near_dup_sym
+
+    rows = entry.queries()["q_graph_leiden_refine"](
+        spark, sf_dir
+    ).collect()
+    sym = near_dup_sym(spark, sf_dir)
+    n_nodes = sym.select("src").distinct().count()
+    max_deg = (
+        sym.groupBy("src").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert sum(r.n_nodes for r in rows) == n_nodes
+    assert all(abs(r.gain) <= max_deg for r in rows)
+    assert rows == sorted(rows, key=lambda r: r.gain)
+
+
+def test_isotropy_construction_is_lazy(spark, sf_dir):
+    """n_vecs must be a count AGGREGATE in q_emb_isotropy's plan, not
+    a baked-in driver-side literal (ADVICE r12: the eager .count()
+    paid a full embeddings scan job on every query construction,
+    including plan-only inspection; a literal in the plan is the
+    fingerprint of that eager path). The memoized-fit parquet re-reads
+    still cost metadata-only jobs — that's the snapshot design, not
+    the regression this guards."""
+    df = entry.queries()["q_emb_isotropy"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert not re.search(r"\b\d+ AS n_vecs", plan), "n_vecs is a literal"
+    assert "count(1)" in plan

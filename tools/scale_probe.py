@@ -11,7 +11,13 @@ A scalable operator should show ratio ≈ K (linear scan/shuffle work)
 or lower (calendar/vocabulary-bounded outputs); a superlinear ratio
 flags a hidden quadratic. Record the result in BASELINE.md.
 
-Usage: python tools/scale_probe.py [K] [query ...]
+Usage: python tools/scale_probe.py [K] [query ...] [--fixed-panel]
+
+``--fixed-panel`` pins the LOF/mutual-kNN probe panel to the base
+replica's vec_id%50 members while the corpus replicates K× (panels
+otherwise grow with the replica by construction), proving the
+panel×corpus-linear claim directly; defaults to probing q_ml_lof and
+q_emb_mutual_knn.
 """
 
 from __future__ import annotations
@@ -255,9 +261,15 @@ PROBE_QUERIES = [
     "q_ts_cross_correlation",
     "q_text_burstiness",
     "q_behavior_entropy_rate",
-    # r12 batch E: user-grain rank moments, doc-grain growth curve OLS
+    # r12 batch E (de-funneled r13): count-of-counts tied-rank
+    # moments, bucket-sampled growth curve OLS
     "q_behavior_gini",
     "q_text_heaps_law",
+    # r13 batch: integer-rational moments fit, prefix-moment window
+    # split scan, min-label + attachment-histogram joins
+    "q_behavior_yule_simon",
+    "q_ts_piecewise_trend",
+    "q_graph_leiden_refine",
 ]
 
 TABLES = [
@@ -312,8 +324,10 @@ def build_replica(spark, k: int) -> str:
 
 
 def main() -> None:
-    k = int(sys.argv[1]) if len(sys.argv) > 1 else 5
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--fixed-panel"]
+    fixed_panel = "--fixed-panel" in sys.argv[1:]
+    k = int(argv[0]) if argv else 5
+    only = set(argv[1:])
     sys.path.insert(0, REPO)
     import __spark_entry__ as entry
     from spark_sklearn_spark.session import createLocalSparkSession
@@ -321,6 +335,25 @@ def main() -> None:
     spark = createLocalSparkSession("scale-probe")
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     replica = build_replica(spark, k)
+
+    if fixed_panel:
+        # VERDICT r12 item 6: the plain replica probe grows the
+        # vec_id%10 panel K× along with the corpus, so its ratio
+        # measures panel growth, not corpus scaling. Pin the panel to
+        # the BASE replica's vec_id%50 members (identical set at 1×
+        # and K× — replica offsets are ≥1e9) and replicate only the
+        # corpus: a panel×corpus-linear operator then shows a ~flat
+        # wall dominated by the scan.
+        from pyspark.sql import functions as F
+
+        from spark_sklearn_spark.queries import pipeline30
+
+        pipeline30._panel_predicate = lambda: (
+            (F.col("vec_id") % 50 == 0)
+            & (F.col("vec_id") < 1_000_000_000)
+        )
+        if not only:
+            only = {"q_ml_lof", "q_emb_mutual_knn"}
 
     qs = entry.queries()
 
@@ -346,7 +379,16 @@ def main() -> None:
         print(f"# {name}: {w1:.2f}s -> {wk:.2f}s  ratio {wk / w1:.2f}",
               file=sys.stderr)
 
-    print(json.dumps({"k": k, "base": BASE_SF, "queries": results}))
+    print(
+        json.dumps(
+            {
+                "k": k,
+                "base": BASE_SF,
+                "fixed_panel": fixed_panel,
+                "queries": results,
+            }
+        )
+    )
 
 
 if __name__ == "__main__":
