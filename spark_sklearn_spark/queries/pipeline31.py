@@ -1,7 +1,8 @@
-"""Round-13 batch: Yule–Simon fit, piecewise trend, Leiden refinement.
+"""Round-13 batch: Yule–Simon fit, piecewise trend, Leiden
+refinement, temporal burstiness/memory, spectral concentration, MSTTR.
 
-Three operators extending the behavior/ts/graph families (VERDICT r12
-item 8 named all three as the natural next keys):
+Six operators extending the behavior/ts/graph/text families (VERDICT
+r12 item 8 named the first three as the natural next keys):
 
 - q_behavior_yule_simon: cumulative-advantage (preferential
   attachment) fit of per-user activity — the generative twin of
@@ -19,6 +20,17 @@ item 8 named all three as the natural next keys):
   edge-attached to a neighboring community than to its own? The
   gain histogram measures partition instability — all zero/negative
   gains ⇔ the refinement pass has converged locally.
+- q_behavior_interarrival: Goh–Barabási burstiness B = (σ−μ)/(σ+μ)
+  and memory M = corr(gap_i, gap_{i+1}) of per-user inter-arrival
+  gaps per event type — the standard two-number point-process
+  characterization (temporal twin of q_text_burstiness).
+- q_ts_spectral_entropy: spectral concentration of the daily series
+  via the participation ratio of a 12-period DFT grid — the Rényi-2
+  spectral entropy through exp(−H₂) = PR, no ln on non-integer
+  doubles (the q_emb_isotropy trick in the frequency domain).
+- q_text_msttr: MSTTR-50 lexical diversity per language — mean
+  segmental type-token ratio over full 50-token segments, the
+  length-unbiased replacement for raw TTR; pure integer ppm.
 
 Reference parity: the public repo (databricks/spark-sklearn 0.3.0)
 has no relational/graph engine — these extend the §2B extension
@@ -362,4 +374,384 @@ def near_dup_sym(spark, d):
     e = near_dup_edges(spark, d).select("doc_a", "doc_b")
     return e.selectExpr("doc_a AS src", "doc_b AS dst").unionByName(
         e.selectExpr("doc_b AS src", "doc_a AS dst")
+    )
+
+
+# --------------------------------------------------------------------------
+# Goh–Barabási temporal burstiness + memory of inter-arrival gaps
+# --------------------------------------------------------------------------
+#
+# The standard two-number characterization of a point process (Goh &
+# Barabási 2008): burstiness B = (σ−μ)/(σ+μ) of the inter-arrival
+# gaps (−1 = perfectly regular, 0 = Poisson, → 1 = extreme bursts)
+# and memory M = corr(gap_i, gap_{i+1}) (do long gaps follow long
+# gaps?). Computed per event type over each user's stream — the
+# temporal twin of q_text_burstiness (term dispersion) and the
+# summary-statistic view of q_behavior_gaps' log2 histogram. Gaps in
+# whole SECONDS so the decimal moment sums hold headroom: gap ≤
+# 2.6e6 s at the fixture's 30-day span, Σ gap² ≤ 6.7e12·n —
+# DECIMAL(30,10) overflows near n ≈ 1e7 gaps per type at the maximal
+# gap, far past any fixture; rescale to minutes past that.
+
+_IA_ORACLE = """
+    WITH seq AS (
+      SELECT event_type,
+             (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                PARTITION BY user_id, event_type
+                ORDER BY ts, event_id)) // 1000000 AS g,
+             (lead(epoch_us(ts)) OVER (
+                PARTITION BY user_id, event_type
+                ORDER BY ts, event_id) - epoch_us(ts)) // 1000000 AS ng
+      FROM events
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(COUNT(g) AS BIGINT) AS n,
+             CAST(SUM(g) AS BIGINT) AS s,
+             CAST(SUM(CAST(g * g AS DECIMAL(30,10))) AS DOUBLE) AS s2
+      FROM seq WHERE g IS NOT NULL GROUP BY event_type
+    ),
+    pairs AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS np,
+             CAST(SUM(g) AS BIGINT) AS sx,
+             CAST(SUM(ng) AS BIGINT) AS sy,
+             CAST(SUM(CAST(g * ng AS DECIMAL(30,10))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(g * g AS DECIMAL(30,10))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(ng * ng AS DECIMAL(30,10))) AS DOUBLE) AS syy
+      FROM seq WHERE g IS NOT NULL AND ng IS NOT NULL
+      GROUP BY event_type
+    )
+    SELECT m.event_type, m.n AS n_gaps,
+           CAST(m.s // m.n AS BIGINT) AS gap_mean_s,
+           CAST(floor(
+             (sqrt(greatest(m.s2 / m.n
+                            - (CAST(m.s AS DOUBLE) / m.n)
+                              * (CAST(m.s AS DOUBLE) / m.n), 0.0))
+              - CAST(m.s AS DOUBLE) / m.n)
+             / NULLIF(sqrt(greatest(m.s2 / m.n
+                            - (CAST(m.s AS DOUBLE) / m.n)
+                              * (CAST(m.s AS DOUBLE) / m.n), 0.0))
+                      + CAST(m.s AS DOUBLE) / m.n, CAST(0 AS DOUBLE))
+             * 1000000) AS BIGINT) AS burstiness_micro,
+           p.np AS n_pairs,
+           CAST(floor(
+             (p.np * p.sxy - CAST(p.sx AS DOUBLE) * p.sy)
+             / NULLIF(sqrt((p.np * p.sxx
+                            - CAST(p.sx AS DOUBLE) * p.sx)
+                           * (p.np * p.syy
+                              - CAST(p.sy AS DOUBLE) * p.sy)),
+                      CAST(0 AS DOUBLE))
+             * 1000000) AS BIGINT) AS memory_micro
+    FROM m JOIN pairs p USING (event_type)
+    ORDER BY m.event_type
+"""
+
+
+@query("q_behavior_interarrival", oracle=_IA_ORACLE)
+def q_behavior_interarrival(spark, d):
+    """Goh–Barabási burstiness B and memory M of inter-arrival gaps
+    per event type (module comment). ONE user×type-partitioned
+    lag/lead window is the only corpus shuffle; everything after is a
+    |types|-bounded moment agg. Portability: integer second gaps,
+    decimal-quantized squares/cross-products, identical-IEEE closing
+    expressions floor-micro'd; NULLIF guards zero variance on both
+    engines."""
+    ev = load(spark, d, "events")
+    seq = ev.select(
+        "event_type",
+        F.expr(
+            "(unix_micros(ts) - lag(unix_micros(ts)) OVER ("
+            "PARTITION BY user_id, event_type ORDER BY ts, event_id))"
+            " div 1000000"
+        ).alias("g"),
+        F.expr(
+            "(lead(unix_micros(ts)) OVER ("
+            "PARTITION BY user_id, event_type ORDER BY ts, event_id)"
+            " - unix_micros(ts)) div 1000000"
+        ).alias("ng"),
+    )
+    m = (
+        seq.filter(F.col("g").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("g").alias("n"),
+            F.sum("g").alias("s"),
+            F.sum(F.expr("cast(g * g as decimal(30,10))"))
+            .cast("double")
+            .alias("s2"),
+        )
+    )
+    pairs = (
+        seq.filter(F.col("g").isNotNull() & F.col("ng").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("np"),
+            F.sum("g").alias("sx"),
+            F.sum("ng").alias("sy"),
+            F.sum(F.expr("cast(g * ng as decimal(30,10))"))
+            .cast("double")
+            .alias("sxy"),
+            F.sum(F.expr("cast(g * g as decimal(30,10))"))
+            .cast("double")
+            .alias("sxx"),
+            F.sum(F.expr("cast(ng * ng as decimal(30,10))"))
+            .cast("double")
+            .alias("syy"),
+        )
+    )
+    return (
+        m.join(pairs, "event_type")
+        .selectExpr(
+            "event_type",
+            "n AS n_gaps",
+            "s div n AS gap_mean_s",
+            "cast(floor("
+            " (sqrt(greatest(s2 / n"
+            "   - (cast(s as double) / n) * (cast(s as double) / n),"
+            "   0.0d))"
+            "  - cast(s as double) / n)"
+            " / nullif(sqrt(greatest(s2 / n"
+            "   - (cast(s as double) / n) * (cast(s as double) / n),"
+            "   0.0d))"
+            "  + cast(s as double) / n, cast(0 as double))"
+            " * 1000000) as bigint) AS burstiness_micro",
+            "np AS n_pairs",
+            "cast(floor("
+            " (np * sxy - cast(sx as double) * sy)"
+            " / nullif(sqrt((np * sxx - cast(sx as double) * sx)"
+            "   * (np * syy - cast(sy as double) * sy)),"
+            "   cast(0 as double))"
+            " * 1000000) as bigint) AS memory_micro",
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Spectral concentration of the daily series (Rényi-2 / participation)
+# --------------------------------------------------------------------------
+#
+# How concentrated is the event series' spectrum — one clean seasonal
+# peak or broadband noise? Rel-power at a bounded period grid (2..13
+# days, the q_ts_periodogram DFT machinery with folded trig
+# literals), then the participation ratio PR = (Σp)²/Σp² of the
+# MILLI-quantized rel-powers: PR = K ⇔ flat spectrum, PR → 1 ⇔ one
+# dominant period. exp(−H₂) = PR for Rényi-2 entropy H₂, so pr_micro
+# IS the spectral-entropy alarm without ln on non-integer doubles
+# (the q_emb_isotropy trick applied to the frequency domain). The
+# milli quantization keeps (Σr)²·1e6 ≤ ~2e14 — exact int64.
+
+_SPECTRUM_PERIODS = list(range(2, 14))
+
+
+def _spectrum_oracle() -> str:
+    import math
+
+    from .pipeline29 import _trig_case
+
+    rows = []
+    for p in _SPECTRUM_PERIODS:
+        c = _trig_case("day_idx", p, math.cos)
+        s = _trig_case("day_idx", p, math.sin)
+        cc = f"CAST(SUM(CAST(n * {c} AS DECIMAL(30,10))) AS DOUBLE)"
+        ss = f"CAST(SUM(CAST(n * {s} AS DECIMAL(30,10))) AS DOUBLE)"
+        rows.append(f"""
+          SELECT {p} AS period,
+                 CAST(floor(
+                   ({cc} * {cc} + {ss} * {ss})
+                   / (CAST(SUM(n) AS DOUBLE) * CAST(SUM(n) AS DOUBLE))
+                   * 1000) AS BIGINT) AS r
+          FROM daily""")
+    union = " UNION ALL ".join(rows)
+    return f"""
+        WITH daily AS (
+          SELECT CAST(date_diff('day', DATE '1970-01-01', ts) AS BIGINT)
+                     AS day_idx,
+                 COUNT(*) AS n
+          FROM events GROUP BY day_idx
+        ),
+        spec AS (SELECT * FROM ({union})),
+        dom AS (
+          SELECT period, r FROM spec ORDER BY r DESC, period LIMIT 1
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS k_periods,
+               CAST(MAX(d.period) AS BIGINT) AS dominant_period,
+               CAST(CAST(MAX(d.r) AS BIGINT) * 1000000
+                    // NULLIF(CAST(SUM(s.r) AS BIGINT), 0) AS BIGINT)
+                   AS dom_share_ppm,
+               CAST(CAST(SUM(s.r) AS BIGINT)
+                    * CAST(SUM(s.r) AS BIGINT) * 1000000
+                    // NULLIF(CAST(SUM(s.r * s.r) AS BIGINT)
+                              * COUNT(*), 0) AS BIGINT)
+                   AS spectral_pr_per_k_micro
+        FROM spec s CROSS JOIN dom d
+    """
+
+
+@query("q_ts_spectral_entropy", oracle=_spectrum_oracle())
+def q_ts_spectral_entropy(spark, d):
+    """Spectral concentration of the daily event series (module
+    comment): rel-power at a 12-period DFT grid, dominant period +
+    share, and the normalized participation ratio PR/K in micro
+    (1e6 ⇔ flat/white spectrum, → 1e6/K ⇔ single-line spectrum) —
+    the Rényi-2 spectral entropy through the exp(−H₂) = PR identity,
+    integer-exact after one milli quantization on both engines.
+
+    Shape: one calendar collapse feeds ONE wide agg carrying all 24
+    trig sums (a 12-branch union would rescan the corpus per period —
+    measured 2.99 s vs sub-second fused); the 12-row grid is a stack
+    over that 1-row relation. All SinglePartition funnels hold
+    grid-sized relations."""
+    import math
+
+    from .pipeline29 import _trig_case
+    from ._helpers import DEC
+
+    ev = load(spark, d, "events")
+    daily = ev.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("day_idx")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    aggs = [F.sum("n").cast("double").alias("tot")]
+    for p in _SPECTRUM_PERIODS:
+        c = _trig_case("day_idx", p, math.cos)
+        s = _trig_case("day_idx", p, math.sin)
+        aggs.append(
+            F.expr(f"sum(cast(n * {c} as {DEC}))")
+            .cast("double")
+            .alias(f"c{p}")
+        )
+        aggs.append(
+            F.expr(f"sum(cast(n * {s} as {DEC}))")
+            .cast("double")
+            .alias(f"s{p}")
+        )
+    moments = daily.agg(*aggs)
+    stack_args = ", ".join(
+        f"{p}L, cast(floor((c{p} * c{p} + s{p} * s{p})"
+        f" / (tot * tot) * 1000) as bigint)"
+        for p in _SPECTRUM_PERIODS
+    )
+    spec = moments.selectExpr(
+        f"stack({len(_SPECTRUM_PERIODS)}, {stack_args})"
+        " AS (period, r)"
+    )
+    dom = spec.orderBy(F.col("r").desc(), "period").limit(1)
+    return (
+        spec.agg(
+            F.count(F.lit(1)).alias("k_periods"),
+            F.sum("r").alias("sr"),
+            F.sum(F.expr("r * r")).alias("srr"),
+        )
+        .crossJoin(
+            F.broadcast(
+                dom.selectExpr("period AS dominant_period", "r AS dr")
+            )
+        )
+        .selectExpr(
+            "k_periods",
+            "dominant_period",
+            "dr * 1000000L div nullif(sr, 0) AS dom_share_ppm",
+            "sr * sr * 1000000L div nullif(srr * k_periods, 0)"
+            " AS spectral_pr_per_k_micro",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# MSTTR — mean segmental type-token ratio per language
+# --------------------------------------------------------------------------
+#
+# Raw type-token ratio shrinks with document length (Heaps' law), so
+# corpora of different lengths can't be compared on it. MSTTR fixes
+# the bias by averaging TTR over fixed 50-token segments (full
+# segments only — the standard Johnson/MSTTR-50 definition); the raw
+# corpus TTR rides along to SHOW the bias. Pure integers: each full
+# segment contributes distinct_tokens·20000 ppm (= d·1e6/50), so the
+# per-language mean is one integer division.
+
+_MSTTR_SEG = 50
+
+_MSTTR_ORACLE = f"""
+    WITH toks AS (
+      SELECT lang, doc_id,
+             unnest(string_split(text, ' ')) AS term,
+             CAST(generate_subscripts(string_split(text, ' '), 1) - 1
+                  AS BIGINT) AS pos
+      FROM documents
+    ),
+    segs AS (
+      SELECT lang, doc_id, pos // {_MSTTR_SEG} AS seg,
+             CAST(COUNT(*) AS BIGINT) AS n_tok,
+             CAST(COUNT(DISTINCT term) AS BIGINT) AS n_typ
+      FROM toks GROUP BY lang, doc_id, pos // {_MSTTR_SEG}
+    ),
+    full_segs AS (
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n_segments,
+             CAST(SUM(n_typ) AS BIGINT) AS typ_sum
+      FROM segs WHERE n_tok = {_MSTTR_SEG} GROUP BY lang
+    ),
+    raw AS (
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(COUNT(DISTINCT term) AS BIGINT) AS n_types
+      FROM toks GROUP BY lang
+    )
+    SELECT r.lang, r.n_tokens, r.n_types, f.n_segments,
+           CAST(r.n_types * 1000000 // r.n_tokens AS BIGINT)
+               AS raw_ttr_ppm,
+           CAST(f.typ_sum * 20000 // f.n_segments AS BIGINT)
+               AS msttr_ppm
+    FROM raw r JOIN full_segs f USING (lang)
+    ORDER BY r.lang
+"""
+
+
+@query("q_text_msttr", oracle=_MSTTR_ORACLE)
+def q_text_msttr(spark, d):
+    """MSTTR-50 lexical diversity per language (module comment): one
+    posexplode scan, a (lang, doc, segment) distinct agg, a bounded
+    lang rollup. Integer ppm end to end — no floats anywhere.
+
+    Shape: the segment agg shuffles on (lang, doc_id, seg) — document
+    grain, unbounded parallelism; the lang rollup is |langs|-bounded.
+    """
+    docs = load(spark, d, "documents")
+    toks = docs.select(
+        "lang",
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "term"),
+    )
+    segs = toks.groupBy(
+        "lang", "doc_id", F.expr(f"pos div {_MSTTR_SEG}").alias("seg")
+    ).agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.countDistinct("term").alias("n_typ"),
+    )
+    full_segs = (
+        segs.filter(F.col("n_tok") == _MSTTR_SEG)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum("n_typ").alias("typ_sum"),
+        )
+    )
+    raw = toks.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("term").alias("n_types"),
+    )
+    return (
+        raw.join(full_segs, "lang")
+        .selectExpr(
+            "lang",
+            "n_tokens",
+            "n_types",
+            "n_segments",
+            "n_types * 1000000L div n_tokens AS raw_ttr_ppm",
+            "typ_sum * 20000L div n_segments AS msttr_ppm",
+        )
+        .orderBy("lang")
     )

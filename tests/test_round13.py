@@ -50,12 +50,12 @@ def test_window_head_is_canary_plus_rebuilt_and_new_keys():
     """Slots 0–3: the canary, then the three keys whose plans were
     rebuilt this round and must re-hash under the driver (gini's
     tied-rank count-of-counts collapse, heaps' bounded bucket curve,
-    isotropy's lazy count crossJoin). Slots 4–6: the three NEW r13
+    isotropy's lazy count crossJoin). Slots 4–9: the six NEW r13
     declared keys — new declared outputs are driver-sampled the round
     they land."""
     from spark_sklearn_spark.registry import DRIVER_PRIORITY
 
-    assert DRIVER_PRIORITY[:7] == [
+    assert DRIVER_PRIORITY[:10] == [
         "q_dq_engine_canary",
         "q_behavior_gini",
         "q_text_heaps_law",
@@ -63,6 +63,9 @@ def test_window_head_is_canary_plus_rebuilt_and_new_keys():
         "q_behavior_yule_simon",
         "q_ts_piecewise_trend",
         "q_graph_leiden_refine",
+        "q_behavior_interarrival",
+        "q_ts_spectral_entropy",
+        "q_text_msttr",
     ]
 
 
@@ -76,13 +79,13 @@ def test_window_covers_stale_band():
 
 
 def test_priority_tail_is_staleness_ordered():
-    """Behind the 7-key head (canary + rebuilt + new) the list is
+    """Behind the 10-key head (canary + rebuilt + new) the list is
     (latest-sample round, name) sorted — the property that makes
     every future rotation mechanical. Spot-check: all r3 keys precede
     all r4 keys, which precede every non-band key."""
     from spark_sklearn_spark.registry import DRIVER_PRIORITY
 
-    tail = DRIVER_PRIORITY[7:]
+    tail = DRIVER_PRIORITY[10:]
     pos = {k: i for i, k in enumerate(tail)}
     last_r3 = max(pos[k] for k in R3_BAND)
     first_r4 = min(pos[k] for k in R4_BAND)
@@ -218,6 +221,58 @@ def test_leiden_refine_covers_all_graph_nodes(spark, sf_dir):
     assert sum(r.n_nodes for r in rows) == n_nodes
     assert all(abs(r.gain) <= max_deg for r in rows)
     assert rows == sorted(rows, key=lambda r: r.gain)
+
+
+def test_interarrival_bounds(spark, sf_dir):
+    """Goh–Barabási invariants: B ∈ (−1, 1) micro strictly (gaps are
+    nonnegative with nonzero mean), M ∈ [−1, 1] micro
+    (Cauchy–Schwarz), consecutive-pair count strictly below the gap
+    count (each user stream loses its last pair), and one row per
+    event type."""
+    rows = entry.queries()["q_behavior_interarrival"](
+        spark, sf_dir
+    ).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert -1_000_000 < r.burstiness_micro < 1_000_000
+        assert -1_000_000 <= r.memory_micro <= 1_000_000
+        assert 0 < r.n_pairs < r.n_gaps
+        assert r.gap_mean_s > 0
+
+
+def test_spectral_entropy_bounds(spark, sf_dir):
+    """Spectrum invariants: the grid is 12 periods, the dominant
+    period is on the grid, its share is a valid ppm, and PR/K lies in
+    (1/K, 1] micro — with equality 1e6 only for a perfectly flat
+    spectrum."""
+    r = entry.queries()["q_ts_spectral_entropy"](spark, sf_dir).collect()[
+        0
+    ]
+    assert r.k_periods == 12
+    assert 2 <= r.dominant_period <= 13
+    assert 0 < r.dom_share_ppm <= 1_000_000
+    assert 1_000_000 // 12 <= r.spectral_pr_per_k_micro <= 1_000_000
+
+
+def test_msttr_shows_length_bias(spark, sf_dir):
+    """MSTTR-50 must dominate the raw corpus TTR on every language
+    (the length-bias the segmental definition removes: a 31-type
+    synthetic vocabulary keeps raw TTR in the low ppt while 50-token
+    segments stay diverse) and stay a valid ppm; full segments imply
+    typ_sum ≤ 50·n_segments ⇒ msttr_ppm ≤ 1e6."""
+    rows = entry.queries()["q_text_msttr"](spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0 < r.msttr_ppm <= 1_000_000
+        assert r.msttr_ppm > r.raw_ttr_ppm
+        assert r.n_types <= r.n_tokens
+        assert r.n_segments * _seg() <= r.n_tokens
+
+
+def _seg():
+    from spark_sklearn_spark.queries.pipeline31 import _MSTTR_SEG
+
+    return _MSTTR_SEG
 
 
 def test_isotropy_construction_is_lazy(spark, sf_dir):

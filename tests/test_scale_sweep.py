@@ -90,6 +90,7 @@ ONE_ROW_BROADCAST = {
     "q_ts_backtest", "q_ts_cross_correlation", "q_ts_hurst",
     "q_ts_ljung_box", "q_ts_pacf",
     "q_ts_piecewise_trend",  # 1-row totals broadcast + daily grain (r13)
+    "q_ts_spectral_entropy",  # 12-row DFT grid + 1-row dominant (r13)
     "q_win_pareto",
 }
 

@@ -270,6 +270,11 @@ PROBE_QUERIES = [
     "q_behavior_yule_simon",
     "q_ts_piecewise_trend",
     "q_graph_leiden_refine",
+    # r13 batch 2: user×type lag/lead moments, fused 24-sum DFT agg,
+    # (lang, doc, segment) distinct rollup
+    "q_behavior_interarrival",
+    "q_ts_spectral_entropy",
+    "q_text_msttr",
 ]
 
 TABLES = [
