@@ -101,6 +101,7 @@ BOUNDED_DOMAIN_HINTS: tuple[str, ...] = (
     "source",
     "kind",
     "category",
+    "layout",
 )
 
 

