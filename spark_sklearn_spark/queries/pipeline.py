@@ -367,6 +367,58 @@ SIMHASH_BITS = 56
 SIMHASH_HAMMING = 6
 
 
+def simhash_sigs(spark, d):
+    """Shared 56-bit SimHash signature relation (doc_id, sig): md5-head
+    gram hashes, per-bit majority in ONE wide codegen agg — used by
+    q_dedup_simhash (banded pairs at Hamming ≤ 6) and
+    q_dedup_simhash_hist (the full banded-candidate histogram,
+    pipeline31). NOT persisted on purpose: Catalyst reuses the
+    aggregation exchange across the band self-join (ReusedExchange);
+    an explicit persist measured 2.3× slower (CLAUDE.md trap)."""
+    docs = load(spark, d, "documents")
+    w = docs.select("doc_id", F.split("text", " ").alias("w")).filter(
+        F.size("w") >= 3  # sequence(1, size-2) would DESCEND below 3 words
+    )
+    grams = w.select(
+        "doc_id",
+        F.explode_outer(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, size(w) - 2), "
+                    "  i -> concat_ws('_', element_at(w, i), "
+                    "       element_at(w, i + 1), element_at(w, i + 2)))"
+                )
+            )
+        ).alias("g"),
+    ).filter(F.col("g").isNotNull())
+    gh = grams.select(
+        "doc_id",
+        F.expr("cast(conv(substr(md5(g), 1, 14), 16, 10) as bigint)").alias(
+            "h"
+        ),
+    )
+    # per-bit majority in one wide hash agg: 56 conditional sums + n,
+    # all whole-stage codegen, partial aggregation map-side
+    ones = [
+        F.sum(
+            F.shiftrightunsigned(F.col("h"), b).bitwiseAND(F.lit(1))
+        ).alias(f"c{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    counts = gh.groupBy("doc_id").agg(*ones, F.count(F.lit(1)).alias("n"))
+    sig_expr = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(
+            F.col(f"c{b}") * 2 > F.col("n"), F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        sig_expr = term if sig_expr is None else sig_expr + term
+    # NOT persisted: Catalyst reuses the aggregation exchange for the
+    # band self-join (ReusedExchange), so the grams→md5→majority
+    # pipeline runs once anyway; an explicit persist breaks that reuse
+    # and measured 2.3× slower at sf0.1
+    return counts.select("doc_id", sig_expr.alias("sig"))
+
+
 @query(
     "q_dedup_simhash",
     oracle=f"""
@@ -413,48 +465,7 @@ def q_dedup_simhash(spark, d):
     bit_count(xor) verification JVM-side. Candidates-never-all-pairs,
     same posture as MinHash; the oracle's O(n²) signature compare is
     the semantic spec the banding provably equals."""
-    docs = load(spark, d, "documents")
-    w = docs.select("doc_id", F.split("text", " ").alias("w")).filter(
-        F.size("w") >= 3  # sequence(1, size-2) would DESCEND below 3 words
-    )
-    grams = w.select(
-        "doc_id",
-        F.explode_outer(
-            F.array_distinct(
-                F.expr(
-                    "transform(sequence(1, size(w) - 2), "
-                    "  i -> concat_ws('_', element_at(w, i), "
-                    "       element_at(w, i + 1), element_at(w, i + 2)))"
-                )
-            )
-        ).alias("g"),
-    ).filter(F.col("g").isNotNull())
-    gh = grams.select(
-        "doc_id",
-        F.expr("cast(conv(substr(md5(g), 1, 14), 16, 10) as bigint)").alias(
-            "h"
-        ),
-    )
-    # per-bit majority in one wide hash agg: 56 conditional sums + n,
-    # all whole-stage codegen, partial aggregation map-side
-    ones = [
-        F.sum(
-            F.shiftrightunsigned(F.col("h"), b).bitwiseAND(F.lit(1))
-        ).alias(f"c{b}")
-        for b in range(SIMHASH_BITS)
-    ]
-    counts = gh.groupBy("doc_id").agg(*ones, F.count(F.lit(1)).alias("n"))
-    sig_expr = None
-    for b in range(SIMHASH_BITS):
-        term = F.when(
-            F.col(f"c{b}") * 2 > F.col("n"), F.lit(1 << b).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-        sig_expr = term if sig_expr is None else sig_expr + term
-    # NOT persisted: Catalyst reuses the aggregation exchange for the
-    # band self-join (ReusedExchange), so the grams→md5→majority
-    # pipeline runs once anyway; an explicit persist breaks that reuse
-    # and measured 2.3× slower at sf0.1
-    sigs = counts.select("doc_id", sig_expr.alias("sig"))
+    sigs = simhash_sigs(spark, d)
     bands = sigs.select(
         "doc_id",
         "sig",

@@ -1086,3 +1086,334 @@ def q_layout_overlap_depth(spark, d):
 
     register_views(spark, d, ["orders"])
     return spark.sql(_DEPTH_SQL.replace("{DIV}", "div"))
+
+
+# --------------------------------------------------------------------------
+# PSI — population stability index of the order-value distribution
+# --------------------------------------------------------------------------
+#
+# The standard model-monitoring drift metric: PSI = Σ_b (p_a − p_e) ·
+# ln(p_a/p_e) between an expected window (orders before the split
+# date) and an actual window, over fixed 50k-wide price buckets.
+# Rule of thumb: <0.1 stable, 0.1–0.25 drifting, >0.25 action. The
+# feature-space twin of q_text_kl_source (token drift) and
+# q_dq_schema_drift (shape drift). Portability: p_a/p_e expands to
+# ln(c_a·N_e) − ln(c_e·N_a) — ln only ever sees INTEGER arguments
+# (the q_text_entropy posture; products < 2^53 up to ~3e7 rows per
+# window at this bucket grain — past that, divide counts first and
+# document the ulp); per-bucket terms quantize to DECIMAL before the
+# total. Buckets empty on either side contribute 0 by convention
+# (documented deviation from the add-epsilon variant — exact
+# integers beat a smoothing constant here).
+
+_PSI_SPLIT = "1998-01-01"
+_PSI_BUCKET = 50000
+
+_PSI_ORACLE = f"""
+    WITH bucketed AS (
+      SELECT CAST(floor(o_totalprice / {_PSI_BUCKET}) AS BIGINT) AS b,
+             CASE WHEN o_orderdate < DATE '{_PSI_SPLIT}'
+                  THEN 1 ELSE 0 END AS is_expected
+      FROM orders
+    ),
+    cells AS (
+      SELECT b,
+             CAST(SUM(is_expected) AS BIGINT) AS c_e,
+             CAST(SUM(1 - is_expected) AS BIGINT) AS c_a
+      FROM bucketed GROUP BY b
+    ),
+    tot AS (
+      SELECT CAST(SUM(c_e) AS BIGINT) AS n_e,
+             CAST(SUM(c_a) AS BIGINT) AS n_a
+      FROM cells
+    )
+    SELECT c.b AS bucket, c.c_e AS n_expected, c.c_a AS n_actual,
+           CAST(floor(CASE WHEN c.c_e > 0 AND c.c_a > 0 THEN
+             (CAST(c.c_a AS DOUBLE) / t.n_a
+              - CAST(c.c_e AS DOUBLE) / t.n_e)
+             * (ln(CAST(c.c_a * t.n_e AS DOUBLE))
+                - ln(CAST(c.c_e * t.n_a AS DOUBLE)))
+             ELSE 0.0 END * 1000000) AS BIGINT) AS psi_term_micro
+    FROM cells c CROSS JOIN tot t
+    ORDER BY bucket
+"""
+
+
+@query("q_ml_psi", oracle=_PSI_ORACLE)
+def q_ml_psi(spark, d):
+    """Population stability index per price bucket (module comment):
+    one scan collapses to the 10-cell bucket×window grid; totals are
+    a 1-row broadcast; every ln argument is an exact integer product.
+    The per-bucket terms are the declared output (their sum is the
+    PSI) so the driver hashes the whole drift profile."""
+    orders = load(spark, d, "orders")
+    cells = (
+        orders.selectExpr(
+            f"cast(floor(o_totalprice / {_PSI_BUCKET}) as bigint) AS b",
+            f"case when o_orderdate < date '{_PSI_SPLIT}'"
+            " then 1 else 0 end AS is_expected",
+        )
+        .groupBy("b")
+        .agg(
+            F.sum("is_expected").alias("c_e"),
+            F.sum(F.expr("1 - is_expected")).alias("c_a"),
+        )
+    )
+    tot = cells.agg(
+        F.sum("c_e").alias("n_e"), F.sum("c_a").alias("n_a")
+    )
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "b AS bucket",
+            "c_e AS n_expected",
+            "c_a AS n_actual",
+            "cast(floor(case when c_e > 0 and c_a > 0 then"
+            " (cast(c_a as double) / n_a - cast(c_e as double) / n_e)"
+            " * (ln(cast(c_a * n_e as double))"
+            "    - ln(cast(c_e * n_a as double)))"
+            " else 0.0d end * 1000000) as bigint) AS psi_term_micro",
+        )
+        .orderBy("bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+# Rich-club coefficient over the near-dup graph
+# --------------------------------------------------------------------------
+#
+# Do high-degree documents preferentially connect to each other?
+# φ(k) = 2·E_k / (N_k·(N_k−1)) where N_k = nodes with degree > k and
+# E_k = edges with BOTH endpoints of degree > k — the hub-cohesion
+# view next to q_graph_assortativity's single correlation number
+# (rich-club rising with k while assortativity is flat is the
+# classic hub-clique signature). Fixed k grid {1,2,3,5,8}; per-edge
+# membership in every k level folds into ONE conditional-sum agg
+# (no per-k rescan), node counts likewise.
+
+_RC_KS = (1, 2, 3, 5, 8)
+
+
+def _rich_club_oracle() -> str:
+    from .pipeline2 import _BIGRAMS_SQL
+
+    e_sums = ", ".join(
+        f"CAST(SUM(CASE WHEN least(da, db) > {k} THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS e{k}"
+        for k in _RC_KS
+    )
+    n_sums = ", ".join(
+        f"CAST(SUM(CASE WHEN deg > {k} THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS n{k}"
+        for k in _RC_KS
+    )
+    rows = " UNION ALL ".join(
+        f"""SELECT {k} AS k, n.n{k} AS n_nodes, e.e{k} AS n_edges,
+               CAST(2 * e.e{k} * 1000000
+                    // NULLIF(n.n{k} * (n.n{k} - 1), 0) AS BIGINT)
+                   AS phi_ppm
+            FROM en e CROSS JOIN nn n"""
+        for k in _RC_KS
+    )
+    return f"""
+        WITH {_BIGRAMS_SQL},
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM rare GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+            FROM rare a JOIN rare b ON a.g = b.g AND a.doc_id < b.doc_id
+            GROUP BY doc_a, doc_b
+        ),
+        edges0 AS MATERIALIZED (
+            SELECT i.doc_a, i.doc_b
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.doc_a
+            JOIN sizes sb ON sb.doc_id = i.doc_b
+            WHERE ROUND(i.c * 1.0 / (sa.n + sb.n - i.c), 6) >= 0.4
+        ),
+        sym AS MATERIALIZED (
+          SELECT doc_a AS src, doc_b AS dst FROM edges0
+          UNION ALL
+          SELECT doc_b, doc_a FROM edges0
+        ),
+        degs AS MATERIALIZED (
+          SELECT src AS doc_id, CAST(COUNT(*) AS BIGINT) AS deg
+          FROM sym GROUP BY src
+        ),
+        ed AS (
+          SELECT e.doc_a, e.doc_b, a.deg AS da, b.deg AS db
+          FROM edges0 e
+          JOIN degs a ON a.doc_id = e.doc_a
+          JOIN degs b ON b.doc_id = e.doc_b
+        ),
+        en AS (SELECT {e_sums} FROM ed),
+        nn AS (SELECT {n_sums} FROM degs)
+        SELECT * FROM ({rows}) ORDER BY k
+    """
+
+
+# ROUND-safe: the only ROUND is the driver-PROVEN q_dedup_ngram edge
+# predicate (pass r4) shared by the whole near-dup graph family.
+@query("q_graph_rich_club", oracle=_rich_club_oracle())
+def q_graph_rich_club(spark, d):
+    """Rich-club coefficients φ(k) over the memoized near-dup edge
+    snapshot (module comment): one degree agg, one doc-keyed
+    edge-degree join, ONE conditional-sum agg covering all five k
+    levels, integer ppm ratios. The k-grid expansion is a stack over
+    two 1-row aggregates (Lloyd-shape broadcast)."""
+    from .pipeline2 import near_dup_edges
+
+    e = near_dup_edges(spark, d).select("doc_a", "doc_b")
+    sym = near_dup_sym(spark, d)
+    degs = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ed = (
+        e.join(
+            degs.selectExpr("src AS doc_a", "deg AS da"), "doc_a"
+        ).join(degs.selectExpr("src AS doc_b", "deg AS db"), "doc_b")
+    )
+    en = ed.agg(
+        *[
+            F.sum(
+                F.when(F.least("da", "db") > k, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"e{k}")
+            for k in _RC_KS
+        ]
+    )
+    nn = degs.agg(
+        *[
+            F.sum(F.when(F.col("deg") > k, 1).otherwise(0))
+            .cast("long")
+            .alias(f"n{k}")
+            for k in _RC_KS
+        ]
+    )
+    stack_args = ", ".join(
+        f"{k}L, n{k}, e{k},"
+        f" 2 * e{k} * 1000000L div nullif(n{k} * (n{k} - 1L), 0)"
+        for k in _RC_KS
+    )
+    return (
+        en.crossJoin(F.broadcast(nn))
+        .selectExpr(
+            f"stack({len(_RC_KS)}, {stack_args})"
+            " AS (k, n_nodes, n_edges, phi_ppm)"
+        )
+        .orderBy("k")
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash banded-candidate Hamming histogram (threshold tuning)
+# --------------------------------------------------------------------------
+#
+# The index-quality eval behind q_dedup_simhash's Hamming ≤ 6 cut:
+# the full Hamming-distance histogram of the pairs the 7-byte
+# banding actually surfaces. Reading the histogram tells you (a) how
+# much verify work each threshold buys (cumulative candidate volume)
+# and (b) where the true-dup mass ends — the tuning curve for
+# SIMHASH_HAMMING. Both engines enumerate the SAME candidate set
+# (∃ equal byte-band), so banding recall loss above the pigeonhole
+# bound (Hamming ≥ 7 pairs may or may not collide) is part of the
+# declared semantics, not a hash risk.
+
+_SIMHASH_HIST_ORACLE = """
+    WITH {SH}, grams AS (
+      SELECT doc_id, unnest(shingles) AS g FROM sh
+    ), gh AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(g), 1, 14)) AS BIGINT) AS h
+      FROM grams
+    ), bits AS (
+      SELECT doc_id, b,
+             COUNT(*) FILTER (WHERE ((h >> b) & 1) = 1) AS ones,
+             COUNT(*) AS n
+      FROM gh, (SELECT unnest(generate_series(0, 55)) AS b)
+      GROUP BY doc_id, b
+    ), sig AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN ones * 2 > n
+                           THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+                  AS BIGINT) AS sig
+      FROM bits GROUP BY doc_id
+    ),
+    cand AS (
+      SELECT bit_count(xor(a.sig, b.sig)) AS hamming
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      WHERE ((a.sig >> 0) & 255) = ((b.sig >> 0) & 255)
+         OR ((a.sig >> 8) & 255) = ((b.sig >> 8) & 255)
+         OR ((a.sig >> 16) & 255) = ((b.sig >> 16) & 255)
+         OR ((a.sig >> 24) & 255) = ((b.sig >> 24) & 255)
+         OR ((a.sig >> 32) & 255) = ((b.sig >> 32) & 255)
+         OR ((a.sig >> 40) & 255) = ((b.sig >> 40) & 255)
+         OR ((a.sig >> 48) & 255) = ((b.sig >> 48) & 255)
+    )
+    SELECT CAST(hamming AS BIGINT) AS hamming,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM cand GROUP BY hamming ORDER BY hamming
+"""
+
+
+def _simhash_hist_oracle() -> str:
+    return _SIMHASH_HIST_ORACLE.replace("{SH}", _shingles_cte())
+
+
+def _shingles_cte() -> str:
+    from .pipeline import _SQL_SHINGLES_CTE
+
+    return _SQL_SHINGLES_CTE
+
+
+@query("q_dedup_simhash_hist", oracle=_simhash_hist_oracle())
+def q_dedup_simhash_hist(spark, d):
+    """Hamming histogram of SimHash band candidates (module comment):
+    the same 56-bit signatures and 7-byte banding as q_dedup_simhash
+    (one wide majority agg, byte-keyed candidate join, distinct
+    pairs), WITHOUT the ≤ 6 cut — then one bounded histogram agg.
+    The oracle enumerates the identical candidate set via the
+    ∃-equal-byte predicate over the O(n²) signature pairs (the
+    semantic spec the banding equals by construction)."""
+    from .pipeline import simhash_sigs
+
+    sigs = simhash_sigs(spark, d)
+    bands = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("byte_idx"),
+                        F.shiftrightunsigned(F.col("sig"), i * 8)
+                        .bitwiseAND(F.lit(255))
+                        .alias("byte_val"),
+                    )
+                    for i in range(7)
+                ]
+            )
+        ).alias("band"),
+    ).select(
+        "doc_id", "sig", "band.byte_idx", "band.byte_val"
+    )
+    a = bands.selectExpr(
+        "doc_id AS id_a", "sig AS sig_a", "byte_idx", "byte_val"
+    )
+    b = bands.selectExpr(
+        "doc_id AS id_b", "sig AS sig_b", "byte_idx", "byte_val"
+    )
+    cand = (
+        a.join(b, ["byte_idx", "byte_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    return (
+        cand.select(
+            F.expr("bit_count(sig_a ^ sig_b)").cast("long").alias(
+                "hamming"
+            )
+        )
+        .groupBy("hamming")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("hamming")
+    )

@@ -50,13 +50,13 @@ def test_window_head_is_canary_plus_rebuilt_and_new_keys():
     """Slots 0–3: the canary, then the three keys whose plans were
     rebuilt this round and must re-hash under the driver (gini's
     tied-rank count-of-counts collapse, heaps' bounded bucket curve,
-    isotropy's lazy count crossJoin). Slots 4–12: the nine NEW r13
+    isotropy's lazy count crossJoin). Slots 4–15: the twelve NEW r13
     declared keys — new declared outputs are driver-sampled the round
     they land (the discipline that outranks the stale-band quota —
     see the band test below)."""
     from spark_sklearn_spark.registry import DRIVER_PRIORITY
 
-    assert DRIVER_PRIORITY[:13] == [
+    assert DRIVER_PRIORITY[:16] == [
         "q_dq_engine_canary",
         "q_behavior_gini",
         "q_text_heaps_law",
@@ -70,6 +70,9 @@ def test_window_head_is_canary_plus_rebuilt_and_new_keys():
         "q_text_rake",
         "q_ml_sprt",
         "q_layout_overlap_depth",
+        "q_ml_psi",
+        "q_graph_rich_club",
+        "q_dedup_simhash_hist",
     ]
 
 
@@ -79,22 +82,23 @@ def test_window_covers_stale_band():
     window = DRIVER_PRIORITY[:50]
     assert R3_BAND <= set(window), sorted(R3_BAND - set(window))
     band_in_window = [k for k in window if k in R3_BAND | R4_BAND]
-    # VERDICT r12 item 3 targeted ≥40 band slots; the r13 batch grew
-    # to 9 NEW declared keys, and never-sampled new outputs outrank
-    # 9-rounds-green r4 keys for window space — 37 band slots, with
-    # every r3 key in and the 3 displaced r4 keys (still r4, the
-    # no-older-than-r4 clause holds) leading the r14 window.
-    assert len(band_in_window) >= 37, len(band_in_window)
+    # VERDICT r12 item 3 targeted ≥40 band slots; the r13 round
+    # shipped 12 NEW declared keys, and never-sampled new outputs
+    # outrank 9-rounds-green r4 keys for window space — 34 band
+    # slots, with every r3 key in and the displaced r4 keys (still
+    # r4, the no-older-than-r4 clause holds) leading the r14 window,
+    # which carries no new-key pressure.
+    assert len(band_in_window) >= 34, len(band_in_window)
 
 
 def test_priority_tail_is_staleness_ordered():
-    """Behind the 13-key head (canary + rebuilt + new) the list is
+    """Behind the 16-key head (canary + rebuilt + new) the list is
     (latest-sample round, name) sorted — the property that makes
     every future rotation mechanical. Spot-check: all r3 keys precede
     all r4 keys, which precede every non-band key."""
     from spark_sklearn_spark.registry import DRIVER_PRIORITY
 
-    tail = DRIVER_PRIORITY[13:]
+    tail = DRIVER_PRIORITY[16:]
     pos = {k: i for i, k in enumerate(tail)}
     last_r3 = max(pos[k] for k in R3_BAND)
     first_r4 = min(pos[k] for k in R4_BAND)
@@ -342,6 +346,57 @@ def test_overlap_depth_separates_layouts(spark, sf_dir):
     assert rows["by_key"].max_depth == rows["by_key"].files_total
     for r in rows.values():
         assert 1 <= r.max_depth <= r.files_total
+
+
+def test_psi_terms_are_nonnegative(spark, sf_dir):
+    """Every PSI term (p_a − p_e)·ln(p_a/p_e) is pointwise ≥ 0 (same
+    sign factors), empty-side buckets contribute exactly 0, and the
+    10-bucket price grid is fully present with mass on both sides in
+    total."""
+    rows = entry.queries()["q_ml_psi"](spark, sf_dir).collect()
+    assert [r.bucket for r in rows] == sorted(r.bucket for r in rows)
+    assert sum(r.n_expected for r in rows) > 0
+    assert sum(r.n_actual for r in rows) > 0
+    for r in rows:
+        assert r.psi_term_micro >= 0
+        if r.n_expected == 0 or r.n_actual == 0:
+            assert r.psi_term_micro == 0
+        assert r.n_expected + r.n_actual > 0
+
+
+def test_rich_club_is_monotone_in_k(spark, sf_dir):
+    """N_k and E_k are non-increasing in k (stricter clubs are
+    smaller) and φ is a valid ppm share of the club's possible
+    edges (NULL only when the club has < 2 members)."""
+    rows = entry.queries()["q_graph_rich_club"](spark, sf_dir).collect()
+    assert [r.k for r in rows] == [1, 2, 3, 5, 8]
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_nodes >= b.n_nodes
+        assert a.n_edges >= b.n_edges
+    for r in rows:
+        if r.n_nodes >= 2:
+            assert 0 <= r.phi_ppm <= 1_000_000
+        else:
+            assert r.phi_ppm is None
+
+
+def test_simhash_hist_matches_production_cut(spark, sf_dir):
+    """The banded-candidate Hamming histogram must agree with the
+    production q_dedup_simhash exactly on the ≤ 6 cut: the histogram
+    mass at hamming ≤ 6 IS the number of declared near-dup pairs.
+    Distances stay within the 56-bit signature range."""
+    from spark_sklearn_spark.queries.pipeline import SIMHASH_HAMMING
+
+    hist = entry.queries()["q_dedup_simhash_hist"](
+        spark, sf_dir
+    ).collect()
+    n_prod = entry.queries()["q_dedup_simhash"](spark, sf_dir).count()
+    below = sum(
+        r.n_pairs for r in hist if r.hamming <= SIMHASH_HAMMING
+    )
+    assert below == n_prod
+    assert all(0 <= r.hamming <= 56 for r in hist)
+    assert sum(r.n_pairs for r in hist) >= n_prod
 
 
 def test_isotropy_construction_is_lazy(spark, sf_dir):

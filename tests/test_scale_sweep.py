@@ -92,6 +92,8 @@ ONE_ROW_BROADCAST = {
     "q_ts_piecewise_trend",  # 1-row totals broadcast + daily grain (r13)
     "q_ts_spectral_entropy",  # 12-row DFT grid + 1-row dominant (r13)
     "q_ml_sprt",  # calendar LLR walk + 1-row crossing heads (r13)
+    "q_ml_psi",  # 10-cell bucket grid + 1-row totals broadcast (r13)
+    "q_graph_rich_club",  # two 1-row k-grid aggs, Lloyd-shape (r13)
     "q_win_pareto",
 }
 

@@ -280,6 +280,11 @@ PROBE_QUERIES = [
     "q_text_rake",
     "q_ml_sprt",
     "q_layout_overlap_depth",
+    # r13 batch 4: 10-cell drift grid, k-grid degree sums on the
+    # edge snapshot, shared-signature banded histogram
+    "q_ml_psi",
+    "q_graph_rich_club",
+    "q_dedup_simhash_hist",
 ]
 
 TABLES = [
