@@ -1382,6 +1382,19 @@ IVF_NPROBE = 2  # coarse cells scanned per probe (of KM_K=4)
 IVF_TOPK = 5
 
 
+
+
+def _ivf_probe_predicate():
+    """Probe-panel membership for the declared IVF retrieval (and the
+    PQ-ADC eval at line ~1120): vec_id % 100. A module seam on
+    purpose — tools/scale_probe.py --fixed-panel monkeypatches this
+    to pin the panel while the corpus replicates K×: the replica
+    fixture offsets vec_ids by multiples of 1e9 (≡ 0 mod 100), so the
+    panel otherwise grows K× and the candidate volume K² — the
+    measured 49× wall at K=10 is that artifact, not the plan (panel
+    fixed ⇒ candidates linear in corpus)."""
+    return F.col("vec_id") % 100 == 0
+
 @query(
     "q_sim_ann_ivf_kmeans",
     oracle=f"""
@@ -1447,7 +1460,7 @@ def q_sim_ann_ivf_kmeans(spark, d):
     raw vectors inside cells."""
     vecs = _quantized_vecs(load(spark, d, "embeddings"))
     cents, members = _km_fit_memo(spark, d)
-    probes = vecs.filter(F.col("vec_id") % 100 == 0).select(
+    probes = vecs.filter(_ivf_probe_predicate()).select(
         F.col("vec_id").alias("probe_id"), F.col("q").alias("pq")
     )
     pd2 = F.expr(

@@ -361,14 +361,18 @@ def main() -> None:
         # wall dominated by the scan.
         from pyspark.sql import functions as F
 
-        from spark_sklearn_spark.queries import pipeline30
+        from spark_sklearn_spark.queries import pipeline8, pipeline30
 
         pipeline30._panel_predicate = lambda: (
             (F.col("vec_id") % 50 == 0)
             & (F.col("vec_id") < 1_000_000_000)
         )
+        pipeline8._ivf_probe_predicate = lambda: (
+            (F.col("vec_id") % 100 == 0)
+            & (F.col("vec_id") < 1_000_000_000)
+        )
         if not only:
-            only = {"q_ml_lof", "q_emb_mutual_knn"}
+            only = {"q_ml_lof", "q_emb_mutual_knn", "q_sim_ann_ivf_kmeans"}
 
     qs = entry.queries()
 
