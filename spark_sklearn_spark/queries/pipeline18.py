@@ -278,10 +278,13 @@ def q_emb_ann_recall_ivf(spark, d):
     at 100 TB the brute side is the eval's sunk cost (run on a
     sampled panel), the IVF side is the production query path."""
     from .pipeline8 import _km_fit_memo, _quantized_vecs
+    from . import pipeline8 as _p8
 
     vecs = _quantized_vecs(load(spark, d, "embeddings"))
     cents, members = _km_fit_memo(spark, d)
-    probes = vecs.filter(F.col("vec_id") % 100 == 0).select(
+    # the probe panel shares pipeline8's seam so scale_probe
+    # --fixed-panel pins ALL IVF-family evals together
+    probes = vecs.filter(_p8._ivf_probe_predicate()).select(
         F.col("vec_id").alias("probe_id"), F.col("q").alias("pq")
     )
     dist = F.expr(

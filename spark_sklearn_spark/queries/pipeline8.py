@@ -1117,7 +1117,7 @@ def q_emb_pq_adc(spark, d):
         .filter(F.col("rk") == 1)
         .select("vec_id", "s", "code")
     )
-    probes = subs.filter(F.col("vec_id") % 100 == 0).select(
+    probes = subs.filter(_ivf_probe_predicate()).select(
         F.col("vec_id").alias("probe_id"), "s", "sq"
     )
     lut = probes.join(F.broadcast(cb), "s").select(
