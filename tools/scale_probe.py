@@ -285,6 +285,9 @@ PROBE_QUERIES = [
     "q_ml_psi",
     "q_graph_rich_club",
     "q_dedup_simhash_hist",
+    # r13 deep-probe additions: salted skew join, winnowing windows
+    "q_join_skew",
+    "q_text_winnow",
 ]
 
 TABLES = [
