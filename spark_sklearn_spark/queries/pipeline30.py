@@ -1341,7 +1341,11 @@ def q_behavior_gini(spark, d):
     output floor-micro via one integer division. Int64 headroom:
     sw ≤ n·s, so the 2e6·sw numerator stays under 2^63 while
     n·s < 4.6e12 — comfortable at driver scales, documented per
-    the q_ts_ljung_box convention.
+    the q_ts_ljung_box convention; past that headroom, route the
+    numerator through DECIMAL(38,0) on BOTH engines (CAST before the
+    2·1e6 multiply, integer-divide in decimal, CAST the quotient back
+    to BIGINT) — decimal integer division is exact and identical
+    across Spark and DuckDB, so the floor-micro output is unchanged.
 
     Shape: one combinable per-user agg (the only corpus shuffle),
     then a count-of-counts collapse — bounded by the number of
@@ -1458,8 +1462,12 @@ def q_text_heaps_law(spark, d):
     runs on that BOUNDED bucket relation, never on the doc grain —
     the exact values of the true curve at each bucket's last doc, so
     the fitted β is the same statistic on a fixed-size sample however
-    large the corpus (at ≤4096 docs the bucketing is injective and
-    the fit is bit-identical to the per-doc curve). The 1-row
+    large the corpus (when max_doc_id+1 ≤ 4096 — dense ids, not just
+    doc COUNT — the bucketing is injective and the fit is
+    bit-identical to the per-doc curve; parity between the engines
+    holds regardless, since both bucket identically;
+    test_heaps_bucketing_is_injective_at_fixture_scale pins the
+    fixture in the injective regime). The 1-row
     max-doc broadcast is the sanctioned Lloyd-shape crossJoin.
     Portability: ln only sees INTEGER cumulative counts (identical
     doubles), per-point ln products quantize to DECIMAL(30,10)

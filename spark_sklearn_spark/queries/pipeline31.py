@@ -1208,7 +1208,7 @@ def _rich_club_oracle() -> str:
         for k in _RC_KS
     )
     rows = " UNION ALL ".join(
-        f"""SELECT {k} AS k, n.n{k} AS n_nodes, e.e{k} AS n_edges,
+        f"""SELECT CAST({k} AS BIGINT) AS k, n.n{k} AS n_nodes, e.e{k} AS n_edges,
                CAST(2 * e.e{k} * 1000000
                     // NULLIF(n.n{k} * (n.n{k} - 1), 0) AS BIGINT)
                    AS phi_ppm

@@ -16,8 +16,8 @@ Usage: python tools/scale_probe.py [K] [query ...] [--fixed-panel]
 ``--fixed-panel`` pins the LOF/mutual-kNN probe panel to the base
 replica's vec_id%50 members while the corpus replicates K× (panels
 otherwise grow with the replica by construction), proving the
-panel×corpus-linear claim directly; defaults to probing q_ml_lof and
-q_emb_mutual_knn.
+panel×corpus-linear claim directly; defaults to probing q_ml_lof,
+q_emb_mutual_knn, and q_sim_ann_ivf_kmeans.
 """
 
 from __future__ import annotations
