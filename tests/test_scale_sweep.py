@@ -66,6 +66,10 @@ GLOBAL_VERDICT = {
     "q_scan_parquet", "q_tpch_q14", "q_tpch_q15", "q_tpch_q17",
     "q_tpch_q19", "q_tpch_q6", "q_ts_calendar_dim", "q_ts_granger",
     "q_ts_periodogram", "q_ts_survival", "q_win_pct_change",
+    "q_ts_runs_test",  # daily-grain windows + 1-row moment agg (r14)
+    "q_ts_turning_points",  # daily-grain lag/lead + 1-row agg (r14)
+    "q_ts_variance_ratio",  # daily-grain frames + 1-row moments (r14)
+    "q_dedup_cdc",  # per-doc chunk window + 1-row corpus agg (r14)
 }
 
 # --- BNLJ + SinglePartition: 1-row/bounded statistic broadcasts ---------
@@ -94,6 +98,8 @@ ONE_ROW_BROADCAST = {
     "q_ml_sprt",  # calendar LLR walk + 1-row crossing heads (r13)
     "q_ml_psi",  # 10-cell bucket grid + 1-row totals broadcast (r13)
     "q_graph_rich_club",  # two 1-row k-grid aggs, Lloyd-shape (r13)
+    "q_ml_cramers_v",  # grid-sized marginals + 1-row totals (r14)
+    "q_ml_brier_decomp",  # 1-row weights/totals broadcasts (r14)
     "q_win_pareto",
 }
 
@@ -108,6 +114,15 @@ BOUNDED_PANEL = {
     "q_sim_mmr_rerank", "q_text_bpe_merge", "q_ts_autocorr",
 }
 
+# The exemption is per (key, kind): a class grants EXACTLY its kinds
+# (ADVICE r13 — the old blanket ONE_ROW_BROADCAST | BOUNDED_PANEL
+# overwrite silently handed every panel key a SinglePartition pass,
+# and per-key staleness let an expired BNLJ justification hide behind
+# a still-tripping SinglePartition). A key that outgrows its class's
+# exact kind set moves class, it doesn't get a wider grant —
+# re-measured this round: all 123 exempted keys trip EXACTLY their
+# class kinds (GLOBAL_VERDICT = {SinglePartition}, ONE_ROW_BROADCAST
+# = both, BOUNDED_PANEL = {BNLJ}).
 SCALE_EXEMPT: dict[str, set[str]] = {}
 for _k in GLOBAL_VERDICT:
     SCALE_EXEMPT[_k] = {"SinglePartition"}
@@ -115,10 +130,6 @@ for _k in ONE_ROW_BROADCAST:
     SCALE_EXEMPT[_k] = {"BroadcastNestedLoopJoin", "SinglePartition"}
 for _k in BOUNDED_PANEL:
     SCALE_EXEMPT[_k] = {"BroadcastNestedLoopJoin"}
-# a panel/1-row BNLJ key may also carry a global verdict agg and
-# vice versa without changing its class argument
-for _k in ONE_ROW_BROADCAST | BOUNDED_PANEL:
-    SCALE_EXEMPT[_k] = {"BroadcastNestedLoopJoin", "SinglePartition"}
 # q_join_cross is the one key whose nested loop is the point; a
 # cartesian node is equally acceptable there
 CARTESIAN_OK = {"q_join_cross"}
@@ -154,6 +165,12 @@ GLOBAL_WINDOW_BOUNDED = {
     " calendar-bounded daily relation (r13)",
     "q_ml_sprt": "LLR cumsum + crossing row-number over the"
     " calendar-bounded daily relation (r13)",
+    "q_ts_runs_test": "lag-delta/lag-sign windows over the"
+    " calendar-bounded daily relation (r14)",
+    "q_ts_turning_points": "lag/lead extremum window over the"
+    " calendar-bounded daily relation (r14)",
+    "q_ts_variance_ratio": "overlapping-sum frames over the"
+    " calendar-bounded daily relation (r14)",
     # misc bounded relations
     "q_layout_compaction": "window over the file-metadata relation"
     " (files-per-partition bounded by the compaction target)",
@@ -207,7 +224,7 @@ def all_plans(spark, sf_dir):
 
 def test_all_keys_scale_sweep(all_plans):
     unexempted: list[tuple[str, list[str]]] = []
-    stale: list[str] = []
+    stale: list[tuple[str, str]] = []
     for name, plan in all_plans.items():
         kills = set()
         if "CartesianProduct" in plan and name not in CARTESIAN_OK:
@@ -219,13 +236,17 @@ def test_all_keys_scale_sweep(all_plans):
         allowed = SCALE_EXEMPT.get(name, set())
         if kills - allowed:
             unexempted.append((name, sorted(kills - allowed)))
-        if name in SCALE_EXEMPT and not kills:
-            stale.append(name)
+        # staleness is per (key, kind): an exempted kind the plan no
+        # longer trips must be retired even when a sibling kind still
+        # fires (ADVICE r13)
+        stale.extend((name, kind) for kind in sorted(allowed - kills))
     assert not unexempted, (
         "scale-killers without a documented exemption: "
         f"{sorted(unexempted)}"
     )
-    assert not stale, f"stale exemptions (no longer tripping): {stale}"
+    assert not stale, (
+        f"stale (key, kind) exemptions (no longer tripping): {stale}"
+    )
 
 
 def test_global_windows_have_bounded_inputs(all_plans):
