@@ -1,5 +1,4 @@
-"""Round-13 gates: the staleness-ordered driver-window rotation
-(VERDICT r12 item 3), plan-shape pins for the two de-funneled keys
+"""Round-13 gates: plan-shape pins for the two de-funneled keys
 (q_behavior_gini's count-of-counts closed form, q_text_heaps_law's
 bounded doc-bucket curve — VERDICT r12 What's-wrong #1), and the
 q_emb_isotropy construction-laziness fix (ADVICE r12).
@@ -12,102 +11,9 @@ import re
 import __spark_entry__ as entry
 
 
-# ---------------------------------------------------------------------------
-# Driver-window rotation (VERDICT r12 item 3)
-# ---------------------------------------------------------------------------
-
-# Latest-driver-sample staleness band as of the r13 rotation: the 11
-# r3-era keys (never re-sampled since CORRECTNESS_r03) and the 49
-# r4-era keys. VERDICT r12 item 3: ≥40 of the 50 window slots must
-# come from this band, and EVERY r3 key must be inside the window
-# (an r4 key left out stays r4 — acceptable; an r3 key left out would
-# violate the no-older-than-r4 post-rotation contract).
-R3_BAND = {
-    "q_text_stats", "q_text_tfidf", "q_text_tokens", "q_topk_per_group",
-    "q_tpch_q10", "q_tpch_q3", "q_tpch_q5", "q_tpch_q6",
-    "q_udf_scalar", "q_udtf_split", "q_win_ntile",
-}
-
-R4_BAND = {
-    "q_agg_histogram", "q_agg_percentile", "q_dedup_canonical",
-    "q_dedup_clusters", "q_dedup_ngram", "q_emb_centroid",
-    "q_emb_quantize", "q_funnel_ordered", "q_fuzzy_join", "q_join_anti",
-    "q_join_asof_forward", "q_join_asof_nearest", "q_join_broadcast",
-    "q_join_semi", "q_join_shuffle", "q_multimodal_cols",
-    "q_multimodal_frames", "q_pivot_wide", "q_retention_cohort",
-    "q_sample_hash", "q_sample_stratified", "q_stream_join",
-    "q_stream_static_join", "q_text_chunk", "q_text_fingerprint_rolling",
-    "q_text_ngram_counts", "q_text_winnow", "q_tpch_q11", "q_tpch_q12",
-    "q_tpch_q13", "q_tpch_q14", "q_tpch_q15", "q_tpch_q16", "q_tpch_q17",
-    "q_tpch_q18", "q_tpch_q19", "q_tpch_q2", "q_tpch_q20", "q_tpch_q21",
-    "q_tpch_q22", "q_tpch_q4", "q_tpch_q7", "q_tpch_q8", "q_tpch_q9",
-    "q_ts_gapfill", "q_ts_rollup_multigrain", "q_unpivot_long",
-    "q_upsert_snapshot", "q_win_distribution",
-}
-
-
-def test_window_head_is_canary_plus_rebuilt_and_new_keys():
-    """Slots 0–3: the canary, then the three keys whose plans were
-    rebuilt this round and must re-hash under the driver (gini's
-    tied-rank count-of-counts collapse, heaps' bounded bucket curve,
-    isotropy's lazy count crossJoin). Slots 4–15: the twelve NEW r13
-    declared keys — new declared outputs are driver-sampled the round
-    they land (the discipline that outranks the stale-band quota —
-    see the band test below)."""
-    from spark_sklearn_spark.registry import DRIVER_PRIORITY
-
-    assert DRIVER_PRIORITY[:16] == [
-        "q_dq_engine_canary",
-        "q_behavior_gini",
-        "q_text_heaps_law",
-        "q_emb_isotropy",
-        "q_behavior_yule_simon",
-        "q_ts_piecewise_trend",
-        "q_graph_leiden_refine",
-        "q_behavior_interarrival",
-        "q_ts_spectral_entropy",
-        "q_text_msttr",
-        "q_text_rake",
-        "q_ml_sprt",
-        "q_layout_overlap_depth",
-        "q_ml_psi",
-        "q_graph_rich_club",
-        "q_dedup_simhash_hist",
-    ]
-
-
-def test_window_covers_stale_band():
-    from spark_sklearn_spark.registry import DRIVER_PRIORITY
-
-    window = DRIVER_PRIORITY[:50]
-    assert R3_BAND <= set(window), sorted(R3_BAND - set(window))
-    band_in_window = [k for k in window if k in R3_BAND | R4_BAND]
-    # VERDICT r12 item 3 targeted ≥40 band slots; the r13 round
-    # shipped 12 NEW declared keys, and never-sampled new outputs
-    # outrank 9-rounds-green r4 keys for window space — 34 band
-    # slots, with every r3 key in and the displaced r4 keys (still
-    # r4, the no-older-than-r4 clause holds) leading the r14 window,
-    # which carries no new-key pressure.
-    assert len(band_in_window) >= 34, len(band_in_window)
-
-
-def test_priority_tail_is_staleness_ordered():
-    """Behind the 16-key head (canary + rebuilt + new) the list is
-    (latest-sample round, name) sorted — the property that makes
-    every future rotation mechanical. Spot-check: all r3 keys precede
-    all r4 keys, which precede every non-band key."""
-    from spark_sklearn_spark.registry import DRIVER_PRIORITY
-
-    tail = DRIVER_PRIORITY[16:]
-    pos = {k: i for i, k in enumerate(tail)}
-    last_r3 = max(pos[k] for k in R3_BAND)
-    first_r4 = min(pos[k] for k in R4_BAND)
-    last_r4 = max(pos[k] for k in R4_BAND)
-    first_other = min(
-        i for k, i in pos.items() if k not in R3_BAND | R4_BAND
-    )
-    assert last_r3 < first_r4
-    assert last_r4 < first_other
+# The r13 driver-window rotation pins lived here; the r14 rotation
+# retired them (tests/test_round14.py pins the live window now,
+# following the same convention that retired r12's pin here).
 
 
 # ---------------------------------------------------------------------------

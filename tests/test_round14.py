@@ -1,0 +1,299 @@
+"""Round-14 gates: the r14 driver-window rotation pin (the r13 pin
+retired in test_round13.py), invariant + plan-shape checks for the
+ten new r14 keys, and the rich-club oracle type-parity fix
+(ADVICE r13).
+"""
+
+from __future__ import annotations
+
+import math
+
+import __spark_entry__ as entry
+
+
+# ---------------------------------------------------------------------------
+# Driver-window rotation (r13 verdict obligation: no key older than
+# r5 after the r14 sample)
+# ---------------------------------------------------------------------------
+
+# Latest-driver-sample staleness bands as of the r14 rotation,
+# recomputed from CORRECTNESS_r1..r13: 26 keys whose latest sample is
+# r4 (they MUST all ride this window — the no-older-than-r5
+# post-rotation contract) and the 49 r5-era keys (the 12 name-first
+# fill the window's remaining slots; the rest lead the r15 window).
+R4_BAND = {
+    "q_text_chunk", "q_text_fingerprint_rolling", "q_text_ngram_counts",
+    "q_text_winnow", "q_tpch_q11", "q_tpch_q12", "q_tpch_q13",
+    "q_tpch_q14", "q_tpch_q15", "q_tpch_q16", "q_tpch_q17", "q_tpch_q18",
+    "q_tpch_q19", "q_tpch_q2", "q_tpch_q20", "q_tpch_q21", "q_tpch_q22",
+    "q_tpch_q4", "q_tpch_q7", "q_tpch_q8", "q_tpch_q9", "q_ts_gapfill",
+    "q_ts_rollup_multigrain", "q_unpivot_long", "q_upsert_snapshot",
+    "q_win_distribution",
+}
+
+R5_BAND = {
+    "q_agg_approx_distinct", "q_agg_cube", "q_agg_distinct",
+    "q_agg_rollup", "q_agg_stats", "q_decontaminate", "q_emb_dimstats",
+    "q_emb_outliers", "q_filter_like", "q_fn_date", "q_fn_json",
+    "q_fn_map", "q_fn_math", "q_fn_string", "q_gapply_norm",
+    "q_join_asof", "q_join_cross", "q_join_multiway", "q_join_outer",
+    "q_join_outer_full", "q_join_outer_right", "q_join_range_ts",
+    "q_join_skew", "q_join_theta", "q_pack_sequences", "q_pii_redact",
+    "q_quality_gate", "q_sample_temperature", "q_set_except",
+    "q_set_intersect", "q_sim_knn_batch", "q_sort_multi",
+    "q_source_json_props", "q_stream_dedup", "q_stream_session",
+    "q_stream_sliding", "q_stream_stateful", "q_stream_tumbling",
+    "q_stream_watermark", "q_text_bm25", "q_text_pmi",
+    "q_text_repetition", "q_topk_limit", "q_ts_anomaly",
+    "q_udaf_grouped", "q_win_analytic", "q_win_frame_range",
+    "q_win_frame_rows", "q_win_rank",
+}
+
+NEW_R14 = [
+    "q_ml_cramers_v", "q_text_yule_k", "q_ts_runs_test",
+    "q_ts_turning_points", "q_ts_variance_ratio", "q_behavior_hhi",
+    "q_graph_truss_support", "q_dedup_cdc", "q_ml_brier_decomp",
+    "q_emb_dim_entropy",
+]
+
+
+def test_window_head_is_canary_plus_changed_and_new_keys():
+    """Slot 0: the canary. Slot 1: q_graph_rich_club, whose oracle
+    changed this round (grid key k CAST to BIGINT — ADVICE r13) and
+    must re-hash under the driver. Slots 2–11: the ten NEW r14
+    declared keys — new declared outputs are driver-sampled the
+    round they land."""
+    from spark_sklearn_spark.registry import DRIVER_PRIORITY
+
+    assert DRIVER_PRIORITY[:12] == [
+        "q_dq_engine_canary",
+        "q_graph_rich_club",
+        *NEW_R14,
+    ]
+
+
+def test_window_covers_stale_band():
+    """Every r4-era key rides this window (after the r14 driver
+    sample, no key's latest check predates r5 — the r13 verdict's
+    rotation obligation), and the remaining slots come from the
+    name-first r5 keys: 38 of 50 slots from the stale band."""
+    from spark_sklearn_spark.registry import DRIVER_PRIORITY
+
+    window = DRIVER_PRIORITY[:50]
+    assert R4_BAND <= set(window), sorted(R4_BAND - set(window))
+    band_in_window = [k for k in window if k in R4_BAND | R5_BAND]
+    assert len(band_in_window) >= 38, len(band_in_window)
+
+
+def test_priority_tail_is_staleness_ordered():
+    """Behind the 12-key head the list is (latest-sample round, name)
+    sorted — the property that keeps every future rotation
+    mechanical. Spot-check: all r4 keys precede all r5 keys, which
+    precede every newer-band key."""
+    from spark_sklearn_spark.registry import DRIVER_PRIORITY
+
+    tail = DRIVER_PRIORITY[12:]
+    pos = {k: i for i, k in enumerate(tail)}
+    last_r4 = max(pos[k] for k in R4_BAND)
+    first_r5 = min(pos[k] for k in R5_BAND)
+    last_r5 = max(pos[k] for k in R5_BAND)
+    first_other = min(
+        i for k, i in pos.items() if k not in R4_BAND | R5_BAND
+    )
+    assert last_r4 < first_r5
+    assert last_r5 < first_other
+
+
+# ---------------------------------------------------------------------------
+# Rich-club oracle type parity (ADVICE r13)
+# ---------------------------------------------------------------------------
+
+
+def test_rich_club_oracle_casts_grid_key():
+    """The oracle's UNION-row grid key k must carry an explicit
+    BIGINT cast (DuckDB bare integer literals are INTEGER; the
+    driver hasher is type-strict — CORRECTNESS_r07 precedent)."""
+    sql = entry.oracle_sql()["q_graph_rich_club"]
+    assert "CAST(1 AS BIGINT) AS k" in sql
+    assert "SELECT 1 AS k" not in sql
+
+
+# ---------------------------------------------------------------------------
+# New-key invariants (sf0.001 smoke grain)
+# ---------------------------------------------------------------------------
+
+
+def _rows(spark, sf_dir, name):
+    return entry.queries()[name](spark, sf_dir).collect()
+
+
+def _plan(spark, sf_dir, name):
+    df = entry.queries()[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_cramers_v_bounds(spark, sf_dir):
+    [r] = _rows(spark, sf_dir, "q_ml_cramers_v")
+    assert r.chi2_micro >= 0
+    assert 0 <= r.v_ppm <= 1_000_000
+    assert r.n_rows >= 1 and r.n_cols >= 1
+    # V = sqrt(chi2 / (n·(min−1))) replayed on the returned BIGINTs
+    v = math.sqrt(
+        (r.chi2_micro / 1000000)
+        / (float(r.n) * (min(r.n_rows, r.n_cols) - 1))
+    )
+    assert r.v_ppm == math.floor(v * 1000000)
+
+
+def test_yule_k_is_simpson_consistent(spark, sf_dir):
+    """K/10⁴ ≈ D under the with-replacement model: both derive from
+    the same (S₂, N) moments, so recomputing K from the returned
+    moments must reproduce the declared milli value exactly."""
+    rows = _rows(spark, sf_dir, "q_text_yule_k")
+    assert rows
+    for r in rows:
+        assert r.n_types <= r.n_tokens
+        assert r.s2 >= r.n_tokens  # Σc² ≥ Σc
+        k = math.floor(
+            float(r.s2 - r.n_tokens)
+            * 10000000
+            / (float(r.n_tokens) * r.n_tokens)
+        )
+        assert r.yule_k_milli == k
+
+
+def test_runs_test_bounds(spark, sf_dir):
+    [r] = _rows(spark, sf_dir, "q_ts_runs_test")
+    n = r.n_up + r.n_down
+    assert 1 <= r.n_runs <= n
+    # runs count can't exceed 2·min+1 (alternation bound)
+    assert r.n_runs <= 2 * min(r.n_up, r.n_down) + 1
+    mu = 2.0 * r.n_up * r.n_down / n + 1.0
+    assert r.mu_micro == math.floor(mu * 1000000)
+
+
+def test_turning_points_bounds(spark, sf_dir):
+    [r] = _rows(spark, sf_dir, "q_ts_turning_points")
+    assert 0 <= r.n_turning <= r.n_days - 2
+    assert r.expected_micro == math.floor(
+        2.0 * (r.n_days - 2) / 3.0 * 1000000
+    )
+
+
+def test_variance_ratio_consistency(spark, sf_dir):
+    from spark_sklearn_spark.sources.io import load
+    import pyspark.sql.functions as F
+
+    [r] = _rows(spark, sf_dir, "q_ts_variance_ratio")
+    n_days = (
+        load(spark, sf_dir, "events")
+        .select(F.date_trunc("day", "ts").alias("day"))
+        .distinct()
+        .count()
+    )
+    assert r.n_increments == n_days - 1
+    for q in (2, 4, 8):
+        vr = getattr(r, f"vr{q}_ppm")
+        assert vr is not None and vr >= 0
+
+
+def test_hhi_bounds(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "q_behavior_hhi")
+    assert rows
+    for r in rows:
+        # 1/n_users ≤ HHI ≤ 1 (floor slop on the lower bound)
+        assert r.hhi_ppm >= math.floor(1000000.0 / r.n_users) - 1
+        assert r.hhi_ppm <= 1_000_000
+        if r.n_users > 1:
+            assert 0 <= r.hhi_norm_ppm <= 1_000_000
+
+
+def test_truss_support_covers_all_edges(spark, sf_dir):
+    from spark_sklearn_spark.queries.pipeline2 import near_dup_edges
+
+    rows = _rows(spark, sf_dir, "q_graph_truss_support")
+    n_edges = near_dup_edges(spark, sf_dir).count()
+    assert sum(r.n_edges for r in rows) == n_edges
+    assert all(r.support >= 0 for r in rows)
+    # support(e) ≤ min degree − 1; on any graph it's < n_edges
+    assert all(r.support < max(n_edges, 1) for r in rows)
+
+
+def test_cdc_chunk_invariants(spark, sf_dir):
+    [r] = _rows(spark, sf_dir, "q_dedup_cdc")
+    assert 1 <= r.n_sigs <= r.n_chunks
+    assert 0 <= r.dup_chunk_ppm < 1_000_000
+    # every chunk holds ≥1 gram, so the mean is ≥ 1.0
+    assert r.mean_len_micro >= 1_000_000
+    assert r.dup_chunk_ppm == math.floor(
+        float(r.n_chunks - r.n_sigs) / r.n_chunks * 1000000
+    )
+
+
+def test_brier_decomposition_identity(spark, sf_dir):
+    [r] = _rows(spark, sf_dir, "q_ml_brier_decomp")
+    assert r.reliability_q9 >= 0
+    assert r.resolution_q9 >= 0
+    # uncertainty = ō(1−ō) ≤ 1/4
+    assert 0 <= r.uncertainty_q9 <= 250_000_000
+    # Murphy identity holds up to the independent floors (±2 ulp-slop)
+    assert (
+        abs(
+            r.brier_q9
+            - (r.reliability_q9 - r.resolution_q9 + r.uncertainty_q9)
+        )
+        <= 2
+    )
+    # a proper binned Brier score lives in [0, 1]
+    assert 0 <= r.brier_q9 <= 1_000_000_000
+
+
+def test_dim_entropy_bounds(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "q_emb_dim_entropy")
+    dims = {r.dim for r in rows}
+    assert dims == set(range(1, len(rows) + 1))
+    ln8_micro = math.floor(math.log(8.0) * 1000000)
+    for r in rows:
+        assert 0 <= r.entropy_micro <= ln8_micro
+        # modal bin holds at least the uniform share
+        assert r.top_bin_ppm >= 125_000 - 1
+
+
+# ---------------------------------------------------------------------------
+# Plan shapes: the keys that must trip NOTHING stay clean
+# ---------------------------------------------------------------------------
+
+
+def test_new_unexempted_keys_are_scale_clean(spark, sf_dir):
+    """yule/hhi/truss/dim_entropy carry no exemption in
+    test_scale_sweep.py — pin that their plans really are free of
+    every kill kind, so a regression fails here with the key's name
+    before the sweep's aggregate assert."""
+    for name in (
+        "q_text_yule_k",
+        "q_behavior_hhi",
+        "q_graph_truss_support",
+        "q_emb_dim_entropy",
+    ):
+        plan = _plan(spark, sf_dir, name)
+        for kill in (
+            "CartesianProduct",
+            "BroadcastNestedLoopJoin",
+            "SinglePartition",
+        ):
+            assert kill not in plan, (name, kill)
+
+
+def test_cdc_window_is_doc_partitioned(spark, sf_dir):
+    """The chunk-assignment cumsum must stay partitioned BY DOCUMENT
+    (millions of small partitions — the scalable direction), never
+    global."""
+    from spark_sklearn_spark.plans.inspect import (
+        window_partitions_from_text,
+    )
+
+    parts = window_partitions_from_text(_plan(spark, sf_dir, "q_dedup_cdc"))
+    assert parts, "expected the chunk-assignment window"
+    assert all(
+        any("doc_id" in k for k in keys) for keys in parts
+    ), parts
