@@ -599,10 +599,17 @@ def q_graph_truss_support(spark, d):
 # 8.4M chars; the documented headroom). Outputs: corpus chunk count,
 # distinct-signature count, dup-chunk ppm, mean chunk length.
 #
-# Scale: the per-position explode is linear in corpus characters;
-# the chunk-assignment window partitions BY DOCUMENT (millions of
-# small partitions — the scalable direction), and everything after
-# the (doc, chunk) collapse is signature-grain.
+# Scale: chunking is per-document LOCAL, so the whole cut stays
+# IN-ROW (the q_text_winnow posture): boundary positions via one
+# array filter, per-chunk signatures via per-chunk folds over
+# DISJOINT ranges (total work linear in the doc — a fold inside a
+# per-element lambda is only the O(len²) trap when ranges overlap),
+# and only the ≤len/64-element chunk structs explode. The exploded
+# grain is chunks, not grams: a gram-grain posexplode measured 280 s
+# at sf0.1 because the generator's one-reference hs column collapsed
+# into the Generate node and the interpreted O(len) transform re-ran
+# per output row (the CollapseProject inlining trap — winnow's
+# "references hs 4x" note); the in-row form measures ~2 s.
 
 _CDC_MOD = 64
 _SIG_MOD = 1 << 40
@@ -661,33 +668,40 @@ def _cdc_oracle() -> str:
 def q_dedup_cdc(spark, d):
     """Content-defined chunking dedup profile (module comment): the
     in-row rolling-hash array (_rolling_hash_arrays — O(len) per
-    doc), one posexplode, a per-document boundary-cumsum window, the
-    (doc, chunk) signature collapse, one global 1-row agg. Exact
-    integer signatures; the two closing ratios are identical-operand
-    IEEE floored to ppm/micro."""
+    doc), in-row boundary positions + per-chunk signature folds over
+    disjoint ranges, a chunk-grain explode, one global 1-row agg.
+    Exact integer signatures; the two closing ratios are
+    identical-operand IEEE floored to ppm/micro. Values are
+    bit-identical to the oracle's window-cumsum formulation — the
+    boundary set and range partition are the same by construction."""
     from .pipeline2 import _rolling_hash_arrays
 
     docs = load(spark, d, "documents")
     hs = _rolling_hash_arrays(docs)
-    pos = hs.select("doc_id", F.posexplode("hs").alias("i0", "h"))
-    flagged = pos.select(
+    # hs is referenced 3x here (size + two element_at sites), so
+    # CollapseProject keeps the O(len) transform materialized per row
+    # instead of inlining it into the filter lambda (the winnow note)
+    bounds = hs.select(
         "doc_id",
-        (F.col("i0") + 1).alias("i"),
-        "h",
-        F.when(
-            (F.col("i0") == 0) | (F.col("h") % _CDC_MOD == 0), 1
-        )
-        .otherwise(0)
-        .alias("b"),
+        "hs",
+        F.expr(
+            f"filter(sequence(1, size(hs)), i -> i = 1"
+            f" OR element_at(hs, i) % {_CDC_MOD} = 0)"
+        ).alias("bpos"),
     )
-    w = Window.partitionBy("doc_id").orderBy("i")
-    chunked = flagged.select(
-        "doc_id", "h", F.sum("b").over(w).cast("long").alias("chunk")
+    # per-chunk struct: fold the signature over [bpos[j], next-1] —
+    # ranges partition the gram array, so total fold work is O(len)
+    chunk_expr = (
+        "transform(sequence(1, size(bpos)), j -> named_struct("
+        "'sig', aggregate(sequence(element_at(bpos, j),"
+        " if(j < size(bpos), element_at(bpos, j + 1) - 1, size(hs))),"
+        f" 0L, (acc, k) -> acc + element_at(hs, k) % {_SIG_MOD}),"
+        "'clen', cast(if(j < size(bpos), element_at(bpos, j + 1),"
+        " size(hs) + 1) - element_at(bpos, j) as bigint)))"
     )
-    chunks = chunked.groupBy("doc_id", "chunk").agg(
-        F.sum(F.col("h") % _SIG_MOD).alias("sig"),
-        F.count(F.lit(1)).alias("clen"),
-    )
+    chunks = bounds.select(
+        "doc_id", F.explode(F.expr(chunk_expr)).alias("ch")
+    ).select("doc_id", "ch.sig", "ch.clen")
     agg = chunks.agg(
         F.countDistinct("doc_id").alias("n_docs"),
         F.count(F.lit(1)).alias("n_chunks"),
@@ -818,6 +832,13 @@ def q_ml_brier_decomp(spark, d):
         .alias("n_pos"),
         F.sum(F.col("p").cast(DEC)).alias("sp"),
     )
+    # three downstream branches (tot, terms, and the closing select)
+    # each re-evaluate bins' lineage — and every evaluation re-runs
+    # the 3-step GD fit plus the scored scan (measured 12.8 s vs
+    # q_ml_calibration's 1.8 s for the same fit). Materialize the
+    # ≤10-row bin relation once; a bounded localCheckpoint is the
+    # sanctioned escape (q_graph_jaccard_nbrs precedent).
+    bins = bins.localCheckpoint()
     tot = bins.agg(
         F.sum("nb").alias("n"), F.sum("n_pos").alias("pos")
     )

@@ -284,16 +284,13 @@ def test_new_unexempted_keys_are_scale_clean(spark, sf_dir):
             assert kill not in plan, (name, kill)
 
 
-def test_cdc_window_is_doc_partitioned(spark, sf_dir):
-    """The chunk-assignment cumsum must stay partitioned BY DOCUMENT
-    (millions of small partitions — the scalable direction), never
-    global."""
-    from spark_sklearn_spark.plans.inspect import (
-        window_partitions_from_text,
-    )
-
-    parts = window_partitions_from_text(_plan(spark, sf_dir, "q_dedup_cdc"))
-    assert parts, "expected the chunk-assignment window"
-    assert all(
-        any("doc_id" in k for k in keys) for keys in parts
-    ), parts
+def test_cdc_chunking_stays_in_row(spark, sf_dir):
+    """The cut must be the in-row form: no Window node (a doc-
+    partitioned cumsum would shuffle every gram row) and no gram-
+    grain generator — the only explode is the bounded per-doc chunk
+    array (the CollapseProject inlining trap made the gram-grain
+    posexplode re-run the interpreted hash transform per row:
+    280 s vs ~2 s at sf0.1)."""
+    plan = _plan(spark, sf_dir, "q_dedup_cdc")
+    assert "Window" not in plan
+    assert "posexplode" not in plan

@@ -69,7 +69,7 @@ GLOBAL_VERDICT = {
     "q_ts_runs_test",  # daily-grain windows + 1-row moment agg (r14)
     "q_ts_turning_points",  # daily-grain lag/lead + 1-row agg (r14)
     "q_ts_variance_ratio",  # daily-grain frames + 1-row moments (r14)
-    "q_dedup_cdc",  # per-doc chunk window + 1-row corpus agg (r14)
+    "q_dedup_cdc",  # in-row chunking + 1-row corpus agg (r14)
 }
 
 # --- BNLJ + SinglePartition: 1-row/bounded statistic broadcasts ---------
