@@ -387,9 +387,12 @@ def main() -> None:
         return wall
 
     results = {}
-    for name in PROBE_QUERIES:
-        if only and name not in only:
-            continue
+    # positional query args probe ANY registered key (not just the
+    # curated PROBE_QUERIES panel); unknown names fail loudly
+    unknown = only - set(qs)
+    if unknown:
+        raise SystemExit(f"unregistered queries: {sorted(unknown)}")
+    for name in sorted(only) if only else PROBE_QUERIES:
         run(name, BASE_SF)  # codegen warm-up rep
         w1 = min(run(name, BASE_SF), run(name, BASE_SF))
         wk = min(run(name, replica), run(name, replica))
