@@ -54,18 +54,21 @@ NEW_R14 = [
     "q_ts_turning_points", "q_ts_variance_ratio", "q_behavior_hhi",
     "q_graph_truss_support", "q_dedup_cdc", "q_ml_brier_decomp",
     "q_emb_dim_entropy",
+    # batch 2
+    "q_ml_theil_u", "q_ml_mcc", "q_ml_ece", "q_ts_sample_entropy",
+    "q_ts_dow_eta2", "q_behavior_user_overlap",
 ]
 
 
 def test_window_head_is_canary_plus_changed_and_new_keys():
     """Slot 0: the canary. Slot 1: q_graph_rich_club, whose oracle
     changed this round (grid key k CAST to BIGINT — ADVICE r13) and
-    must re-hash under the driver. Slots 2–11: the ten NEW r14
+    must re-hash under the driver. Slots 2–17: the sixteen NEW r14
     declared keys — new declared outputs are driver-sampled the
     round they land."""
     from spark_sklearn_spark.registry import DRIVER_PRIORITY
 
-    assert DRIVER_PRIORITY[:12] == [
+    assert DRIVER_PRIORITY[:18] == [
         "q_dq_engine_canary",
         "q_graph_rich_club",
         *NEW_R14,
@@ -76,23 +79,27 @@ def test_window_covers_stale_band():
     """Every r4-era key rides this window (after the r14 driver
     sample, no key's latest check predates r5 — the r13 verdict's
     rotation obligation), and the remaining slots come from the
-    name-first r5 keys: 38 of 50 slots from the stale band."""
+    name-first r5 keys: 32 of 50 slots from the stale band (the 16
+    new keys outrank band depth — the r13 precedent that
+    never-sampled declared outputs carry more correctness risk than
+    many-rounds-green band keys; every displaced r5 key stays r5 and
+    leads the r15 window)."""
     from spark_sklearn_spark.registry import DRIVER_PRIORITY
 
     window = DRIVER_PRIORITY[:50]
     assert R4_BAND <= set(window), sorted(R4_BAND - set(window))
     band_in_window = [k for k in window if k in R4_BAND | R5_BAND]
-    assert len(band_in_window) >= 38, len(band_in_window)
+    assert len(band_in_window) >= 32, len(band_in_window)
 
 
 def test_priority_tail_is_staleness_ordered():
-    """Behind the 12-key head the list is (latest-sample round, name)
+    """Behind the 18-key head the list is (latest-sample round, name)
     sorted — the property that keeps every future rotation
     mechanical. Spot-check: all r4 keys precede all r5 keys, which
     precede every newer-band key."""
     from spark_sklearn_spark.registry import DRIVER_PRIORITY
 
-    tail = DRIVER_PRIORITY[12:]
+    tail = DRIVER_PRIORITY[18:]
     pos = {k: i for i, k in enumerate(tail)}
     last_r4 = max(pos[k] for k in R4_BAND)
     first_r5 = min(pos[k] for k in R5_BAND)
@@ -294,3 +301,83 @@ def test_cdc_chunking_stays_in_row(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_dedup_cdc")
     assert "Window" not in plan
     assert "posexplode" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Batch-2 invariants
+# ---------------------------------------------------------------------------
+
+
+def test_theil_u_bounds(spark, sf_dir):
+    [r] = _rows(spark, sf_dir, "q_ml_theil_u")
+    # 0 ≤ I ≤ min(H(X), H(Y)) ⇒ both U in [0, 1]
+    assert 0 <= r.mi_micro + 1  # floor slop on a tiny positive I
+    assert -1 <= r.u_type_given_dow_ppm <= 1_000_000
+    assert -1 <= r.u_dow_given_type_ppm <= 1_000_000
+    assert r.mi_micro <= min(r.h_type_micro, r.h_dow_micro) + 1
+
+
+def test_mcc_consistency(spark, sf_dir):
+    """MCC and its companions replay exactly from the returned cells,
+    and MCC stays within the J/markedness geometric-mean envelope."""
+    [r] = _rows(spark, sf_dir, "q_ml_mcc")
+    tp, fp, fn, tn = r.tp, r.fp, r.fn, r.tn
+    mcc = (tp * tn - fp * fn) / math.sqrt(
+        float(tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+    )
+    assert abs(r.mcc_micro - math.floor(mcc * 1000000)) <= 1
+    assert -1_000_000 <= r.mcc_micro <= 1_000_000
+    assert -1_000_000 <= r.youden_j_micro <= 1_000_000
+    # MCC² = J · markedness (both signs shared) up to floor slop
+    lhs = (r.mcc_micro / 1e6) ** 2
+    rhs = (r.youden_j_micro / 1e6) * (r.markedness_micro / 1e6)
+    assert abs(lhs - rhs) < 5e-5
+
+
+def test_ece_bounds(spark, sf_dir):
+    [r] = _rows(spark, sf_dir, "q_ml_ece")
+    assert 1 <= r.n_bins <= 10
+    # ECE is a weighted MEAN of gaps, so ECE ≤ MCE (up to floor slop)
+    assert 0 <= r.ece_q6 <= r.mce_q6 + 1
+    assert r.mce_q6 <= 1_000_000
+
+
+def test_sample_entropy_bounds(spark, sf_dir):
+    [r] = _rows(spark, sf_dir, "q_ts_sample_entropy")
+    # an m=2 match implies its m=1 prefix matches
+    assert 0 <= r.n_match_m2 <= r.n_match_m1
+    if r.n_match_m2 > 0:
+        assert r.sampen_micro >= 0
+        se = -math.log(r.n_match_m2 / r.n_match_m1)
+        assert r.sampen_micro == math.floor(se * 1000000)
+
+
+def test_dow_eta2_bounds(spark, sf_dir):
+    [r] = _rows(spark, sf_dir, "q_ts_dow_eta2")
+    assert 0 <= r.eta2_ppm <= 1_000_000
+    assert r.var_daily_floor >= 0
+
+
+def test_user_overlap_bounds(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "q_behavior_user_overlap")
+    assert rows
+    types = set()
+    for r in rows:
+        types.update((r.type_a, r.type_b))
+        assert r.type_a < r.type_b
+        assert 0 < r.n_shared <= min(r.n_a, r.n_b)
+        # Jaccard ≤ overlap always (|∪| ≥ min)
+        assert r.jaccard_ppm <= r.overlap_ppm <= 1_000_000
+    # all C(k,2) pairs present on the smoke fixture (dense co-usage)
+    k = len(types)
+    assert len(rows) == k * (k - 1) // 2
+
+
+def test_batch2_clean_key_is_scale_clean(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_behavior_user_overlap")
+    for kill in (
+        "CartesianProduct",
+        "BroadcastNestedLoopJoin",
+        "SinglePartition",
+    ):
+        assert kill not in plan, kill

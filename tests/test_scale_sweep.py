@@ -70,6 +70,8 @@ GLOBAL_VERDICT = {
     "q_ts_turning_points",  # daily-grain lag/lead + 1-row agg (r14)
     "q_ts_variance_ratio",  # daily-grain frames + 1-row moments (r14)
     "q_dedup_cdc",  # in-row chunking + 1-row corpus agg (r14)
+    "q_ml_mcc",  # 4-cell confusion agg + 1-row metrics (r14)
+    "q_ts_dow_eta2",  # calendar collapse + 7-group rollup (r14)
 }
 
 # --- BNLJ + SinglePartition: 1-row/bounded statistic broadcasts ---------
@@ -100,6 +102,9 @@ ONE_ROW_BROADCAST = {
     "q_graph_rich_club",  # two 1-row k-grid aggs, Lloyd-shape (r13)
     "q_ml_cramers_v",  # grid-sized marginals + 1-row totals (r14)
     "q_ml_brier_decomp",  # 1-row weights/totals broadcasts (r14)
+    "q_ml_theil_u",  # grid-sized moment relations, Lloyd-shape (r14)
+    "q_ml_ece",  # 1-row weights broadcast + 10-row bins (r14)
+    "q_ts_sample_entropy",  # calendar-bounded pair BNLJ + 1-row tol (r14)
     "q_win_pareto",
 }
 
@@ -171,6 +176,8 @@ GLOBAL_WINDOW_BOUNDED = {
     " calendar-bounded daily relation (r14)",
     "q_ts_variance_ratio": "overlapping-sum frames over the"
     " calendar-bounded daily relation (r14)",
+    "q_ts_sample_entropy": "row-number/lead template windows over"
+    " the calendar-bounded daily relation (r14)",
     # misc bounded relations
     "q_layout_compaction": "window over the file-metadata relation"
     " (files-per-partition bounded by the compaction target)",
