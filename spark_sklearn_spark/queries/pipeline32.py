@@ -655,10 +655,10 @@ def _cdc_oracle() -> str:
         )
         SELECT n_docs, n_chunks, n_sigs,
                CAST(floor(CAST(n_chunks - n_sigs AS DOUBLE)
-                          / n_chunks * 1000000) AS BIGINT)
+                          / NULLIF(n_chunks, 0) * 1000000) AS BIGINT)
                    AS dup_chunk_ppm,
                CAST(floor(CAST(n_grams AS DOUBLE)
-                          / n_chunks * 1000000) AS BIGINT)
+                          / NULLIF(n_chunks, 0) * 1000000) AS BIGINT)
                    AS mean_len_micro
         FROM agg
     """
@@ -713,9 +713,11 @@ def q_dedup_cdc(spark, d):
         "n_chunks",
         "n_sigs",
         "cast(floor(cast(n_chunks - n_sigs as double)"
-        " / n_chunks * 1000000) as bigint) AS dup_chunk_ppm",
+        " / nullif(n_chunks, 0) * 1000000) as bigint)"
+        " AS dup_chunk_ppm",
         "cast(floor(cast(n_grams as double)"
-        " / n_chunks * 1000000) as bigint) AS mean_len_micro",
+        " / nullif(n_chunks, 0) * 1000000) as bigint)"
+        " AS mean_len_micro",
     )
 
 

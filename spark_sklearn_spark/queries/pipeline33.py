@@ -386,7 +386,7 @@ _SAMPEN_SQL = """
     SELECT n AS n_days,
            CAST(floor(r * 1000000) AS BIGINT) AS r_micro,
            b_cnt AS n_match_m1, a_cnt AS n_match_m2,
-           CAST(floor(-ln(CAST(a_cnt AS DOUBLE)
+           CAST(floor(-ln(CAST(NULLIF(a_cnt, 0) AS DOUBLE)
                           / NULLIF(b_cnt, 0)) * 1000000) AS BIGINT)
                AS sampen_micro
     FROM cnt
@@ -399,8 +399,10 @@ def q_ts_sample_entropy(spark, d):
     one calendar collapse, one lag window, exact integer template
     matches over the bounded pair relation, closing −ln on the
     identical rational. One SQL text runs verbatim on both engines.
-    NULL when no m=2 template matches exist (ln of 0/NULL — both
-    engines agree), the standard SampEn undefined case."""
+    NULL when no m=2 template matches exist (NULLIF guards the zero
+    numerator — Spark ln(0) is NULL while DuckDB's is -inf, so the
+    guard is what makes the undefined case agree), the standard
+    SampEn undefined case."""
     register_views(spark, d, ["events"])
     return spark.sql(_SAMPEN_SQL)
 

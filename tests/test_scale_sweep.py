@@ -81,7 +81,7 @@ ONE_ROW_BROADCAST = {
     "q_dq_schema_drift", "q_dq_skew", "q_emb_isotropy",
     "q_feat_mutual_info", "q_feat_quantile_bin", "q_feat_target_encode",
     "q_feat_woe", "q_graph_kcore", "q_graph_modularity",
-    "q_ml_bootstrap_ci", "q_ml_calibration", "q_ml_chi2",
+    "q_ml_bootstrap_ci", "q_ml_chi2",
     "q_ml_davies_bouldin", "q_ml_friedman", "q_ml_gains", "q_ml_kruskal",
     "q_ml_ks", "q_ml_logrank", "q_ml_logreg", "q_ml_naive_bayes",
     "q_ml_nmi", "q_ml_permutation_test", "q_ml_pinball",
@@ -113,6 +113,10 @@ BOUNDED_PANEL = {
     "q_dedup_recall_srp", "q_emb_ann_recall_ivf", "q_emb_hamming_knn",
     "q_emb_mutual_knn", "q_emb_prefix_eval", "q_emb_recall_grid",
     "q_join_cross",  # INTENTIONAL CROSS — the operator's semantics
+    "q_ml_calibration",  # 1-row fitted-weights broadcast only — the
+    # r14 lr_fit snapshot memo removed its SinglePartition (weights
+    # read from the memo parquet, output stays bin-grain); the
+    # per-kind stale ratchet caught the change the round it landed
     "q_ml_cohen_d", "q_ml_isotonic_bins", "q_ml_knn_classify",
     "q_ml_label_noise_knn", "q_ml_lof", "q_ml_ndcg", "q_ml_pr_curve",
     "q_ml_silhouette", "q_sim_ann_ivf_kmeans", "q_sim_knn_brute",
