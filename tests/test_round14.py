@@ -57,18 +57,21 @@ NEW_R14 = [
     # batch 2
     "q_ml_theil_u", "q_ml_mcc", "q_ml_ece", "q_ts_sample_entropy",
     "q_ts_dow_eta2", "q_behavior_user_overlap",
+    # batch 3
+    "q_ts_drawdown", "q_ml_mrr", "q_ml_odds_ratio", "q_text_ari",
+    "q_graph_conductance",
 ]
 
 
 def test_window_head_is_canary_plus_changed_and_new_keys():
     """Slot 0: the canary. Slot 1: q_graph_rich_club, whose oracle
     changed this round (grid key k CAST to BIGINT — ADVICE r13) and
-    must re-hash under the driver. Slots 2–17: the sixteen NEW r14
-    declared keys — new declared outputs are driver-sampled the
+    must re-hash under the driver. Slots 2–22: the twenty-one NEW
+    r14 declared keys — new declared outputs are driver-sampled the
     round they land."""
     from spark_sklearn_spark.registry import DRIVER_PRIORITY
 
-    assert DRIVER_PRIORITY[:18] == [
+    assert DRIVER_PRIORITY[:23] == [
         "q_dq_engine_canary",
         "q_graph_rich_club",
         *NEW_R14,
@@ -79,7 +82,7 @@ def test_window_covers_stale_band():
     """Every r4-era key rides this window (after the r14 driver
     sample, no key's latest check predates r5 — the r13 verdict's
     rotation obligation), and the remaining slots come from the
-    name-first r5 keys: 32 of 50 slots from the stale band (the 16
+    name-first r5 keys: 27 of 50 slots from the stale band (the 21
     new keys outrank band depth — the r13 precedent that
     never-sampled declared outputs carry more correctness risk than
     many-rounds-green band keys; every displaced r5 key stays r5 and
@@ -89,17 +92,17 @@ def test_window_covers_stale_band():
     window = DRIVER_PRIORITY[:50]
     assert R4_BAND <= set(window), sorted(R4_BAND - set(window))
     band_in_window = [k for k in window if k in R4_BAND | R5_BAND]
-    assert len(band_in_window) >= 32, len(band_in_window)
+    assert len(band_in_window) >= 27, len(band_in_window)
 
 
 def test_priority_tail_is_staleness_ordered():
-    """Behind the 18-key head the list is (latest-sample round, name)
+    """Behind the 23-key head the list is (latest-sample round, name)
     sorted — the property that keeps every future rotation
     mechanical. Spot-check: all r4 keys precede all r5 keys, which
     precede every newer-band key."""
     from spark_sklearn_spark.registry import DRIVER_PRIORITY
 
-    tail = DRIVER_PRIORITY[18:]
+    tail = DRIVER_PRIORITY[23:]
     pos = {k: i for i, k in enumerate(tail)}
     last_r4 = max(pos[k] for k in R4_BAND)
     first_r5 = min(pos[k] for k in R5_BAND)
@@ -375,6 +378,72 @@ def test_user_overlap_bounds(spark, sf_dir):
 
 def test_batch2_clean_key_is_scale_clean(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_behavior_user_overlap")
+    for kill in (
+        "CartesianProduct",
+        "BroadcastNestedLoopJoin",
+        "SinglePartition",
+    ):
+        assert kill not in plan, kill
+
+
+# ---------------------------------------------------------------------------
+# Batch-3 invariants
+# ---------------------------------------------------------------------------
+
+
+def test_drawdown_invariants(spark, sf_dir):
+    [r] = _rows(spark, sf_dir, "q_ts_drawdown")
+    assert r.max_draw >= 0
+    assert 0 <= r.longest_underwater <= r.n_underwater <= r.n_days
+    assert r.underwater_ppm == math.floor(
+        r.n_underwater / r.n_days * 1000000
+    )
+
+
+def test_mrr_dominates_like_a_rank_metric(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "q_ml_mrr")
+    assert rows
+    for r in rows:
+        assert 0 <= r.mean_mrr_ppm <= 1_000_000
+        assert 0 <= r.mean_p10_ppm <= 1_000_000
+        # recall divides by k_eff ≤ 10, so recall ≥ precision@10
+        assert r.mean_recall10_ppm >= r.mean_p10_ppm
+
+
+def test_odds_ratio_identity(spark, sf_dir):
+    [r] = _rows(spark, sf_dir, "q_ml_odds_ratio")
+    orr = (r.a * r.d) / (r.b * r.c)
+    assert abs(r.odds_ratio_micro - math.floor(orr * 1000000)) <= 1
+    # the Wald CI brackets the point estimate
+    assert r.or_ci_lo_micro <= r.odds_ratio_micro <= r.or_ci_hi_micro
+
+
+def test_ari_replays_from_moments(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "q_text_ari")
+    assert rows
+    for r in rows:
+        assert r.n_chars >= r.n_words >= r.n_sentences >= r.n_docs
+        ari = (
+            4.71 * (r.n_chars / r.n_words)
+            + 0.5 * (r.n_words / r.n_sentences)
+            - 21.43
+        )
+        assert r.ari_centi == math.floor(ari * 100)
+
+
+def test_conductance_bounds(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "q_graph_conductance")
+    assert rows
+    for r in rows:
+        assert 0 < r.cut or r.conductance_ppm == 0
+        assert 0 <= r.conductance_ppm <= 1_000_000
+        # vol counts directed endpoints: ≥ 2·(n_nodes − 1) in a
+        # connected community, ≥ n_nodes always
+        assert r.vol >= r.n_nodes
+
+
+def test_ari_is_scale_clean(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_text_ari")
     for kill in (
         "CartesianProduct",
         "BroadcastNestedLoopJoin",

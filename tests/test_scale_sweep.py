@@ -71,6 +71,7 @@ GLOBAL_VERDICT = {
     "q_ts_variance_ratio",  # daily-grain frames + 1-row moments (r14)
     "q_dedup_cdc",  # in-row chunking + 1-row corpus agg (r14)
     "q_ml_mcc",  # 4-cell confusion agg + 1-row metrics (r14)
+    "q_ml_odds_ratio",  # 4-cell 2x2 agg + 1-row effect sizes (r14)
     "q_ts_dow_eta2",  # calendar collapse + 7-group rollup (r14)
 }
 
@@ -105,6 +106,8 @@ ONE_ROW_BROADCAST = {
     "q_ml_theil_u",  # grid-sized moment relations, Lloyd-shape (r14)
     "q_ml_ece",  # 1-row weights broadcast + 10-row bins (r14)
     "q_ts_sample_entropy",  # calendar-bounded pair BNLJ + 1-row tol (r14)
+    "q_ts_drawdown",  # daily-grain windows + 1-row totals (r14)
+    "q_graph_conductance",  # 1-row 2E broadcast, snapshot-sized (r14)
     "q_win_pareto",
 }
 
@@ -120,6 +123,7 @@ BOUNDED_PANEL = {
     "q_ml_cohen_d", "q_ml_isotonic_bins", "q_ml_knn_classify",
     "q_ml_label_noise_knn", "q_ml_lof", "q_ml_ndcg", "q_ml_pr_curve",
     "q_ml_silhouette", "q_sim_ann_ivf_kmeans", "q_sim_knn_brute",
+    "q_ml_mrr",  # fixed probe panel x corpus, the q_ml_ndcg shape (r14)
     "q_sim_mmr_rerank", "q_text_bpe_merge", "q_ts_autocorr",
 }
 
@@ -181,6 +185,8 @@ GLOBAL_WINDOW_BOUNDED = {
     "q_ts_variance_ratio": "overlapping-sum frames over the"
     " calendar-bounded daily relation (r14)",
     "q_ts_sample_entropy": "row-number/lead template windows over"
+    " the calendar-bounded daily relation (r14)",
+    "q_ts_drawdown": "cumsum/running-max/run-length windows over"
     " the calendar-bounded daily relation (r14)",
     # misc bounded relations
     "q_layout_compaction": "window over the file-metadata relation"
