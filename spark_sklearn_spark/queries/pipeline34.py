@@ -137,6 +137,17 @@ def q_ts_drawdown(spark, d):
 
 _MRR_K = 10
 
+
+def _mrr_probe_predicate():
+    """Probe-panel membership for q_ml_mrr (vec_id % 100, the
+    q_ml_ndcg panel). A module-level seam on purpose — the
+    pipeline30._panel_predicate convention: tools/scale_probe.py
+    --fixed-panel monkeypatches this to pin the panel to the base
+    replica while the corpus replicates K×, proving panel×corpus
+    linearity directly (replica vec_ids are ≡0 mod 100, so the
+    plain replica probe grows the panel K× by construction)."""
+    return F.col("vec_id") % 100 == 0
+
 _MRR_ORACLE = """
     WITH {HAM_SIG},
     labeled AS (
@@ -221,7 +232,7 @@ def q_ml_mrr(spark, d):
         ),
         "vec_id",
     )
-    probes = labeled.filter(F.col("vec_id") % 100 == 0).select(
+    probes = labeled.filter(_mrr_probe_predicate()).select(
         F.col("vec_id").alias("probe_id"),
         F.col("lo").alias("p_lo"),
         F.col("hi").alias("p_hi"),

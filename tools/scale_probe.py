@@ -374,6 +374,12 @@ def main() -> None:
             (F.col("vec_id") % 100 == 0)
             & (F.col("vec_id") < 1_000_000_000)
         )
+        from spark_sklearn_spark.queries import pipeline34
+
+        pipeline34._mrr_probe_predicate = lambda: (
+            (F.col("vec_id") % 100 == 0)
+            & (F.col("vec_id") < 1_000_000_000)
+        )
         if not only:
             only = {"q_ml_lof", "q_emb_mutual_knn", "q_sim_ann_ivf_kmeans"}
 
