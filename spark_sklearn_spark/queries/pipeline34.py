@@ -324,6 +324,9 @@ def q_ml_mrr(spark, d):
 # identical doubles — the proven libm surface (deliberately OR/RR,
 # not Cohen's h: asin is an unproven cross-engine call). int64: a·d
 # < 2^63 while n < 3e9. ISO dow mirrors q_ml_chi2's pinned pair.
+# The ln argument's NUMERATOR is NULLIF-guarded per cell (ADVICE
+# r14): a=0 or d=0 makes ln(0) diverge across engines (Spark NULL,
+# DuckDB -inf) — guarding a and d yields NULL CI bounds on both.
 
 
 def _odds_sql(dow_expr: str) -> str:
@@ -354,7 +357,8 @@ def _odds_sql(dow_expr: str) -> str:
                       / NULLIF(CAST(c AS DOUBLE) / NULLIF(c + d, 0),
                                CAST(0 AS DOUBLE))
                       * 1000000) AS BIGINT) AS risk_ratio_micro,
-           CAST(floor(exp(ln(CAST(a AS DOUBLE) * d
+           CAST(floor(exp(ln(CAST(NULLIF(a, 0) AS DOUBLE)
+                             * NULLIF(d, 0)
                              / NULLIF(CAST(b AS DOUBLE) * c,
                                       CAST(0 AS DOUBLE)))
                           - 1.96e0 * sqrt(1.0e0 / NULLIF(a, 0)
@@ -362,7 +366,8 @@ def _odds_sql(dow_expr: str) -> str:
                                           + 1.0e0 / NULLIF(c, 0)
                                           + 1.0e0 / NULLIF(d, 0)))
                       * 1000000) AS BIGINT) AS or_ci_lo_micro,
-           CAST(floor(exp(ln(CAST(a AS DOUBLE) * d
+           CAST(floor(exp(ln(CAST(NULLIF(a, 0) AS DOUBLE)
+                             * NULLIF(d, 0)
                              / NULLIF(CAST(b AS DOUBLE) * c,
                                       CAST(0 AS DOUBLE)))
                           + 1.96e0 * sqrt(1.0e0 / NULLIF(a, 0)
