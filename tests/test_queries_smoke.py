@@ -51,6 +51,29 @@ def test_driver_priority_names_are_registered(registry):
     )
 
 
+def test_baseline_table_covers_registry(registry):
+    """bench.py's regression gate parses BASELINE.md with a
+    silent-on-miss regex (baseline_walls): a malformed table edit
+    would shrink regression coverage with no signal (VERDICT r13
+    item 7 / r14 item 3). Pin: every registered key has exactly one
+    parsed baseline wall, and the table carries no stale keys."""
+    import importlib.util
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[1]
+    spec = importlib.util.spec_from_file_location("bench", root / "bench.py")
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    walls = bench.baseline_walls()
+    queries, _ = registry
+    missing = set(queries) - set(walls)
+    stale = set(walls) - set(queries)
+    assert not missing, f"BASELINE.md lacks rows for: {sorted(missing)}"
+    assert not stale, f"BASELINE.md has rows for unregistered: {sorted(stale)}"
+    assert all(w > 0 for w in walls.values())
+
+
 def test_entry_flagship_runs(spark):
     df = entry.entry(spark)
     rows = df.collect()
