@@ -1,7 +1,10 @@
-"""Round-14 gates: the r14 driver-window rotation pin (the r13 pin
-retired in test_round13.py), invariant + plan-shape checks for the
-ten new r14 keys, and the rich-club oracle type-parity fix
-(ADVICE r13).
+"""Round-14 gates: invariant + plan-shape checks for the 21 new r14
+keys and the rich-club oracle type-parity fix (ADVICE r13).
+
+The r14 driver-window rotation pins lived here; the r15 rotation
+retired them (tests/test_round15.py pins the live window now,
+following the same convention that retired r13's pin in
+test_round13.py).
 """
 
 from __future__ import annotations
@@ -9,109 +12,6 @@ from __future__ import annotations
 import math
 
 import __spark_entry__ as entry
-
-
-# ---------------------------------------------------------------------------
-# Driver-window rotation (r13 verdict obligation: no key older than
-# r5 after the r14 sample)
-# ---------------------------------------------------------------------------
-
-# Latest-driver-sample staleness bands as of the r14 rotation,
-# recomputed from CORRECTNESS_r1..r13: 26 keys whose latest sample is
-# r4 (they MUST all ride this window — the no-older-than-r5
-# post-rotation contract) and the 49 r5-era keys (the 12 name-first
-# fill the window's remaining slots; the rest lead the r15 window).
-R4_BAND = {
-    "q_text_chunk", "q_text_fingerprint_rolling", "q_text_ngram_counts",
-    "q_text_winnow", "q_tpch_q11", "q_tpch_q12", "q_tpch_q13",
-    "q_tpch_q14", "q_tpch_q15", "q_tpch_q16", "q_tpch_q17", "q_tpch_q18",
-    "q_tpch_q19", "q_tpch_q2", "q_tpch_q20", "q_tpch_q21", "q_tpch_q22",
-    "q_tpch_q4", "q_tpch_q7", "q_tpch_q8", "q_tpch_q9", "q_ts_gapfill",
-    "q_ts_rollup_multigrain", "q_unpivot_long", "q_upsert_snapshot",
-    "q_win_distribution",
-}
-
-R5_BAND = {
-    "q_agg_approx_distinct", "q_agg_cube", "q_agg_distinct",
-    "q_agg_rollup", "q_agg_stats", "q_decontaminate", "q_emb_dimstats",
-    "q_emb_outliers", "q_filter_like", "q_fn_date", "q_fn_json",
-    "q_fn_map", "q_fn_math", "q_fn_string", "q_gapply_norm",
-    "q_join_asof", "q_join_cross", "q_join_multiway", "q_join_outer",
-    "q_join_outer_full", "q_join_outer_right", "q_join_range_ts",
-    "q_join_skew", "q_join_theta", "q_pack_sequences", "q_pii_redact",
-    "q_quality_gate", "q_sample_temperature", "q_set_except",
-    "q_set_intersect", "q_sim_knn_batch", "q_sort_multi",
-    "q_source_json_props", "q_stream_dedup", "q_stream_session",
-    "q_stream_sliding", "q_stream_stateful", "q_stream_tumbling",
-    "q_stream_watermark", "q_text_bm25", "q_text_pmi",
-    "q_text_repetition", "q_topk_limit", "q_ts_anomaly",
-    "q_udaf_grouped", "q_win_analytic", "q_win_frame_range",
-    "q_win_frame_rows", "q_win_rank",
-}
-
-NEW_R14 = [
-    "q_ml_cramers_v", "q_text_yule_k", "q_ts_runs_test",
-    "q_ts_turning_points", "q_ts_variance_ratio", "q_behavior_hhi",
-    "q_graph_truss_support", "q_dedup_cdc", "q_ml_brier_decomp",
-    "q_emb_dim_entropy",
-    # batch 2
-    "q_ml_theil_u", "q_ml_mcc", "q_ml_ece", "q_ts_sample_entropy",
-    "q_ts_dow_eta2", "q_behavior_user_overlap",
-    # batch 3
-    "q_ts_drawdown", "q_ml_mrr", "q_ml_odds_ratio", "q_text_ari",
-    "q_graph_conductance",
-]
-
-
-def test_window_head_is_canary_plus_changed_and_new_keys():
-    """Slot 0: the canary. Slot 1: q_graph_rich_club, whose oracle
-    changed this round (grid key k CAST to BIGINT — ADVICE r13) and
-    must re-hash under the driver. Slots 2–22: the twenty-one NEW
-    r14 declared keys — new declared outputs are driver-sampled the
-    round they land."""
-    from spark_sklearn_spark.registry import DRIVER_PRIORITY
-
-    assert DRIVER_PRIORITY[:23] == [
-        "q_dq_engine_canary",
-        "q_graph_rich_club",
-        *NEW_R14,
-    ]
-
-
-def test_window_covers_stale_band():
-    """Every r4-era key rides this window (after the r14 driver
-    sample, no key's latest check predates r5 — the r13 verdict's
-    rotation obligation), and the remaining slots come from the
-    name-first r5 keys: 27 of 50 slots from the stale band (the 21
-    new keys outrank band depth — the r13 precedent that
-    never-sampled declared outputs carry more correctness risk than
-    many-rounds-green band keys; every displaced r5 key stays r5 and
-    leads the r15 window)."""
-    from spark_sklearn_spark.registry import DRIVER_PRIORITY
-
-    window = DRIVER_PRIORITY[:50]
-    assert R4_BAND <= set(window), sorted(R4_BAND - set(window))
-    band_in_window = [k for k in window if k in R4_BAND | R5_BAND]
-    assert len(band_in_window) >= 27, len(band_in_window)
-
-
-def test_priority_tail_is_staleness_ordered():
-    """Behind the 23-key head the list is (latest-sample round, name)
-    sorted — the property that keeps every future rotation
-    mechanical. Spot-check: all r4 keys precede all r5 keys, which
-    precede every newer-band key."""
-    from spark_sklearn_spark.registry import DRIVER_PRIORITY
-
-    tail = DRIVER_PRIORITY[23:]
-    pos = {k: i for i, k in enumerate(tail)}
-    last_r4 = max(pos[k] for k in R4_BAND)
-    first_r5 = min(pos[k] for k in R5_BAND)
-    last_r5 = max(pos[k] for k in R5_BAND)
-    first_other = min(
-        i for k, i in pos.items() if k not in R4_BAND | R5_BAND
-    )
-    assert last_r4 < first_r5
-    assert last_r5 < first_other
 
 
 # ---------------------------------------------------------------------------

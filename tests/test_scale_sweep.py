@@ -73,6 +73,8 @@ GLOBAL_VERDICT = {
     "q_ml_mcc",  # 4-cell confusion agg + 1-row metrics (r14)
     "q_ml_odds_ratio",  # 4-cell 2x2 agg + 1-row effect sizes (r14)
     "q_ts_dow_eta2",  # calendar collapse + 7-group rollup (r14)
+    "q_ml_fdr_bh",  # stacked global windows over the m-row
+    # (|event_types|) test-family relation — no joins at all (r15)
 }
 
 # --- BNLJ + SinglePartition: 1-row/bounded statistic broadcasts ---------
@@ -189,6 +191,8 @@ GLOBAL_WINDOW_BOUNDED = {
     "q_ts_drawdown": "cumsum/running-max/run-length windows over"
     " the calendar-bounded daily relation (r14)",
     # misc bounded relations
+    "q_ml_fdr_bh": "BH rank + step-up running-min windows over the"
+    " m-row (|event_types|) test-family relation (r15)",
     "q_layout_compaction": "window over the file-metadata relation"
     " (files-per-partition bounded by the compaction target)",
     "q_win_pareto": "global share cumsum over the bounded group"
