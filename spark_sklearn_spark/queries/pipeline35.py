@@ -242,8 +242,6 @@ _REMOVAL_STEPS = 6
 
 
 def _removal_sql(divop: str) -> str:
-    def h(names: str) -> str:  # hint seam kept for a SQL twin
-        return ""
 
     steps = []
     for k in range(1, _REMOVAL_STEPS + 1):
@@ -309,7 +307,7 @@ def _removal_sql(divop: str) -> str:
       UNION ALL SELECT '__base__' AS rm
     ),
     v0 AS (
-      SELECT {h("st, tt")}sc.rm, st.src AS state,
+      SELECT sc.rm, st.src AS state,
              st.k * 1000000000 {divop} tt.s AS m
       FROM scen sc
       JOIN starts st ON st.src <> sc.rm
@@ -322,7 +320,7 @@ def _removal_sql(divop: str) -> str:
     ),
     base AS (SELECT cm FROM conv WHERE rm = '__base__'),
     eff AS (
-      SELECT {h("cv, b")}sc.rm AS channel, b.cm AS conv_base_q9,
+      SELECT sc.rm AS channel, b.cm AS conv_base_q9,
              COALESCE(cv.cm, 0) AS conv_removed_q9,
              b.cm - COALESCE(cv.cm, 0) AS e
       FROM scen sc
@@ -331,7 +329,7 @@ def _removal_sql(divop: str) -> str:
       WHERE sc.rm <> '__base__'
     ),
     e_tot AS (SELECT CAST(SUM(e) AS BIGINT) AS te FROM eff)
-    SELECT {h("et")}eff.channel, eff.conv_base_q9, eff.conv_removed_q9,
+    SELECT eff.channel, eff.conv_base_q9, eff.conv_removed_q9,
            eff.e * 1000000 {divop} NULLIF(eff.conv_base_q9, 0)
                AS removal_effect_ppm,
            eff.e * 1000000 {divop} NULLIF(et.te, 0)
