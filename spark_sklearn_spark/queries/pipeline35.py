@@ -240,6 +240,14 @@ def q_text_good_turing(spark, d):
 
 _REMOVAL_STEPS = 6
 
+# Absorbing-state labels reserved INSIDE the event_type namespace.
+# A real event type with one of these names would silently merge
+# into the absorbing state identically on BOTH engines — consistent
+# but wrong attribution with no red anywhere (ADVICE r15 item 2) —
+# so the driver-side walk refuses loudly instead: the declared Spark
+# side errors before the oracle's silent merge can hash-match it.
+_REMOVAL_SENTINELS = frozenset({"conv", "drop", "__base__"})
+
 
 def _removal_sql(divop: str) -> str:
 
@@ -318,7 +326,10 @@ def _removal_sql(divop: str) -> str:
       SELECT rm, CAST(SUM(m) AS BIGINT) AS cm
       FROM ({inflows}) u GROUP BY rm
     ),
-    base AS (SELECT cm FROM conv WHERE rm = '__base__'),
+    base AS (
+      SELECT COALESCE((SELECT cm FROM conv WHERE rm = '__base__'), 0)
+          AS cm
+    ),
     eff AS (
       SELECT sc.rm AS channel, b.cm AS conv_base_q9,
              COALESCE(cv.cm, 0) AS conv_removed_q9,
@@ -351,7 +362,15 @@ def q_behavior_removal_effect(spark, d):
     WITH-RECURSIVE lineage trap in CTE clothing; bounded collects
     are the sanctioned escape, q_ml_kcenter_init precedent). Every
     walk operation is nonneg-integer multiply/sum/truncdiv, so the
-    driver replay and the oracle's SQL walk agree bit-for-bit."""
+    driver replay and the oracle's SQL walk agree bit-for-bit.
+
+    Degenerate-data agreement (ADVICE r15): the oracle's base CTE is
+    a scalar-subquery COALESCE so a corpus with NO conversions yields
+    one row per channel with conv_base_q9 = 0 and NULL ratios on
+    BOTH engines (previously the empty base CTE zeroed the oracle's
+    row set while the walk still emitted channels); and the walk
+    REFUSES (ValueError) if a real event type collides with the
+    reserved 'conv'/'drop'/'__base__' labels — see _removal_walk."""
     ev = load(spark, d, "events")
     cells = (
         ev.selectExpr(
@@ -367,6 +386,29 @@ def q_behavior_removal_effect(spark, d):
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()  # bounded: |types| × (|types|+2) × 2 cells
     )
+    return spark.createDataFrame(
+        _removal_walk(cells),
+        schema="channel string, conv_base_q9 long, conv_removed_q9"
+        " long, removal_effect_ppm long, attribution_ppm long",
+    ).orderBy("channel")
+
+
+def _removal_walk(cells) -> list[tuple]:
+    """The exact-integer removal-effect walk over the collected
+    (src, nxt, is_first, n) transition cells — module-level so the
+    sentinel guard is unit-testable without fixture data. Raises
+    ValueError if a REAL event type collides with a reserved
+    absorbing-state label (see _REMOVAL_SENTINELS)."""
+    observed = {row.src for row in cells} | {
+        row.nxt for row in cells if row.nxt is not None
+    }
+    clash = observed & _REMOVAL_SENTINELS
+    if clash:
+        raise ValueError(
+            "event_type namespace collides with reserved removal-"
+            f"effect sentinel label(s) {sorted(clash)}; both engines "
+            "would silently merge these into the absorbing state"
+        )
     trans: dict[tuple[str, str], int] = {}
     starts: dict[str, int] = {}
     for row in cells:
@@ -429,8 +471,4 @@ def q_behavior_removal_effect(spark, d):
                 e * 1000000 // te if te > 0 else None,
             )
         )
-    return spark.createDataFrame(
-        out_rows,
-        schema="channel string, conv_base_q9 long, conv_removed_q9"
-        " long, removal_effect_ppm long, attribution_ppm long",
-    ).orderBy("channel")
+    return out_rows

@@ -52,10 +52,34 @@ POP_CAP = 25
 COMMON_MIN = 3
 
 
-@query(
-    "q_graph_copurchase",
-    oracle=f"""
-        WITH baskets AS (
+def tail_baskets(spark, d):
+    """The tail-filtered bipartite purchase graph shared by
+    q_graph_copurchase and q_graph_hits (pipeline36): distinct
+    (cust, part) incidences with head parts (> POP_CAP distinct
+    buyers) dropped — the fan-out cap that keeps every downstream
+    projection/message-passing join bounded by POP_CAP × |postings|
+    instead of |customers|²."""
+    orders = load(spark, d, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, d, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part")
+        )
+        .distinct()
+    )
+    pop = baskets.groupBy("part").agg(F.count(F.lit(1)).alias("nc"))
+    return (
+        baskets.join(pop, "part")
+        .filter(F.col("nc") <= POP_CAP)
+        .select("cust", "part")
+    )
+
+
+# The oracle-side twin of tail_baskets, shared (f-string splice) with
+# q_graph_hits' oracle in pipeline36 so the two graph queries can
+# never drift apart on the edge definition.
+TAIL_BASKETS_SQL = f"""baskets AS (
             SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
             FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
         ),
@@ -64,7 +88,13 @@ COMMON_MIN = 3
             SELECT b.cust, b.part
             FROM baskets b JOIN pop p ON p.part = b.part
             WHERE p.nc <= {POP_CAP}
-        ),
+        )"""
+
+
+@query(
+    "q_graph_copurchase",
+    oracle=f"""
+        WITH {TAIL_BASKETS_SQL},
         sizes AS (SELECT cust, COUNT(*) AS n FROM keep GROUP BY cust),
         pairs AS (
             SELECT a.cust AS cust_a, b.cust AS cust_b, COUNT(*) AS n_common
@@ -101,21 +131,7 @@ def q_graph_copurchase(spark, d):
     division then floor on both engines), no float collision risk.
     At 100 TB this is the basket-affinity shape retail/feed systems
     actually run, cap included."""
-    orders = load(spark, d, "orders").select("o_orderkey", "o_custkey")
-    li = load(spark, d, "lineitem").select("l_orderkey", "l_partkey")
-    baskets = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .select(
-            F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part")
-        )
-        .distinct()
-    )
-    pop = baskets.groupBy("part").agg(F.count(F.lit(1)).alias("nc"))
-    keep = (
-        baskets.join(pop, "part")
-        .filter(F.col("nc") <= POP_CAP)
-        .select("cust", "part")
-    )
+    keep = tail_baskets(spark, d)
     sizes = keep.groupBy("cust").agg(F.count(F.lit(1)).alias("n"))
     a = keep.select(F.col("cust").alias("cust_a"), "part")
     b = keep.select(F.col("cust").alias("cust_b"), "part")

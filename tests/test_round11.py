@@ -51,6 +51,30 @@ def test_survey_section7_counts_match_registry():
     )
 
 
+def test_survey_keys_match_registry_exactly():
+    """Key-level SURVEY§2↔registry parity (VERDICT r15 item 2): every
+    backticked `q_*` in SURVEY.md must resolve to a registered key,
+    and every registered key must appear in SURVEY — the gate whose
+    absence let two 'declared' phantom rows (q_ts_concurrency,
+    q_graph_hits) survive from r11 to r16 with no code behind them.
+    The one range row (`q_tpch_q2`…`q_tpch_q22`) is expanded."""
+    survey = open(
+        os.path.join(os.path.dirname(__file__), "..", "SURVEY.md")
+    ).read()
+    mentioned = set(re.findall(r"`(q_\w+)`", survey))
+    if "q_tpch_q2" in mentioned and "q_tpch_q22" in mentioned:
+        mentioned |= {f"q_tpch_q{i}" for i in range(2, 23)}
+    registered = set(entry.queries())
+    assert registered - mentioned == set(), (
+        f"registered keys missing from SURVEY: "
+        f"{sorted(registered - mentioned)}"
+    )
+    assert mentioned - registered == set(), (
+        f"SURVEY names unregistered keys (phantom rows): "
+        f"{sorted(mentioned - registered)}"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Hardened-query invariants
 # ---------------------------------------------------------------------------

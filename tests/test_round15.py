@@ -1,7 +1,10 @@
-"""Round-15 gates: the r15 driver-window rotation pin (the r14 pin
-retired in test_round14.py), invariant + plan-shape checks for the
-three new r15 keys, and the odds-ratio ln-guard regression pin
-(ADVICE r14).
+"""Round-15 gates: invariant + plan-shape checks for the three new
+r15 keys and the odds-ratio ln-guard regression pin (ADVICE r14).
+
+The r15 driver-window rotation pins lived here; the r16 rotation
+retired them (tests/test_round16.py pins the live window now,
+following the same convention that retired r14's pin in
+test_round14.py).
 """
 
 from __future__ import annotations
@@ -9,82 +12,6 @@ from __future__ import annotations
 import math
 
 import __spark_entry__ as entry
-
-
-# ---------------------------------------------------------------------------
-# Driver-window rotation (r14 verdict item 1: clear the r5 staleness
-# band — ≥45 r5 keys sampled; displaced keys lead the r16 window)
-# ---------------------------------------------------------------------------
-
-# The 48 keys whose latest driver sample is r5, recomputed from
-# CORRECTNESS_r1..r14 at the r15 rotation (the r14 list minus
-# q_agg_approx_distinct, which rode the r14 window).
-R5_BAND = {
-    "q_agg_cube", "q_agg_distinct",
-    "q_agg_rollup", "q_agg_stats", "q_decontaminate", "q_emb_dimstats",
-    "q_emb_outliers", "q_filter_like", "q_fn_date", "q_fn_json",
-    "q_fn_map", "q_fn_math", "q_fn_string", "q_gapply_norm",
-    "q_join_asof", "q_join_cross", "q_join_multiway", "q_join_outer",
-    "q_join_outer_full", "q_join_outer_right", "q_join_range_ts",
-    "q_join_skew", "q_join_theta", "q_pack_sequences", "q_pii_redact",
-    "q_quality_gate", "q_sample_temperature", "q_set_except",
-    "q_set_intersect", "q_sim_knn_batch", "q_sort_multi",
-    "q_source_json_props", "q_stream_dedup", "q_stream_session",
-    "q_stream_sliding", "q_stream_stateful", "q_stream_tumbling",
-    "q_stream_watermark", "q_text_bm25", "q_text_pmi",
-    "q_text_repetition", "q_topk_limit", "q_ts_anomaly",
-    "q_udaf_grouped", "q_win_analytic", "q_win_frame_range",
-    "q_win_frame_rows", "q_win_rank",
-}
-
-NEW_R15 = [
-    "q_ml_fdr_bh", "q_text_good_turing", "q_behavior_removal_effect",
-]
-
-# the 3 name-last r5 keys displaced by the head's new/changed slots;
-# they stay r5 and MUST lead the r16 window
-DISPLACED_TO_R16 = {"q_win_frame_range", "q_win_frame_rows", "q_win_rank"}
-
-
-def test_window_head_is_canary_plus_new_and_changed_keys():
-    """Slot 0: the canary. Slots 1–3: the three NEW r15 declared keys
-    (driver-sampled the round they land). Slot 4: q_ml_odds_ratio,
-    whose oracle changed this round (the Wald CI ln numerator gained
-    the NULLIF empty-cell guard — ADVICE r14) and must re-hash."""
-    from spark_sklearn_spark.registry import DRIVER_PRIORITY
-
-    assert DRIVER_PRIORITY[:5] == [
-        "q_dq_engine_canary",
-        *NEW_R15,
-        "q_ml_odds_ratio",
-    ]
-
-
-def test_window_covers_r5_band():
-    """The 45 name-first r5 keys fill the window's remaining slots
-    (VERDICT r14 item 1: ≥45 r5-band keys sampled); the 3 displaced
-    keys are exactly the name-last ones and sit immediately past the
-    window, leading the r16 rotation."""
-    from spark_sklearn_spark.registry import DRIVER_PRIORITY
-
-    window = set(DRIVER_PRIORITY[:50])
-    in_window = R5_BAND & window
-    assert len(in_window) == 45, len(in_window)
-    assert R5_BAND - window == DISPLACED_TO_R16
-    assert set(DRIVER_PRIORITY[50:53]) == DISPLACED_TO_R16
-
-
-def test_priority_tail_is_staleness_ordered():
-    """Behind the 5-key head the list is (latest-sample round, name)
-    sorted — the property that keeps every future rotation
-    mechanical. Spot-check: all r5 keys precede every newer key."""
-    from spark_sklearn_spark.registry import DRIVER_PRIORITY
-
-    tail = DRIVER_PRIORITY[5:]
-    pos = {k: i for i, k in enumerate(tail)}
-    last_r5 = max(pos[k] for k in R5_BAND)
-    first_other = min(i for k, i in pos.items() if k not in R5_BAND)
-    assert last_r5 < first_other
 
 
 # ---------------------------------------------------------------------------

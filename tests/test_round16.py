@@ -1,0 +1,197 @@
+"""Round-16 gates: the r16 driver-window rotation pin (the r15 pin
+retired in test_round15.py), invariant + plan-shape checks for the
+two new r16 keys (q_ts_concurrency, q_graph_hits — the former
+phantom SURVEY rows, VERDICT r15 item 1), and the removal-effect
+degenerate-data guards (ADVICE r15). The key-level SURVEY↔registry
+parity gate (VERDICT r15 item 2) lives next to the §7 count gate in
+test_round11.py.
+"""
+
+from __future__ import annotations
+
+from collections import namedtuple
+
+import pytest
+
+import __spark_entry__ as entry
+
+
+# ---------------------------------------------------------------------------
+# Driver-window rotation (VERDICT r15 item 4: r7 band + r5 residual)
+# ---------------------------------------------------------------------------
+
+NEW_R16 = ["q_ts_concurrency", "q_graph_hits"]
+
+# the 3 keys the r15 50-cap displaced; judge-verified green r15 but
+# owed a driver sample — they lead this window
+R5_RESIDUAL = {"q_win_frame_range", "q_win_frame_rows", "q_win_rank"}
+
+# the whole 40-key r7 staleness band, recomputed from
+# CORRECTNESS_r1..r15 at the r16 rotation
+R7_BAND = {
+    "q_agg_bitmap", "q_agg_bitwise", "q_agg_listagg", "q_agg_weighted",
+    "q_basket_lift", "q_behavior_attribution", "q_behavior_sessionize",
+    "q_behavior_streaks", "q_cdc_scd2", "q_dedup_semantic_cluster",
+    "q_dq_orphans", "q_emb_prefix_eval", "q_feat_onehot",
+    "q_feat_quantile_bin", "q_feat_target_encode", "q_fn_surrogate_key",
+    "q_funnel_latency", "q_graph_degree_dist", "q_graph_pagerank",
+    "q_ml_keyed_scale", "q_ml_linear_ols", "q_profile_corr",
+    "q_sketch_countmin", "q_sketch_hll", "q_sketch_hll_merge",
+    "q_source_csv_roundtrip", "q_source_orc_roundtrip",
+    "q_source_partitioned_prune", "q_source_schema_evolution",
+    "q_stream_topk", "q_text_bpe_pairs", "q_text_containment",
+    "q_text_entropy", "q_text_keywords", "q_text_readability",
+    "q_text_zipf", "q_ts_calendar_dim", "q_ts_ewma", "q_ts_ohlc",
+    "q_win_pareto",
+}
+
+
+def test_window_head_is_canary_plus_new_and_changed_keys():
+    """Slot 0: the canary. Slots 1–2: the two NEW r16 declared keys
+    (driver-sampled the round they land). Slot 3:
+    q_behavior_removal_effect, whose oracle changed this round (the
+    base CTE became a scalar-subquery COALESCE — ADVICE r15) and
+    must re-hash."""
+    from spark_sklearn_spark.registry import DRIVER_PRIORITY
+
+    assert DRIVER_PRIORITY[:4] == [
+        "q_dq_engine_canary",
+        *NEW_R16,
+        "q_behavior_removal_effect",
+    ]
+
+
+def test_window_covers_r5_residual_and_r7_band():
+    """The 50-key window = 4-slot head + the 3 displaced r5 keys +
+    the WHOLE 40-key r7 band + the 3 name-first r8 keys — after this
+    round no key's latest driver sample is older than r8 (VERDICT
+    r15 item 4's 'done' criterion)."""
+    from spark_sklearn_spark.registry import DRIVER_PRIORITY
+
+    window = set(DRIVER_PRIORITY[:50])
+    assert R5_RESIDUAL <= window
+    assert R7_BAND <= window
+    assert set(DRIVER_PRIORITY[47:50]) == {
+        "q_behavior_markov", "q_behavior_pathing", "q_behavior_stickiness",
+    }
+
+
+def test_priority_tail_is_staleness_ordered():
+    """Behind the 4-key head the list is (latest-sample round, name)
+    sorted — the property that keeps every future rotation
+    mechanical. Spot-check: every r5 key precedes every r7 key, and
+    every r7 key precedes everything newer."""
+    from spark_sklearn_spark.registry import DRIVER_PRIORITY
+
+    tail = DRIVER_PRIORITY[4:]
+    pos = {k: i for i, k in enumerate(tail)}
+    assert max(pos[k] for k in R5_RESIDUAL) < min(pos[k] for k in R7_BAND)
+    first_other = min(
+        i for k, i in pos.items() if k not in R5_RESIDUAL | R7_BAND
+    )
+    assert max(pos[k] for k in R7_BAND) < first_other
+
+
+# ---------------------------------------------------------------------------
+# Removal-effect degenerate-data guards (ADVICE r15)
+# ---------------------------------------------------------------------------
+
+_Cell = namedtuple("Cell", ["src", "nxt", "is_first", "n"])
+
+
+def test_removal_walk_rejects_sentinel_collision():
+    """A REAL event type named 'conv'/'drop'/'__base__' would merge
+    into the absorbing state identically on both engines — silent
+    wrong attribution. The walk must refuse loudly instead."""
+    from spark_sklearn_spark.queries.pipeline35 import _removal_walk
+
+    for bad in ("conv", "drop", "__base__"):
+        cells = [
+            _Cell("view", bad, 1, 3),
+            _Cell("view", "purchase", 0, 2),
+        ]
+        with pytest.raises(ValueError, match="sentinel"):
+            _removal_walk(cells)
+    # and as a source type too
+    with pytest.raises(ValueError, match="sentinel"):
+        _removal_walk([_Cell("drop", "purchase", 1, 1)])
+
+
+def test_removal_walk_no_conversion_corpus_keeps_channels():
+    """No (·,'purchase') transition anywhere: the walk still emits
+    one row per channel with conv_base = 0 and NULL ratios — and the
+    rewritten oracle (scalar-subquery base) now agrees; the old
+    CROSS JOIN on the empty base CTE zeroed the oracle's row set
+    (ADVICE r15 item 1)."""
+    from spark_sklearn_spark.queries.pipeline35 import _removal_walk
+
+    rows = _removal_walk(
+        [
+            _Cell("view", "click", 1, 4),
+            _Cell("click", None, 1, 2),
+            _Cell("click", "view", 0, 3),
+        ]
+    )
+    assert [r[0] for r in rows] == ["click", "view"]
+    for _, base, removed, eff, attr in rows:
+        assert base == 0 and removed == 0
+        assert eff is None and attr is None
+
+
+def test_removal_oracle_base_is_scalar_subquery():
+    """The oracle's base CTE must stay the COALESCE'd scalar
+    subquery — a bare `WHERE rm = '__base__'` CTE is empty on a
+    no-conversion corpus and CROSS JOIN silently drops every row."""
+    sql = entry.oracle_sql()["q_behavior_removal_effect"]
+    assert "COALESCE((SELECT cm FROM conv WHERE rm = '__base__'), 0)" in sql
+
+
+# ---------------------------------------------------------------------------
+# New-key invariants (sf0.001 smoke grain)
+# ---------------------------------------------------------------------------
+
+
+def test_concurrency_invariants(spark, sf_dir):
+    """Peak is positive, never exceeds the day's active-session
+    count; the time-weighted average never exceeds the peak; and the
+    session-day segment total covers every sessionize session at
+    least once (each session touches ≥ 1 day)."""
+    rows = entry.queries()["q_ts_concurrency"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.peak_conc <= r.n_active_sessions
+        assert r.span_us >= 0
+        if r.conc_twa_milli is not None:
+            assert 0 <= r.conc_twa_milli <= r.peak_conc * 1000
+    n_sessions = (
+        entry.queries()["q_behavior_sessionize"](spark, sf_dir).count()
+    )
+    assert sum(r.n_active_sessions for r in rows) >= n_sessions
+
+
+def test_concurrency_plan_is_day_partitioned(spark, sf_dir):
+    """No global window, no nested-loop join, no single-partition
+    exchange anywhere: the sweep-line cumsum partitions by day and
+    the session build by user."""
+    from spark_sklearn_spark.plans import assert_scalable
+
+    assert_scalable(entry.queries()["q_ts_concurrency"](spark, sf_dir))
+
+
+def test_hits_invariants(spark, sf_dir):
+    """Both roles present; round-1 hub weight is the degree (≥ 1);
+    the round-2 hub weight dominates degree² (h2(c) = Σ_{p∈P(c)}
+    a1(p) and every a1(p) ≥ h1(c) for a buyer c of p); and each
+    role's L1 ppm shares sum to 1e6 within floor slop."""
+    rows = entry.queries()["q_graph_hits"](spark, sf_dir).collect()
+    roles = {r.role for r in rows}
+    assert roles == {"hub", "auth"}
+    by_role = {
+        role: [r for r in rows if r.role == role] for role in roles
+    }
+    for r in by_role["hub"]:
+        assert r.w1 >= 1
+        assert r.w2 >= r.w1 * r.w1
+    for role, rs in by_role.items():
+        total = sum(r.score_ppm for r in rs)
+        assert 1_000_000 - len(rs) <= total <= 1_000_000

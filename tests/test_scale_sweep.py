@@ -111,6 +111,9 @@ ONE_ROW_BROADCAST = {
     "q_ts_drawdown",  # daily-grain windows + 1-row totals (r14)
     "q_graph_conductance",  # 1-row 2E broadcast, snapshot-sized (r14)
     "q_win_pareto",
+    "q_graph_hits",  # two 1-row L1-total broadcasts onto the bounded
+    # per-node walk-count relations; the data-sized work happened in
+    # the partial message-sum aggs map-side (r16)
 }
 
 # --- BNLJ only: fixed probe panels / bounded candidate relations --------
