@@ -40,10 +40,13 @@ _BIGRAMS_SQL = f"""
 """
 
 
-def rare_grams(spark, d):
+def rare_grams(spark, d, with_df=False):
     """DF-capped distinct word bigrams per doc — (doc_id, g). The
     shared postings relation under bigram_overlap and the round-9
-    minhash-containment eval (pipeline15)."""
+    minhash-containment eval (pipeline15). ``with_df=True`` keeps the
+    per-gram document frequency the cap already computed (the IDF
+    weighting tier in pipeline36 needs it; recomputing would cost a
+    second shuffle on g)."""
     docs = load(spark, d, "documents")
     # Tokenize ONCE into a column (an embedded split() inside the
     # interpreted transform re-runs per element — O(n²)/doc), and
@@ -65,11 +68,10 @@ def rare_grams(spark, d):
         ).alias("g"),
     ).filter(F.col("g").isNotNull())
     # window-count keeps the DF cap at one shuffle on g (vs agg+join = two)
-    return (
-        grams.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("g")))
-        .filter(F.col("df") <= DF_CAP)
-        .drop("df")
-    )
+    capped = grams.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("g"))
+    ).filter(F.col("df") <= DF_CAP)
+    return capped if with_df else capped.drop("df")
 
 
 def bigram_overlap(spark, d):

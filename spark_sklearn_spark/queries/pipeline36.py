@@ -34,12 +34,32 @@ tests/test_round16.py now makes such phantom rows impossible).
   with POP_CAP = 25 and max customer degree D, a2 ≤ 25²·D² — int64
   overflow needs D ≥ ~6e7 distinct tail parts per customer.
 
+Plus the two optional-growth operators the r15 verdict named as the
+real family gaps (item 7):
+
+- q_stream_hopping_topk: the hopping-window leaderboard twin of
+  q_stream_topk — top-3 most active users per 1-hour window hopping
+  every 15 minutes (each event lands in exactly FOUR windows, the
+  general Expand-based window assignment q_stream_sliding exercises
+  at phase count 2). Declared: Spark's window() is batch/streaming
+  identical, and the oracle expands the four shifted tumbling phases.
+- q_dedup_containment_idf: IDF-weighted asymmetric containment — the
+  dedup tier between q_text_containment (raw gram counts) and the
+  semantic tiers: stop-ish grams that survive the DF cap stop
+  dominating the ratio because each gram g is weighted by
+  idf(g) = ln(N/df_g). Integer-exact end to end: ln only ever sees
+  INTEGER arguments (the q_text_entropy posture), each gram weight is
+  floor(1e6·(ln N − ln df)) BIGINT, and the containment ratios are
+  exact-ppm integer divisions — no ROUND on raw doubles anywhere
+  (the threshold is an integer ppm compare, zero ulp-collision risk).
+
 Reference parity: the public repo (databricks/spark-sklearn 0.3.0)
 has no relational/graph engine — these extend the SURVEY §2B surface,
 cited to the public algorithms they implement (Kleinberg, "Authori-
 tative sources in a hyperlinked environment", JACM 1999; the sweep-
 line concurrency reduction is the standard interval-scheduling
-folklore, e.g. de Berg et al., Computational Geometry §2).
+folklore, e.g. de Berg et al., Computational Geometry §2; IDF
+weighting per Sparck Jones 1972; Broder 1997 containment).
 """
 
 from __future__ import annotations
@@ -341,3 +361,194 @@ def q_graph_hits(spark, d):
         )
     )
     return hubs.unionAll(auths).orderBy("role", "node_id")
+
+
+# --------------------------------------------------------------------------
+# Hopping-window top-k leaderboard (declared streaming twin)
+# --------------------------------------------------------------------------
+
+HOP_TOPK = 3
+
+
+@query(
+    "q_stream_hopping_topk",
+    oracle="""
+        WITH phased AS (
+          SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP)
+                     AS window_start, user_id FROM events
+          UNION ALL
+          SELECT CAST(time_bucket(INTERVAL '1 hour',
+                                  ts - INTERVAL '15 minutes')
+                      + INTERVAL '15 minutes' AS TIMESTAMP), user_id
+          FROM events
+          UNION ALL
+          SELECT CAST(time_bucket(INTERVAL '1 hour',
+                                  ts - INTERVAL '30 minutes')
+                      + INTERVAL '30 minutes' AS TIMESTAMP), user_id
+          FROM events
+          UNION ALL
+          SELECT CAST(time_bucket(INTERVAL '1 hour',
+                                  ts - INTERVAL '45 minutes')
+                      + INTERVAL '45 minutes' AS TIMESTAMP), user_id
+          FROM events
+        ),
+        bucketed AS (
+          SELECT window_start, user_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_events
+          FROM phased GROUP BY window_start, user_id
+        ),
+        ranked AS (
+          SELECT window_start, user_id, n_events,
+                 CAST(ROW_NUMBER() OVER (
+                     PARTITION BY window_start
+                     ORDER BY n_events DESC, user_id) AS BIGINT) AS rnk
+          FROM bucketed
+        )
+        SELECT window_start, rnk, user_id, n_events
+        FROM ranked WHERE rnk <= 3
+        ORDER BY window_start, rnk
+    """,
+)
+def q_stream_hopping_topk(spark, d):
+    """Hopping-window leaderboard: the 3 most active users per
+    1-hour window hopping every 15 minutes — q_stream_topk's shape
+    under the GENERAL slide (4 phases; each event expands into
+    exactly four windows via Spark's Expand-based window()). The
+    oracle enumerates the four shifted tumbling phases — the same
+    assignment rule. Counts first shrink (window, user) to one row
+    via a combinable agg behind the 4× Expand (linear in events),
+    then row_number partitions BY WINDOW — many small partitions, no
+    global sort. Deterministic ties by user_id. Declared because
+    window() is batch/streaming identical; production emits each
+    leaderboard at window close via foreachBatch."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, d, "events")
+    bucketed = ev.groupBy(
+        F.window("ts", "1 hour", "15 minutes").alias("win"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w_rank = W.partitionBy("win").orderBy(F.desc("n_events"), "user_id")
+    return (
+        bucketed.withColumn(
+            "rnk", F.row_number().over(w_rank).cast("long")
+        )
+        .filter(F.col("rnk") <= HOP_TOPK)
+        .select(
+            F.col("win.start").alias("window_start"),
+            "rnk",
+            "user_id",
+            "n_events",
+        )
+        .orderBy("window_start", "rnk")
+    )
+
+
+# --------------------------------------------------------------------------
+# IDF-weighted asymmetric containment (dedup tier)
+# --------------------------------------------------------------------------
+
+# integer-ppm threshold (= the 0.6 of q_text_containment's CONTAIN_TAU,
+# but compared as exact integers — no ROUND-on-double anywhere)
+CONTAIN_IDF_TAU_PPM = 600_000
+
+
+def _containment_idf_oracle() -> str:
+    from .pipeline2 import _BIGRAMS_SQL
+
+    return f"""
+        WITH {_BIGRAMS_SQL},
+        df AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS df
+               FROM rare GROUP BY g),
+        nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+        wg AS (
+          SELECT r.doc_id, r.g,
+                 CAST(floor((ln(CAST(nd.n AS DOUBLE))
+                             - ln(CAST(d.df AS DOUBLE))) * 1000000)
+                      AS BIGINT) AS w
+          FROM rare r JOIN df d ON d.g = r.g CROSS JOIN nd
+        ),
+        wsz AS (
+          SELECT doc_id, CAST(SUM(w) AS BIGINT) AS wtot
+          FROM wg GROUP BY doc_id HAVING SUM(w) > 0
+        ),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(SUM(a.w) AS BIGINT) AS wi
+          FROM wg a JOIN wg b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY doc_a, doc_b
+        )
+        SELECT i.doc_a, i.doc_b, i.wi,
+               sa.wtot AS w_a, sb.wtot AS w_b,
+               i.wi * 1000000 // sa.wtot AS cont_idf_a_ppm,
+               i.wi * 1000000 // sb.wtot AS cont_idf_b_ppm
+        FROM inter i
+        JOIN wsz sa ON sa.doc_id = i.doc_a
+        JOIN wsz sb ON sb.doc_id = i.doc_b
+        WHERE greatest(i.wi * 1000000 // sa.wtot,
+                       i.wi * 1000000 // sb.wtot)
+              >= {CONTAIN_IDF_TAU_PPM}
+        ORDER BY doc_a, doc_b
+    """
+
+
+@query("q_dedup_containment_idf", oracle=_containment_idf_oracle())
+def q_dedup_containment_idf(spark, d):
+    """IDF-weighted asymmetric containment over DF-capped word
+    bigrams (module comment): C_idf(A,B) = Σ_{g∈A∩B} idf(g) /
+    Σ_{g∈A} idf(g), surfacing pairs where either direction clears
+    0.6 — the quote/subset detector of q_text_containment, but
+    frequent low-signal grams no longer dominate the ratio. Rides
+    the SAME DF-capped postings join as the whole n-gram family
+    (fan-out bounded by DF_CAP, never doc×doc); the per-gram df
+    reuses the window count the cap already paid for (one shuffle on
+    g). Weights are floor-micro BIGINTs of ln(N) − ln(df) — ln only
+    sees integers, every sum/division downstream is exact integer
+    arithmetic, and the threshold compares ppm integers (no ROUND on
+    raw doubles). Docs with zero IDF mass (every gram in all N docs)
+    are excluded on both engines before any division."""
+    from .pipeline2 import rare_grams
+
+    rare = rare_grams(spark, d, with_df=True)
+    docs = load(spark, d, "documents")
+    nd = docs.agg(F.count(F.lit(1)).alias("n"))
+    wg = rare.crossJoin(nd).select(
+        "doc_id",
+        "g",
+        F.expr(
+            "CAST(floor((ln(CAST(n AS DOUBLE))"
+            " - ln(CAST(df AS DOUBLE))) * 1000000) AS BIGINT)"
+        ).alias("w"),
+    )
+    wsz = (
+        wg.groupBy("doc_id")
+        .agg(F.sum("w").alias("wtot"))
+        .filter(F.col("wtot") > 0)
+    )
+    a = wg.select(F.col("doc_id").alias("doc_a"), "g", "w")
+    b = wg.select(F.col("doc_id").alias("doc_b"), "g")
+    inter = (
+        a.join(b, "g")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum("w").alias("wi"))
+    )
+    sa = wsz.select(F.col("doc_id").alias("doc_a"), F.col("wtot").alias("w_a"))
+    sb = wsz.select(F.col("doc_id").alias("doc_b"), F.col("wtot").alias("w_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "wi",
+            "w_a",
+            "w_b",
+            F.expr("wi * 1000000L div w_a").alias("cont_idf_a_ppm"),
+            F.expr("wi * 1000000L div w_b").alias("cont_idf_b_ppm"),
+        )
+        .filter(
+            F.greatest("cont_idf_a_ppm", "cont_idf_b_ppm")
+            >= CONTAIN_IDF_TAU_PPM
+        )
+        .orderBy("doc_a", "doc_b")
+    )

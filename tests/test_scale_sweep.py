@@ -114,6 +114,9 @@ ONE_ROW_BROADCAST = {
     "q_graph_hits",  # two 1-row L1-total broadcasts onto the bounded
     # per-node walk-count relations; the data-sized work happened in
     # the partial message-sum aggs map-side (r16)
+    "q_dedup_containment_idf",  # 1-row corpus-size (N) broadcast onto
+    # the DF-capped postings relation for the ln(N)−ln(df) weights —
+    # the q_text_tfidf shape (r16)
 }
 
 # --- BNLJ only: fixed probe panels / bounded candidate relations --------
