@@ -552,3 +552,294 @@ def q_dedup_containment_idf(spark, d):
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --------------------------------------------------------------------------
+# Mann–Kendall monotone-trend test (daily revenue per event type)
+# --------------------------------------------------------------------------
+#
+# The nonparametric TEST companion to q_ts_theilsen's Sen SLOPE
+# (Mann 1945; Kendall 1975): S = Σ_{i<j} sign(x_j − x_i) over the
+# calendar-bounded daily series, tie-corrected variance
+# 18·var(S) = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5), and the
+# continuity-corrected Z. Exact posture: the daily value is BIGINT
+# CENTS (decimal-exact sum ×100, floored once), so every sign and
+# every tie group is exact integer; var18 stays a BIGINT; the single
+# float touch is (S∓1)/sqrt(var18/18) — sqrt is IEEE
+# correctly-rounded, identical on identical doubles — floored to
+# micro. Pair fan-out is calendar-bounded (≤n²/type per year), the
+# q_ts_theilsen shape.
+
+_MANN_KENDALL_ORACLE = """
+    WITH daily AS (
+      SELECT event_type,
+             CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS d,
+             CAST(floor(SUM(CAST(value AS DECIMAL(30,10))) * 100)
+                  AS BIGINT) AS c
+      FROM events
+      GROUP BY event_type, d
+    ),
+    pairs AS (
+      SELECT a.event_type,
+             CAST(SUM(CASE WHEN b.c > a.c THEN 1
+                           WHEN b.c < a.c THEN -1 ELSE 0 END)
+                  AS BIGINT) AS s_stat
+      FROM daily a
+      JOIN daily b ON b.event_type = a.event_type AND b.d > a.d
+      GROUP BY a.event_type
+    ),
+    nn AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM daily GROUP BY event_type
+    ),
+    ties AS (
+      SELECT event_type,
+             CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0)
+                  AS BIGINT) AS tie_term
+      FROM (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS t
+            FROM daily GROUP BY event_type, c) g
+      GROUP BY event_type
+    ),
+    stat AS (
+      SELECT n.event_type, n.n, p.s_stat,
+             n.n * (n.n - 1) * (2 * n.n + 5) - t.tie_term AS var18
+      FROM nn n
+      JOIN pairs p ON p.event_type = n.event_type
+      JOIN ties t ON t.event_type = n.event_type
+    )
+    SELECT event_type, n AS n_days, s_stat, var18,
+           CASE WHEN var18 <= 0 THEN NULL
+                WHEN s_stat > 0 THEN CAST(floor(
+                    (CAST(s_stat AS DOUBLE) - 1.0e0)
+                    / sqrt(CAST(var18 AS DOUBLE) / 18.0e0)
+                    * 1000000) AS BIGINT)
+                WHEN s_stat < 0 THEN CAST(floor(
+                    (CAST(s_stat AS DOUBLE) + 1.0e0)
+                    / sqrt(CAST(var18 AS DOUBLE) / 18.0e0)
+                    * 1000000) AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS z_micro
+    FROM stat
+    ORDER BY event_type
+"""
+
+
+@query("q_ts_mann_kendall", oracle=_MANN_KENDALL_ORACLE)
+def q_ts_mann_kendall(spark, d):
+    """Mann–Kendall monotone-trend test (module comment): is each
+    event type's daily revenue trending, nonparametrically? One hash
+    agg to the calendar grain (the only corpus shuffle), a self
+    equi-join on event_type over the tiny daily relation
+    (calendar-bounded pair fan-out — the q_ts_theilsen posture), a
+    tie-group collapse, and a per-type closing projection whose only
+    float is the continuity-corrected Z (IEEE sqrt on identical
+    doubles, floored to micro). var18 = 18·var(S) ships as the exact
+    BIGINT so the test is replayable without float trust."""
+    ev = load(spark, d, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("cast(date_trunc('day', ts) as long) div 86400")
+        .alias("dd"),
+    ).agg(
+        F.expr(
+            "CAST(floor(SUM(CAST(value AS DECIMAL(30,10))) * 100)"
+            " AS BIGINT)"
+        ).alias("c")
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("b.event_type") == F.col("a.event_type"))
+            & (F.col("b.dd") > F.col("a.dd")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.c") > F.col("a.c"), 1)
+                .when(F.col("b.c") < F.col("a.c"), -1)
+                .otherwise(0)
+            ).alias("s_stat")
+        )
+    )
+    nn = daily.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    ties = (
+        daily.groupBy("event_type", "c")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.coalesce(
+                F.sum(F.expr("t * (t - 1) * (2 * t + 5)")), F.lit(0)
+            ).alias("tie_term")
+        )
+    )
+    stat = (
+        nn.join(pairs, "event_type")
+        .join(ties, "event_type")
+        .selectExpr(
+            "event_type",
+            "n AS n_days",
+            "s_stat",
+            "n * (n - 1) * (2 * n + 5) - tie_term AS var18",
+        )
+    )
+    return stat.selectExpr(
+        "event_type",
+        "n_days",
+        "s_stat",
+        "var18",
+        """CASE WHEN var18 <= 0 THEN NULL
+                WHEN s_stat > 0 THEN CAST(floor(
+                    (CAST(s_stat AS DOUBLE) - 1.0D)
+                    / sqrt(CAST(var18 AS DOUBLE) / 18.0D)
+                    * 1000000) AS BIGINT)
+                WHEN s_stat < 0 THEN CAST(floor(
+                    (CAST(s_stat AS DOUBLE) + 1.0D)
+                    / sqrt(CAST(var18 AS DOUBLE) / 18.0D)
+                    * 1000000) AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS z_micro""",
+    ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# Moving-average crossover detection (golden/death cross)
+# --------------------------------------------------------------------------
+#
+# The classic trading-signal shape next to q_ts_bollinger/q_ts_ewma:
+# a short (3-day) SMA crossing a long (7-day) SMA of daily revenue.
+# ZERO divisions: SMA_3 > SMA_7 ⇔ S3·n7 > S7·n3 on exact BIGINT
+# cents (cross-multiplication keeps the comparison integer-exact —
+# no float SMA anywhere), so the sign series and every crossing day
+# are exact on both engines. Crossings are evaluated on the OBSERVED
+# daily series (trading-day convention: missing days don't emit
+# phantom rows; lag skips to the previous observed day).
+
+SMA_SHORT = 3
+SMA_LONG = 7
+
+_SMA_CROSS_ORACLE = f"""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS d,
+             CAST(floor(SUM(CAST(value AS DECIMAL(30,10))) * 100)
+                  AS BIGINT) AS c
+      FROM events
+      GROUP BY event_type, d
+    ),
+    sma AS (
+      SELECT event_type, d,
+             CAST(SUM(c) OVER w3 AS BIGINT) AS s3,
+             CAST(COUNT(*) OVER w3 AS BIGINT) AS n3,
+             CAST(SUM(c) OVER w7 AS BIGINT) AS s7,
+             CAST(COUNT(*) OVER w7 AS BIGINT) AS n7
+      FROM daily
+      WINDOW w3 AS (PARTITION BY event_type ORDER BY d
+                    ROWS BETWEEN {SMA_SHORT - 1} PRECEDING
+                    AND CURRENT ROW),
+             w7 AS (PARTITION BY event_type ORDER BY d
+                    ROWS BETWEEN {SMA_LONG - 1} PRECEDING
+                    AND CURRENT ROW)
+    ),
+    signed AS (
+      SELECT event_type, d,
+             s3 * n7 - s7 * n3 AS diff,
+             CASE WHEN s3 * n7 - s7 * n3 > 0 THEN 1
+                  WHEN s3 * n7 - s7 * n3 < 0 THEN -1
+                  ELSE 0 END AS sgn
+      FROM sma
+    ),
+    lagged AS (
+      SELECT event_type, d, diff, sgn,
+             lag(diff) OVER (PARTITION BY event_type ORDER BY d)
+                 AS diff_prev,
+             lag(sgn) OVER (PARTITION BY event_type ORDER BY d)
+                 AS sgn_prev
+      FROM signed
+    )
+    SELECT event_type,
+           DATE '1970-01-01' + CAST(d AS INTEGER) AS day,
+           CASE WHEN sgn > 0 THEN 'golden' ELSE 'death' END
+               AS direction,
+           diff_prev, diff
+    FROM lagged
+    WHERE sgn_prev IS NOT NULL AND sgn <> sgn_prev
+      AND sgn <> 0 AND sgn_prev <> 0
+    ORDER BY event_type, day
+"""
+
+
+@query("q_ts_sma_cross", oracle=_SMA_CROSS_ORACLE)
+def q_ts_sma_cross(spark, d):
+    """Golden/death-cross detection (module comment): days where the
+    3-day SMA of daily revenue crosses the 7-day SMA, per event
+    type. One calendar-grain hash agg (the only corpus shuffle),
+    then two rolling frames + one lag sharing a single
+    (event_type; d) window partitioning over the bounded daily
+    relation, and a crossing filter. All-integer: cents in, exact
+    cross-multiplied BIGINT comparisons out — both engines agree on
+    every sign, so the crossing set is hash-stable with no epsilon
+    anywhere."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, d, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("cast(date_trunc('day', ts) as long) div 86400")
+        .alias("dd"),
+    ).agg(
+        F.expr(
+            "CAST(floor(SUM(CAST(value AS DECIMAL(30,10))) * 100)"
+            " AS BIGINT)"
+        ).alias("c")
+    )
+    base = W.partitionBy("event_type").orderBy("dd")
+    w3 = base.rowsBetween(-(SMA_SHORT - 1), 0)
+    w7 = base.rowsBetween(-(SMA_LONG - 1), 0)
+    sma = daily.select(
+        "event_type",
+        "dd",
+        F.sum("c").over(w3).alias("s3"),
+        F.count(F.lit(1)).over(w3).alias("n3"),
+        F.sum("c").over(w7).alias("s7"),
+        F.count(F.lit(1)).over(w7).alias("n7"),
+    )
+    signed = sma.select(
+        "event_type",
+        "dd",
+        (F.col("s3") * F.col("n7") - F.col("s7") * F.col("n3")).alias(
+            "diff"
+        ),
+    ).withColumn(
+        "sgn",
+        F.when(F.col("diff") > 0, 1)
+        .when(F.col("diff") < 0, -1)
+        .otherwise(0),
+    )
+    lagged = signed.select(
+        "event_type",
+        "dd",
+        "diff",
+        "sgn",
+        F.lag("diff").over(base).alias("diff_prev"),
+        F.lag("sgn").over(base).alias("sgn_prev"),
+    )
+    return (
+        lagged.filter(
+            F.col("sgn_prev").isNotNull()
+            & (F.col("sgn") != F.col("sgn_prev"))
+            & (F.col("sgn") != 0)
+            & (F.col("sgn_prev") != 0)
+        )
+        .select(
+            "event_type",
+            F.date_add(
+                F.lit(date(1970, 1, 1)), F.col("dd").cast("int")
+            ).alias("day"),
+            F.when(F.col("sgn") > 0, "golden")
+            .otherwise("death")
+            .alias("direction"),
+            "diff_prev",
+            "diff",
+        )
+        .orderBy("event_type", "day")
+    )

@@ -1,11 +1,12 @@
 """Round-16 gates: the r16 driver-window rotation pin (the r15 pin
 retired in test_round15.py), invariant + plan-shape checks for the
-four new r16 keys (q_ts_concurrency + q_graph_hits — the former
-phantom SURVEY rows, VERDICT r15 item 1 — and q_stream_hopping_topk
-+ q_dedup_containment_idf, the item-7 growth), and the
-removal-effect degenerate-data guards (ADVICE r15). The key-level
-SURVEY↔registry parity gate (VERDICT r15 item 2) lives next to the
-§7 count gate in test_round11.py.
+six new r16 keys (q_ts_concurrency + q_graph_hits — the former
+phantom SURVEY rows, VERDICT r15 item 1 — q_stream_hopping_topk +
+q_dedup_containment_idf, the item-7 growth, and q_ts_mann_kendall +
+q_ts_sma_cross, the ts-family growth), and the removal-effect
+degenerate-data guards (ADVICE r15). The key-level SURVEY↔registry
+parity gate (VERDICT r15 item 2) lives next to the §7 count gate in
+test_round11.py.
 """
 
 from __future__ import annotations
@@ -24,6 +25,7 @@ import __spark_entry__ as entry
 NEW_R16 = [
     "q_ts_concurrency", "q_graph_hits",
     "q_stream_hopping_topk", "q_dedup_containment_idf",
+    "q_ts_mann_kendall", "q_ts_sma_cross",
 ]
 
 # the 3 keys the r15 50-cap displaced; judge-verified green r15 but
@@ -51,15 +53,15 @@ R7_BAND = {
 
 
 def test_window_head_is_canary_plus_new_and_changed_keys():
-    """Slot 0: the canary. Slots 1–4: the four NEW r16 declared keys
+    """Slot 0: the canary. Slots 1–6: the six NEW r16 declared keys
     (driver-sampled the round they land — the two former phantoms,
-    then the two item-7 growth keys). Slot 5:
-    q_behavior_removal_effect, whose oracle changed this round (the
-    base CTE became a scalar-subquery COALESCE — ADVICE r15) and
-    must re-hash."""
+    the two item-7 growth keys, the two ts-family growth keys).
+    Slot 7: q_behavior_removal_effect, whose oracle changed this
+    round (the base CTE became a scalar-subquery COALESCE — ADVICE
+    r15) and must re-hash."""
     from spark_sklearn_spark.registry import DRIVER_PRIORITY
 
-    assert DRIVER_PRIORITY[:6] == [
+    assert DRIVER_PRIORITY[:8] == [
         "q_dq_engine_canary",
         *NEW_R16,
         "q_behavior_removal_effect",
@@ -67,26 +69,28 @@ def test_window_head_is_canary_plus_new_and_changed_keys():
 
 
 def test_window_covers_r5_residual_and_r7_band():
-    """The 50-key window = 6-slot head + the 3 displaced r5 keys +
-    the WHOLE 40-key r7 band + the name-first r8 key — after this
-    round no key's latest driver sample is older than r8 (VERDICT
-    r15 item 4's 'done' criterion)."""
+    """The 50-key window = 8-slot head + the 3 displaced r5 keys +
+    39 of the 40-key r7 band; the name-last r7 key (q_win_pareto)
+    is displaced to lead the r17 window — after this round only ONE
+    key's latest driver sample is older than r8 (VERDICT r15 item
+    4's criterion, minus the 50-cap residual, the r15 precedent)."""
     from spark_sklearn_spark.registry import DRIVER_PRIORITY
 
     window = set(DRIVER_PRIORITY[:50])
     assert R5_RESIDUAL <= window
-    assert R7_BAND <= window
-    assert DRIVER_PRIORITY[49:50] == ["q_behavior_markov"]
+    assert len(R7_BAND & window) == 39
+    assert R7_BAND - window == {"q_win_pareto"}
+    assert DRIVER_PRIORITY[50:51] == ["q_win_pareto"]
 
 
 def test_priority_tail_is_staleness_ordered():
-    """Behind the 6-key head the list is (latest-sample round, name)
+    """Behind the 8-key head the list is (latest-sample round, name)
     sorted — the property that keeps every future rotation
     mechanical. Spot-check: every r5 key precedes every r7 key, and
     every r7 key precedes everything newer."""
     from spark_sklearn_spark.registry import DRIVER_PRIORITY
 
-    tail = DRIVER_PRIORITY[6:]
+    tail = DRIVER_PRIORITY[8:]
     pos = {k: i for i, k in enumerate(tail)}
     assert max(pos[k] for k in R5_RESIDUAL) < min(pos[k] for k in R7_BAND)
     first_other = min(
@@ -232,3 +236,37 @@ def test_containment_idf_invariants(spark, sf_dir):
         assert r.cont_idf_a_ppm <= 1_000_000
         assert r.cont_idf_b_ppm <= 1_000_000
         assert max(r.cont_idf_a_ppm, r.cont_idf_b_ppm) >= 600_000
+
+
+def test_mann_kendall_invariants(spark, sf_dir):
+    """|S| is bounded by the pair count C(n,2); var18 matches the
+    closed form replayed on the returned integers (no ties can make
+    it exceed the untied value); Z's sign agrees with S."""
+    rows = entry.queries()["q_ts_mann_kendall"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        n = r.n_days
+        assert abs(r.s_stat) <= n * (n - 1) // 2
+        assert r.var18 <= n * (n - 1) * (2 * n + 5)
+        assert r.var18 >= 0
+        if r.z_micro is not None and r.s_stat != 0:
+            assert (r.z_micro >= 0) == (r.s_stat > 0) or r.z_micro in (
+                -1,
+                0,
+            )  # floor slop at tiny |Z|
+
+
+def test_sma_cross_alternates_per_type(spark, sf_dir):
+    """Consecutive crossings within a type must alternate direction
+    (golden can only follow death and vice versa), and the stored
+    diff signs must match the direction labels."""
+    rows = entry.queries()["q_ts_sma_cross"](spark, sf_dir).collect()
+    by_type = {}
+    for r in rows:
+        assert (r.direction == "golden") == (r.diff > 0)
+        assert r.diff_prev is not None and r.diff_prev != 0
+        assert (r.diff > 0) != (r.diff_prev > 0)
+        by_type.setdefault(r.event_type, []).append(r.direction)
+    for dirs in by_type.values():
+        for prev, cur in zip(dirs, dirs[1:]):
+            assert prev != cur
