@@ -843,3 +843,109 @@ def q_ts_sma_cross(spark, d):
         )
         .orderBy("event_type", "day")
     )
+
+
+# --------------------------------------------------------------------------
+# Hosmer–Lemeshow goodness-of-fit over the shared logistic fit
+# --------------------------------------------------------------------------
+#
+# Completes the calibration family (q_ml_calibration reliability
+# bins, q_ml_brier_decomp, q_ml_ece): the CLASSIC grouped
+# goodness-of-fit TEST (Hosmer & Lemeshow 1980),
+# HL = Σ_b (O_b − E_b)² / (E_b·(1 − E_b/n_b)) over the SAME decile
+# bins and bit-identical GD scores as the rest of the family. Per
+# bin, O_b is an exact integer, E_b comes from the exact decimal
+# score sum, so each term is an identical-IEEE double on both
+# engines; terms quantize to DECIMAL(30,10) before the ≤10-term sum
+# (the q_ml_ece posture) and the statistic ships floor-micro with
+# df = n_bins − 2.
+
+
+def _hosmer_lemeshow_oracle() -> str:
+    from .pipeline8 import _LR_BASE_SQL, _lr_step_sql
+
+    return f"""
+    WITH {_LR_BASE_SQL},
+    {_lr_step_sql(1)},
+    {_lr_step_sql(2)},
+    {_lr_step_sql(3)},
+    scored AS (
+      SELECT f.y,
+             1.0 / (1.0 + exp(-(w.w0 + w.w1 * f.x1 + w.w2 * f.x2)))
+                 AS p
+      FROM feats f, it3 w
+    ),
+    bins AS (
+      SELECT CAST(least(floor(p * 10.0), 9) AS BIGINT) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS nb,
+             CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS o_pos,
+             SUM(CAST(p AS DECIMAL(30,10))) AS e_pos
+      FROM scored
+      GROUP BY CAST(least(floor(p * 10.0), 9) AS BIGINT)
+    ),
+    terms AS (
+      SELECT nb, o_pos,
+             CAST(e_pos AS DOUBLE) AS e,
+             (CAST(o_pos AS DOUBLE) - CAST(e_pos AS DOUBLE))
+             * (CAST(o_pos AS DOUBLE) - CAST(e_pos AS DOUBLE))
+             / NULLIF(CAST(e_pos AS DOUBLE)
+                      * (1.0 - CAST(e_pos AS DOUBLE) / nb), 0)
+                 AS term
+      FROM bins
+    )
+    SELECT CAST(SUM(nb) AS BIGINT) AS n,
+           CAST(COUNT(*) AS BIGINT) AS n_bins,
+           CAST(COUNT(*) - 2 AS BIGINT) AS df,
+           CAST(floor(CAST(SUM(CAST(term AS DECIMAL(30,10)))
+                           AS DOUBLE) * 1000000) AS BIGINT) AS hl_q6
+    FROM terms
+    """
+
+
+@query("q_ml_hosmer_lemeshow", oracle=_hosmer_lemeshow_oracle())
+def q_ml_hosmer_lemeshow(spark, d):
+    """Hosmer–Lemeshow grouped goodness-of-fit (module comment):
+    reuses q_ml_logreg's bit-identical memoized GD weights (_lr_fit
+    — the unrolled-lineage escape that dropped this family to
+    sub-second in r14), one broadcast-scored corpus scan into a
+    combinable 10-bin agg, then ≤10-row term arithmetic
+    (ONE_ROW_BROADCAST class, exactly the q_ml_ece shape)."""
+    from ._helpers import DEC
+    from .pipeline8 import _lr_fit
+
+    feats, n, w3 = _lr_fit(spark, d)
+    z = (
+        F.col("w0")
+        + F.col("w1") * F.col("x1")
+        + F.col("w2") * F.col("x2")
+    )
+    p = 1.0 / (1.0 + F.exp(-z))
+    scored = feats.crossJoin(F.broadcast(w3)).select("y", p.alias("p"))
+    bins = scored.groupBy(
+        F.least(F.floor(F.col("p") * 10.0), F.lit(9))
+        .cast("long")
+        .alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.sum(F.when(F.col("y") == 1.0, 1).otherwise(0))
+        .cast("long")
+        .alias("o_pos"),
+        F.sum(F.col("p").cast(DEC)).alias("e_pos"),
+    )
+    terms = bins.selectExpr(
+        "nb",
+        "(CAST(o_pos AS DOUBLE) - CAST(e_pos AS DOUBLE))"
+        " * (CAST(o_pos AS DOUBLE) - CAST(e_pos AS DOUBLE))"
+        " / NULLIF(CAST(e_pos AS DOUBLE)"
+        "          * (1.0D - CAST(e_pos AS DOUBLE) / nb), 0) AS term",
+    )
+    return terms.agg(
+        F.sum("nb").alias("n"),
+        F.count(F.lit(1)).alias("n_bins"),
+        (F.count(F.lit(1)) - 2).alias("df"),
+        F.expr(
+            "CAST(floor(CAST(SUM(CAST(term AS DECIMAL(30,10)))"
+            " AS DOUBLE) * 1000000) AS BIGINT)"
+        ).alias("hl_q6"),
+    )

@@ -1,9 +1,10 @@
 """Round-16 gates: the r16 driver-window rotation pin (the r15 pin
 retired in test_round15.py), invariant + plan-shape checks for the
-six new r16 keys (q_ts_concurrency + q_graph_hits — the former
+seven new r16 keys (q_ts_concurrency + q_graph_hits — the former
 phantom SURVEY rows, VERDICT r15 item 1 — q_stream_hopping_topk +
-q_dedup_containment_idf, the item-7 growth, and q_ts_mann_kendall +
-q_ts_sma_cross, the ts-family growth), and the removal-effect
+q_dedup_containment_idf, the item-7 growth, q_ts_mann_kendall +
+q_ts_sma_cross, the ts-family growth, and q_ml_hosmer_lemeshow, the
+calibration-family test), and the removal-effect
 degenerate-data guards (ADVICE r15). The key-level SURVEY↔registry
 parity gate (VERDICT r15 item 2) lives next to the §7 count gate in
 test_round11.py.
@@ -25,7 +26,7 @@ import __spark_entry__ as entry
 NEW_R16 = [
     "q_ts_concurrency", "q_graph_hits",
     "q_stream_hopping_topk", "q_dedup_containment_idf",
-    "q_ts_mann_kendall", "q_ts_sma_cross",
+    "q_ts_mann_kendall", "q_ts_sma_cross", "q_ml_hosmer_lemeshow",
 ]
 
 # the 3 keys the r15 50-cap displaced; judge-verified green r15 but
@@ -53,15 +54,16 @@ R7_BAND = {
 
 
 def test_window_head_is_canary_plus_new_and_changed_keys():
-    """Slot 0: the canary. Slots 1–6: the six NEW r16 declared keys
-    (driver-sampled the round they land — the two former phantoms,
-    the two item-7 growth keys, the two ts-family growth keys).
-    Slot 7: q_behavior_removal_effect, whose oracle changed this
-    round (the base CTE became a scalar-subquery COALESCE — ADVICE
-    r15) and must re-hash."""
+    """Slot 0: the canary. Slots 1–7: the seven NEW r16 declared
+    keys (driver-sampled the round they land — the two former
+    phantoms, the two item-7 growth keys, the two ts-family growth
+    keys, the calibration-family test). Slot 8:
+    q_behavior_removal_effect, whose oracle changed this round (the
+    base CTE became a scalar-subquery COALESCE — ADVICE r15) and
+    must re-hash."""
     from spark_sklearn_spark.registry import DRIVER_PRIORITY
 
-    assert DRIVER_PRIORITY[:8] == [
+    assert DRIVER_PRIORITY[:9] == [
         "q_dq_engine_canary",
         *NEW_R16,
         "q_behavior_removal_effect",
@@ -69,28 +71,29 @@ def test_window_head_is_canary_plus_new_and_changed_keys():
 
 
 def test_window_covers_r5_residual_and_r7_band():
-    """The 50-key window = 8-slot head + the 3 displaced r5 keys +
-    39 of the 40-key r7 band; the name-last r7 key (q_win_pareto)
-    is displaced to lead the r17 window — after this round only ONE
-    key's latest driver sample is older than r8 (VERDICT r15 item
-    4's criterion, minus the 50-cap residual, the r15 precedent)."""
+    """The 50-key window = 9-slot head + the 3 displaced r5 keys +
+    38 of the 40-key r7 band; the two name-last r7 keys (q_ts_ohlc,
+    q_win_pareto) are displaced to lead the r17 window — after this
+    round only TWO keys' latest driver samples are older than r8
+    (VERDICT r15 item 4's criterion, minus the 50-cap residual, the
+    r15 precedent)."""
     from spark_sklearn_spark.registry import DRIVER_PRIORITY
 
     window = set(DRIVER_PRIORITY[:50])
     assert R5_RESIDUAL <= window
-    assert len(R7_BAND & window) == 39
-    assert R7_BAND - window == {"q_win_pareto"}
-    assert DRIVER_PRIORITY[50:51] == ["q_win_pareto"]
+    assert len(R7_BAND & window) == 38
+    assert R7_BAND - window == {"q_ts_ohlc", "q_win_pareto"}
+    assert DRIVER_PRIORITY[50:52] == ["q_ts_ohlc", "q_win_pareto"]
 
 
 def test_priority_tail_is_staleness_ordered():
-    """Behind the 8-key head the list is (latest-sample round, name)
+    """Behind the 9-key head the list is (latest-sample round, name)
     sorted — the property that keeps every future rotation
     mechanical. Spot-check: every r5 key precedes every r7 key, and
     every r7 key precedes everything newer."""
     from spark_sklearn_spark.registry import DRIVER_PRIORITY
 
-    tail = DRIVER_PRIORITY[8:]
+    tail = DRIVER_PRIORITY[9:]
     pos = {k: i for i, k in enumerate(tail)}
     assert max(pos[k] for k in R5_RESIDUAL) < min(pos[k] for k in R7_BAND)
     first_other = min(
@@ -270,3 +273,14 @@ def test_sma_cross_alternates_per_type(spark, sf_dir):
     for dirs in by_type.values():
         for prev, cur in zip(dirs, dirs[1:]):
             assert prev != cur
+
+
+def test_hosmer_lemeshow_consistency_with_ece(spark, sf_dir):
+    """Same fit, same decile bins: HL's n and bin count must match
+    q_ml_ece's, HL is nonnegative, and df = bins − 2."""
+    hl = entry.queries()["q_ml_hosmer_lemeshow"](spark, sf_dir).collect()[0]
+    ece = entry.queries()["q_ml_ece"](spark, sf_dir).collect()[0]
+    assert hl.n == ece.n
+    assert hl.n_bins == ece.n_bins
+    assert hl.df == hl.n_bins - 2
+    assert hl.hl_q6 >= 0

@@ -117,6 +117,8 @@ ONE_ROW_BROADCAST = {
     "q_dedup_containment_idf",  # 1-row corpus-size (N) broadcast onto
     # the DF-capped postings relation for the ln(N)−ln(df) weights —
     # the q_text_tfidf shape (r16)
+    "q_ml_hosmer_lemeshow",  # 1-row lr_fit weights broadcast + 10-bin
+    # term arithmetic — exactly the q_ml_ece shape (r16)
 }
 
 # --- BNLJ only: fixed probe panels / bounded candidate relations --------
