@@ -949,3 +949,130 @@ def q_ml_hosmer_lemeshow(spark, d):
             " AS DOUBLE) * 1000000) AS BIGINT)"
         ).alias("hl_q6"),
     )
+
+
+# --------------------------------------------------------------------------
+# Dickey–Fuller unit-root test (daily revenue per event type)
+# --------------------------------------------------------------------------
+#
+# The stationarity companion to q_ts_mann_kendall's monotone-trend
+# test (Dickey & Fuller 1979, zero augmentation lags): regress
+# Δy_t on (1, y_{t−1}) over the observed daily series and report the
+# t-statistic of the lag coefficient — deeply negative t rejects the
+# unit root. The q_ts_granger posture: ONE calendar collapse to
+# exact integer WHOLE-UNIT daily revenue (floor of the decimal sum —
+# whole units, not cents, keep every moment ≤ ~4e17 with int64
+# headroom; bound documented), exact BIGINT moments (n, Sx, Sy, Sxx,
+# Sxy, Syy), then the closed-form OLS beta/t in ONE shared float
+# expression evaluated verbatim on both engines and floored to
+# micro. The moments ship as BIGINTs so the test is replayable
+# without float trust.
+
+# the closing float math, shared VERBATIM by both engines (identical
+# IEEE op sequence on identical integer inputs)
+_DF_T_EXPR = (
+    "CAST(floor("
+    "(CAST(n * sxy - sx * sy AS DOUBLE)"
+    " / CAST(n * sxx - sx * sx AS DOUBLE))"
+    " / NULLIF(sqrt("
+    "((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n)"
+    " - (CAST(n * sxy - sx * sy AS DOUBLE)"
+    "    / CAST(n * sxx - sx * sx AS DOUBLE))"
+    "   * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n))"
+    " / (n - 2) * n / CAST(n * sxx - sx * sx AS DOUBLE)"
+    "), 0)"
+    " * 1000000) AS BIGINT)"
+)
+
+_DF_BETA_EXPR = (
+    "CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)"
+    " / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000) AS BIGINT)"
+)
+
+_DICKEY_FULLER_ORACLE = f"""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS d,
+             CAST(floor(SUM(CAST(value AS DECIMAL(30,10))))
+                  AS BIGINT) AS y
+      FROM events
+      GROUP BY event_type, d
+    ),
+    lagged AS (
+      SELECT event_type,
+             lag(y) OVER (PARTITION BY event_type ORDER BY d) AS x,
+             y - lag(y) OVER (PARTITION BY event_type ORDER BY d)
+                 AS dy
+      FROM daily
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(dy) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(x * dy) AS BIGINT) AS sxy,
+             CAST(SUM(dy * dy) AS BIGINT) AS syy
+      FROM lagged WHERE x IS NOT NULL
+      GROUP BY event_type
+    )
+    SELECT event_type, n AS n_obs, sx, sy, sxx, sxy, syy,
+           CASE WHEN n >= 3 AND n * sxx - sx * sx > 0
+                THEN {_DF_BETA_EXPR} ELSE NULL END AS beta_micro,
+           CASE WHEN n >= 3 AND n * sxx - sx * sx > 0
+                THEN {_DF_T_EXPR} ELSE NULL END AS df_t_micro
+    FROM m
+    ORDER BY event_type
+"""
+
+
+@query("q_ts_dickey_fuller", oracle=_DICKEY_FULLER_ORACLE)
+def q_ts_dickey_fuller(spark, d):
+    """Dickey–Fuller unit-root t-test (module comment): one
+    calendar-grain hash agg (the only corpus shuffle), one
+    per-type lag window over the bounded daily relation, a
+    combinable 6-moment collapse, and the closed-form beta/t
+    projection — the identical float expression text runs on both
+    engines, floored to micro, with the exact BIGINT moments
+    alongside for replay. Guards: NULL when n < 3 or the design
+    matrix is degenerate (all lag values equal)."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, d, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("cast(date_trunc('day', ts) as long) div 86400")
+        .alias("dd"),
+    ).agg(
+        F.expr(
+            "CAST(floor(SUM(CAST(value AS DECIMAL(30,10))))"
+            " AS BIGINT)"
+        ).alias("y")
+    )
+    base = W.partitionBy("event_type").orderBy("dd")
+    lagged = daily.select(
+        "event_type",
+        F.lag("y").over(base).alias("x"),
+        (F.col("y") - F.lag("y").over(base)).alias("dy"),
+    ).filter(F.col("x").isNotNull())
+    m = lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+        F.sum(F.expr("x * dy")).alias("sxy"),
+        F.sum(F.expr("dy * dy")).alias("syy"),
+    )
+    return m.selectExpr(
+        "event_type",
+        "n AS n_obs",
+        "sx",
+        "sy",
+        "sxx",
+        "sxy",
+        "syy",
+        f"CASE WHEN n >= 3 AND n * sxx - sx * sx > 0"
+        f" THEN {_DF_BETA_EXPR} ELSE NULL END AS beta_micro",
+        f"CASE WHEN n >= 3 AND n * sxx - sx * sx > 0"
+        f" THEN {_DF_T_EXPR} ELSE NULL END AS df_t_micro",
+    ).orderBy("event_type")

@@ -1,10 +1,11 @@
 """Round-16 gates: the r16 driver-window rotation pin (the r15 pin
 retired in test_round15.py), invariant + plan-shape checks for the
-seven new r16 keys (q_ts_concurrency + q_graph_hits — the former
+eight new r16 keys (q_ts_concurrency + q_graph_hits — the former
 phantom SURVEY rows, VERDICT r15 item 1 — q_stream_hopping_topk +
 q_dedup_containment_idf, the item-7 growth, q_ts_mann_kendall +
-q_ts_sma_cross, the ts-family growth, and q_ml_hosmer_lemeshow, the
-calibration-family test), and the removal-effect
+q_ts_sma_cross + q_ts_dickey_fuller, the ts-family growth, and
+q_ml_hosmer_lemeshow, the calibration-family test), and the
+removal-effect
 degenerate-data guards (ADVICE r15). The key-level SURVEY↔registry
 parity gate (VERDICT r15 item 2) lives next to the §7 count gate in
 test_round11.py.
@@ -27,6 +28,7 @@ NEW_R16 = [
     "q_ts_concurrency", "q_graph_hits",
     "q_stream_hopping_topk", "q_dedup_containment_idf",
     "q_ts_mann_kendall", "q_ts_sma_cross", "q_ml_hosmer_lemeshow",
+    "q_ts_dickey_fuller",
 ]
 
 # the 3 keys the r15 50-cap displaced; judge-verified green r15 but
@@ -54,16 +56,16 @@ R7_BAND = {
 
 
 def test_window_head_is_canary_plus_new_and_changed_keys():
-    """Slot 0: the canary. Slots 1–7: the seven NEW r16 declared
+    """Slot 0: the canary. Slots 1–8: the eight NEW r16 declared
     keys (driver-sampled the round they land — the two former
-    phantoms, the two item-7 growth keys, the two ts-family growth
-    keys, the calibration-family test). Slot 8:
+    phantoms, the two item-7 growth keys, the three ts-family growth
+    keys, the calibration-family test). Slot 9:
     q_behavior_removal_effect, whose oracle changed this round (the
     base CTE became a scalar-subquery COALESCE — ADVICE r15) and
     must re-hash."""
     from spark_sklearn_spark.registry import DRIVER_PRIORITY
 
-    assert DRIVER_PRIORITY[:9] == [
+    assert DRIVER_PRIORITY[:10] == [
         "q_dq_engine_canary",
         *NEW_R16,
         "q_behavior_removal_effect",
@@ -71,29 +73,31 @@ def test_window_head_is_canary_plus_new_and_changed_keys():
 
 
 def test_window_covers_r5_residual_and_r7_band():
-    """The 50-key window = 9-slot head + the 3 displaced r5 keys +
-    38 of the 40-key r7 band; the two name-last r7 keys (q_ts_ohlc,
-    q_win_pareto) are displaced to lead the r17 window — after this
-    round only TWO keys' latest driver samples are older than r8
-    (VERDICT r15 item 4's criterion, minus the 50-cap residual, the
-    r15 precedent)."""
+    """The 50-key window = 10-slot head + the 3 displaced r5 keys +
+    37 of the 40-key r7 band; the three name-last r7 keys
+    (q_ts_ewma, q_ts_ohlc, q_win_pareto) are displaced to lead the
+    r17 window — after this round only THREE keys' latest driver
+    samples are older than r8 (VERDICT r15 item 4's criterion, minus
+    the 50-cap residual, the r15 precedent)."""
     from spark_sklearn_spark.registry import DRIVER_PRIORITY
 
     window = set(DRIVER_PRIORITY[:50])
     assert R5_RESIDUAL <= window
-    assert len(R7_BAND & window) == 38
-    assert R7_BAND - window == {"q_ts_ohlc", "q_win_pareto"}
-    assert DRIVER_PRIORITY[50:52] == ["q_ts_ohlc", "q_win_pareto"]
+    assert len(R7_BAND & window) == 37
+    assert R7_BAND - window == {"q_ts_ewma", "q_ts_ohlc", "q_win_pareto"}
+    assert DRIVER_PRIORITY[50:53] == [
+        "q_ts_ewma", "q_ts_ohlc", "q_win_pareto",
+    ]
 
 
 def test_priority_tail_is_staleness_ordered():
-    """Behind the 9-key head the list is (latest-sample round, name)
+    """Behind the 10-key head the list is (latest-sample round, name)
     sorted — the property that keeps every future rotation
     mechanical. Spot-check: every r5 key precedes every r7 key, and
     every r7 key precedes everything newer."""
     from spark_sklearn_spark.registry import DRIVER_PRIORITY
 
-    tail = DRIVER_PRIORITY[9:]
+    tail = DRIVER_PRIORITY[10:]
     pos = {k: i for i, k in enumerate(tail)}
     assert max(pos[k] for k in R5_RESIDUAL) < min(pos[k] for k in R7_BAND)
     first_other = min(
@@ -284,3 +288,30 @@ def test_hosmer_lemeshow_consistency_with_ece(spark, sf_dir):
     assert hl.n_bins == ece.n_bins
     assert hl.df == hl.n_bins - 2
     assert hl.hl_q6 >= 0
+
+
+def test_dickey_fuller_replays_from_moments(spark, sf_dir):
+    """The shipped BIGINT moments must reproduce beta_micro and
+    df_t_micro exactly via the same closed form — the replayability
+    guarantee the moments exist for."""
+    import math
+
+    rows = entry.queries()["q_ts_dickey_fuller"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        n, sx, sy, sxx, sxy, syy = r.n_obs, r.sx, r.sy, r.sxx, r.sxy, r.syy
+        d_det = n * sxx - sx * sx
+        if n < 3 or d_det <= 0:
+            assert r.beta_micro is None and r.df_t_micro is None
+            continue
+        beta = float(n * sxy - sx * sy) / float(d_det)
+        assert r.beta_micro == math.floor(beta * 1000000)
+        sse = (float(syy) - float(sy) * sy / n) - beta * (
+            float(sxy) - float(sx) * sy / n
+        )
+        var_b = sse / (n - 2) * n / float(d_det)
+        rt = math.sqrt(var_b)
+        if rt == 0:
+            assert r.df_t_micro is None
+        else:
+            assert r.df_t_micro == math.floor(beta / rt * 1000000)

@@ -233,6 +233,8 @@ BOUNDED_DOMAIN_WINDOW_OK = {
     " day-grain start/end counts (calendar-bounded input, r13)",
     "q_ts_sma_cross": "per-type daily-grain SMA frames + crossing"
     " lag over the calendar collapse (r16)",
+    "q_ts_dickey_fuller": "per-type daily-grain lag window over the"
+    " calendar collapse feeding the moment agg (r16)",
     "q_win_distribution": "per-status distribution over order grain —"
     " declared operator semantics (cume_dist/percent_rank per status);"
     " the partition count is the parallelism floor by definition",
