@@ -983,43 +983,46 @@ def q_text_minhash_containment(spark, d):
         .filter(F.col("jacc") >= 0.4)
         .drop("jacc")
     )
-    # explode a literal perm sequence instead of a 16-row crossJoin —
-    # same 16x fan-out, zero join nodes in the plan
-    sig = (
-        rare.select(
-            "doc_id",
-            "g",
-            F.explode(F.expr(f"sequence(0, {_MHC_PERMS - 1})")).alias("p"),
-        )
-        .select(
-            "doc_id",
-            "p",
-            h56("concat('mh', cast(p as string), ':', g)").alias("h"),
-        )
-        .groupBy("doc_id", "p")
-        .agg(F.min("h").alias("m"))
+    # r17: h56('mh{p}:' || g) depends only on (p, g) — compute the 16
+    # hashes ONCE per DISTINCT gram as an array (the _mh_capped_and_
+    # bands rewrite), join back on g (postings already partitioned on
+    # g by the DF-cap window → exchange reuse), and take the per-doc
+    # minima in ONE 16-column agg. The signature then stays WIDE: the
+    # per-pair eq_slots is a codegen'd 16-term comparison sum after
+    # two key joins — the old 16× perm explode (4M md5s + a
+    # (doc, perm) shuffle + a 16×-fanned slot join + re-agg) is gone.
+    # Values identical: same hash expression, same minima, same sum.
+    gh = rare.select("g").distinct().select(
+        "g",
+        F.array(
+            *[h56(f"concat('mh{p}:', g)") for p in range(_MHC_PERMS)]
+        ).alias("hs"),
     )
-    sa = sig.select(
-        F.col("doc_id").alias("doc_a"), "p", F.col("m").alias("ma")
-    )
-    sb = sig.select(
-        F.col("doc_id").alias("doc_b"), "p", F.col("m").alias("mb")
-    )
-    match = (
-        cand.select("doc_a", "doc_b")
-        .join(sa, "doc_a")
-        .join(sb, ["doc_b", "p"])
-        .groupBy("doc_a", "doc_b")
+    sigw = (
+        rare.join(gh, "g")
+        .groupBy("doc_id")
         .agg(
-            F.sum(
-                F.when(F.col("ma") == F.col("mb"), 1).otherwise(0)
-            )
-            .cast("long")
-            .alias("eq_slots")
+            *[
+                F.min(F.col("hs")[p]).alias(f"m{p}")
+                for p in range(_MHC_PERMS)
+            ]
         )
+    )
+    sa = sigw.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"m{p}").alias(f"ma{p}") for p in range(_MHC_PERMS)],
+    )
+    sb = sigw.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"m{p}").alias(f"mb{p}") for p in range(_MHC_PERMS)],
+    )
+    eq_expr = " + ".join(
+        f"IF(ma{p} = mb{p}, 1, 0)" for p in range(_MHC_PERMS)
     )
     return (
-        cand.join(match, ["doc_a", "doc_b"])
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("eq_slots", F.expr(f"cast(({eq_expr}) as bigint)"))
         .selectExpr(
             "doc_a",
             "doc_b",

@@ -171,6 +171,15 @@ def q_dedup_recall_srp(spark, d):
         "q",
         F.expr("aggregate(q, 0L, (acc, x) -> acc + x * x)").alias("n2"),
     )
+    # r17 note: two map-side matmul rewrites of this signature stage
+    # were MEASURED AND REJECTED — (a) the 64×64 weight matrix as a
+    # literal array inside a HOF fold re-constructs the 4096-element
+    # array per lambda invocation (interpreted HOFs, no CSE): 87 s at
+    # sf0.1; (b) fully unrolled flat multiply-adds blow janino's 64 KB
+    # method limit (interpreted fallback) AND the explode's pruning
+    # filter duplicates the whole 4096-term expression into the scan.
+    # The exploded broadcast-join below computes each product once in
+    # codegen with combinable partial aggs — it stays.
     vals = planted.select(
         "vec_id", F.posexplode("q").alias("j0", "qj")
     ).select("vec_id", (F.col("j0") + 1).alias("j"), "qj")

@@ -383,15 +383,22 @@ def q_text_bpe_pairs(spark, d):
     words = docs.select(F.explode(F.split("text", " ")).alias("w")).filter(
         F.length("w") >= 2
     )
-    pairs = words.select(
+    # r17: pair emission is a pure function of the word string —
+    # collapse to DISTINCT words with a multiplicity first (map-side
+    # combinable agg), explode pairs over the distinct-word relation,
+    # and weight the count. Identical totals, ~occurrence/type-ratio×
+    # less per-element substr work (the q_text_bpe_merge rewrite).
+    wc = words.groupBy("w").agg(F.count(F.lit(1)).alias("wn"))
+    pairs = wc.select(
+        "wn",
         F.explode(
             F.expr("transform(sequence(1, length(w) - 1),"
                    " i -> substr(w, i, 2))")
-        ).alias("pair")
+        ).alias("pair"),
     )
     return (
         pairs.groupBy("pair")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("wn").alias("cnt"))
         .orderBy(F.desc("cnt"), "pair")
         .limit(30)
     )

@@ -133,11 +133,29 @@ def q_graph_copurchase(spark, d):
     actually run, cap included."""
     keep = tail_baskets(spark, d)
     sizes = keep.groupBy("cust").agg(F.count(F.lit(1)).alias("n"))
-    a = keep.select(F.col("cust").alias("cust_a"), "part")
-    b = keep.select(F.col("cust").alias("cust_b"), "part")
+    # r17: per-part fan-out is POP_CAP-bounded (≤ 25 buyers), so all
+    # C(nc, 2) customer pairs generate MAP-SIDE from one sorted
+    # collect_set per part — the q_graph_adamic_adar shape (CLAUDE.md:
+    # one shuffle, no second join) — instead of the postings
+    # self-equi-join, which re-computed the whole keep lineage on both
+    # branches and pushed the ×C(nc,2) fan-out through join machinery.
+    # sort_array ⇒ x < y, so the pair set and counts are identical.
+    grouped = (
+        keep.groupBy("part")
+        .agg(F.sort_array(F.collect_set("cust")).alias("cs"))
+        .filter(F.size("cs") >= 2)
+    )
     pairs = (
-        a.join(b, "part")
-        .filter(F.col("cust_a") < F.col("cust_b"))
+        grouped.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(cs, (x, i) ->"
+                    " transform(slice(cs, i + 2, size(cs) - i - 1),"
+                    " y -> struct(x AS cust_a, y AS cust_b))))"
+                )
+            ).alias("pr")
+        )
+        .select("pr.cust_a", "pr.cust_b")
         .groupBy("cust_a", "cust_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
         .filter(F.col("n_common") >= COMMON_MIN)
@@ -1310,22 +1328,42 @@ def _mh_capped_and_bands(spark, d, docs=None):
         .filter(F.col("df") <= MH_DF_CAP)
         .drop("df")
     )
-    hashes = capped.select(
-        "doc_id",
-        F.explode(F.array(*[F.lit(i) for i in range(MH_K)])).alias("i"),
+    # h56(i:g) depends only on (i, g), never on doc_id — so the 16
+    # md5-head hashes are computed ONCE per DISTINCT gram (postings /
+    # distinct-gram ratio ≈ 9.6x at sf0.1: 260k postings vs 27k grams)
+    # as a 16-element array, joined back onto the postings on g (both
+    # sides descend from the DF-cap window's hashpartition(g) exchange,
+    # so the join adds no new shuffle of the postings), and the per-doc
+    # signature is 16 array-element minima in ONE hash agg on doc_id.
+    # Replaces the 16x posting explode (4.2M md5s + a (doc_id, i)
+    # shuffle of the exploded rows + a second band re-agg) — values
+    # are bit-identical: same hash expression, same minima, bands
+    # assembled from the same (i -> band, slot) layout.
+    gh = capped.select("g").distinct().select(
         "g",
-    ).select(
-        "doc_id",
-        "i",
-        h56("concat(cast(i as string), ':', g)").alias("h"),
+        F.array(
+            *[h56(f"concat('{i}:', g)") for i in range(MH_K)]
+        ).alias("hs"),
     )
-    sig = hashes.groupBy("doc_id", "i").agg(F.min("h").alias("mh"))
-    bands = sig.groupBy(
+    sig = (
+        capped.join(gh, "g")
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.min(F.col("hs")[i]).alias(f"mh{i}")
+                for i in range(MH_K)
+            ]
+        )
+    )
+    stack_args = ", ".join(
+        f"{b}L, mh{MH_R * b}, mh{MH_R * b + 1}"
+        for b in range(MH_K // MH_R)
+    )
+    bands = sig.select(
         "doc_id",
-        F.floor(F.col("i") / MH_R).cast("long").alias("band"),
-    ).agg(
-        F.min(F.when(F.col("i") % MH_R == 0, F.col("mh"))).alias("h0"),
-        F.min(F.when(F.col("i") % MH_R == 1, F.col("mh"))).alias("h1"),
+        F.expr(
+            f"stack({MH_K // MH_R}, {stack_args}) AS (band, h0, h1)"
+        ),
     )
     return capped, bands
 

@@ -79,22 +79,30 @@ def q_dedup_segments(spark, d):
     back on the hash, one per-lang agg — all hash-partitioned on keys
     whose cardinality grows with data, never a global structure."""
     docs = load(spark, d, "documents")
-    words = F.split("text", " ")
+    # Tokenize ONCE into a column (r17): interpreted HOFs have no CSE,
+    # so a split(text) embedded in the per-segment lambda re-splits the
+    # whole document for EVERY segment — O(len²)/doc (the rare_grams
+    # note). explode_outer keeps the pruning filter from re-evaluating
+    # the transform inside the scan; values are identical (same md5
+    # over the same slices).
+    w = docs.select(
+        "doc_id", "lang", F.split("text", " ").alias("w")
+    ).filter(F.size("w") >= SEG_WORDS)
     segs = (
-        docs.filter(F.size(words) >= SEG_WORDS)
-        .select(
+        w.select(
             "doc_id",
             "lang",
-            F.explode(
+            F.explode_outer(
                 F.expr(
-                    f"transform(sequence(0, cast(floor(size(split(text,' '))"
+                    f"transform(sequence(0, cast(floor(size(w)"
                     f" / {SEG_WORDS}.0) as int) - 1),"
                     f" i -> md5(concat_ws(' ',"
-                    f" slice(split(text, ' '), i * {SEG_WORDS} + 1,"
+                    f" slice(w, i * {SEG_WORDS} + 1,"
                     f" {SEG_WORDS}))))"
                 )
             ).alias("seg_key"),
         )
+        .filter(F.col("seg_key").isNotNull())
     )
     counts = segs.groupBy("seg_key").agg(F.count(F.lit(1)).alias("c"))
     flagged = segs.join(counts, "seg_key")
@@ -172,21 +180,27 @@ def q_text_novelty(spark, d):
     combinable aggs and a 20-row broadcast join; novelty share is
     exact integer ppm (long div long)."""
     docs = load(spark, d, "documents")
+    # Tokenize ONCE (r17, same fix as q_dedup_segments above): the old
+    # form re-split the document inside the per-gram lambda — O(len²)
+    # per doc in interpreted HOF evaluation. Same md5-head values.
+    w = docs.select(
+        "doc_id", "source", F.split("text", " ").alias("w")
+    ).filter(F.size("w") >= NOV_GRAM)
     grams = (
-        docs.filter(F.size(F.split("text", " ")) >= NOV_GRAM)
-        .select(
+        w.select(
             "doc_id",
             "source",
-            F.explode(
+            F.explode_outer(
                 F.expr(
-                    f"transform(sequence(1, size(split(text, ' '))"
+                    f"transform(sequence(1, size(w)"
                     f" - {NOV_GRAM} + 1),"
                     f" i -> cast(conv(substr(md5(concat_ws(' ',"
-                    f" slice(split(text, ' '), i, {NOV_GRAM}))),"
+                    f" slice(w, i, {NOV_GRAM}))),"
                     f" 1, 14), 16, 10) as bigint))"
                 )
             ).alias("g"),
         )
+        .filter(F.col("g").isNotNull())
         .distinct()
     )
     owners = grams.groupBy("g").agg(

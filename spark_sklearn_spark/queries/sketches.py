@@ -99,6 +99,16 @@ def q_sketch_countmin(spark, d):
     li = load(spark, d, "lineitem").select(
         "l_partkey", F.col("l_partkey").cast("string").alias("key")
     )
+    truth = li.groupBy("l_partkey", "key").agg(
+        F.count(F.lit(1)).alias("true_cnt")
+    )
+    # r17: the cell index h56('cms' || r || ':' || key) depends only on
+    # (r, key), so the build rides the SAME per-key count agg as the
+    # truth side and sums per-key counts into cells — identical cell
+    # totals (Σ per-key counts = row count per cell) with 4 md5s per
+    # DISTINCT part instead of 4 per lineitem ROW (≈30× fewer at
+    # sf0.1), and the ×4 explode runs over the key relation, not the
+    # fact stream. Still a mergeable ≤4096-cell agg at any scale.
     rows = [
         F.struct(
             F.lit(r).alias("r"),
@@ -107,12 +117,11 @@ def q_sketch_countmin(spark, d):
         for r in range(CMS_D)
     ]
     cells = (
-        li.select(F.explode(F.array(*rows)).alias("c"))
+        truth.select(
+            "true_cnt", F.explode(F.array(*rows)).alias("c")
+        )
         .groupBy(F.col("c.r").alias("r"), F.col("c.idx").alias("idx"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    truth = li.groupBy("l_partkey", "key").agg(
-        F.count(F.lit(1)).alias("true_cnt")
+        .agg(F.sum("true_cnt").alias("cnt"))
     )
     probe = truth.select(
         "l_partkey",
