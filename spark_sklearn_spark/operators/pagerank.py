@@ -60,9 +60,6 @@ def pagerank(
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).persist()
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
-    recv = e.select(F.col("dst").alias("node")).distinct()
-    endpoints = deg.select(F.col("src").alias("node")).unionByName(recv).distinct()
     # Propagate over nodes ∪ edge endpoints (the components.py rule):
     # an endpoint absent from ``nodes`` would otherwise receive
     # addressed rank mass that the left join silently DROPS, deflating
@@ -74,29 +71,45 @@ def pagerank(
     # come from ONE eager agg job over it instead of three separate
     # count jobs, and the isolated set at the end is a filter rather
     # than an anti-join (r10: measured ~1.1 s -> ~0.4 s on the eager
-    # prologue at sf0.1).
-    node_set = caller_nodes.unionByName(endpoints).distinct()
+    # prologue at sf0.1). r17: the relation is built as one stacked
+    # union → single hash agg on node (max membership flag, summed
+    # src-occurrence count) instead of distinct endpoints + node-set
+    # distinct + two left joins — same (node, is_ep, out_deg) rows,
+    # four fewer exchanges in the prologue job.
     marked = (
-        node_set.join(
-            endpoints.withColumn("is_ep", F.lit(1)), "node", "left"
+        caller_nodes.select(
+            "node", F.lit(0).alias("ep"), F.lit(0).alias("dg")
         )
-        .join(deg.withColumnRenamed("src", "node"), "node", "left")
-        .select(
-            "node",
-            "is_ep",
-            F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+        .unionByName(
+            e.select(
+                F.col("src").alias("node"),
+                F.lit(1).alias("ep"),
+                F.lit(1).alias("dg"),
+            )
+        )
+        .unionByName(
+            e.select(
+                F.col("dst").alias("node"),
+                F.lit(1).alias("ep"),
+                F.lit(0).alias("dg"),
+            )
+        )
+        .groupBy("node")
+        .agg(
+            F.max("ep").alias("is_ep"),
+            F.sum("dg").alias("out_deg"),
         )
         .persist()
     )
     n, n_active, n_active_dangling = marked.agg(
         F.count(F.lit(1)),
-        F.count("is_ep"),
-        F.count_if(F.col("is_ep").isNotNull() & (F.col("out_deg") == 0)),
+        F.count_if(F.col("is_ep") == 1),
+        F.count_if((F.col("is_ep") == 1) & (F.col("out_deg") == 0)),
     ).first()
     n_iso = n - n_active
     # Active nodes with no out-edges (receive-only sinks) would need a
     # per-round dangling aggregate; a symmetrized graph has none.
-    active = marked.filter(F.col("is_ep").isNotNull()).select(
+    active = marked.filter(F.col("is_ep") == 1).select(
         "node", "out_deg"
     )
 
@@ -166,7 +179,7 @@ def pagerank(
     e.unpersist()
     # marked stays persisted: the returned lazy DataFrame reads it
     # twice (same note as operators/components.py).
-    isolated = marked.filter(F.col("is_ep").isNull()).select(
+    isolated = marked.filter(F.col("is_ep") == 0).select(
         "node",
         F.lit(float(r_iso)).alias("rank"),
         F.lit(0).alias("out_deg"),

@@ -99,6 +99,20 @@ def with_global_row_number(
     return out, n
 
 
+def _tile_expr(rn, n: int, n_tiles: int):
+    """Exact NTILE(n) tile number from a 1-based global row number
+    (first n%k tiles get the extra row)."""
+    base, rem = divmod(n, n_tiles)
+    if base == 0:
+        return rn  # fewer rows than tiles: row i → tile i
+    big = rem * (base + 1)  # rows covered by the (base+1)-sized tiles
+    return (
+        F.when(rn <= big, F.floor((rn - 1) / (base + 1)))
+        .otherwise(rem + F.floor((rn - big - 1) / base))
+        + 1
+    )
+
+
 def distributed_ntile(
     df: DataFrame,
     value_col: str,
@@ -112,15 +126,95 @@ def distributed_ntile(
     ranked, n = with_global_row_number(df, value_col, tiebreak_cols, buckets)
     if n == 0:
         return ranked.withColumn(out_col, F.lit(None).cast("long")).drop("__rn")
-    base, rem = divmod(n, n_tiles)
-    rn = F.col("__rn")
-    if base == 0:
-        tile = rn  # fewer rows than tiles: row i → tile i
-    else:
-        big = rem * (base + 1)  # rows covered by the (base+1)-sized tiles
-        tile = (
-            F.when(rn <= big, F.floor((rn - 1) / (base + 1)))
-            .otherwise(rem + F.floor((rn - big - 1) / base))
-            + 1
-        )
+    tile = _tile_expr(F.col("__rn"), n, n_tiles)
     return ranked.withColumn(out_col, tile.cast("long")).drop("__rn")
+
+
+def multi_distributed_ntile(
+    df: DataFrame,
+    specs: list[tuple[str, str]],
+    tiebreak_cols: list[str],
+    n_tiles: int,
+    buckets: int = 256,
+) -> DataFrame:
+    """NTILE for SEVERAL value columns with two eager jobs total.
+
+    ``specs`` is a list of (value_col, out_col). Column-by-column
+    ``distributed_ntile`` runs its min/max/count + histogram pair per
+    column (2k eager jobs for k tiles — q_behavior_rfm paid six);
+    here ONE agg job carries every column's min/max and ONE stacked
+    (col, bucket) histogram job carries every column's counts. The
+    per-column bucket maps and in-bucket windows are unchanged, so
+    tile assignments are identical to the sequential form (r17)."""
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    dtypes: dict[str, str] = {}
+    for vc, _ in specs:
+        dt = df.schema[vc].dataType.simpleString()
+        dtypes[vc] = dt
+        clean = (
+            F.when(~F.isnan(F.col(vc)), F.col(vc))
+            if dt in ("float", "double")
+            else F.col(vc)
+        )
+        aggs.append(F.min(clean).alias(f"__lo_{vc}"))
+        aggs.append(F.max(clean).alias(f"__hi_{vc}"))
+    stats = df.agg(*aggs).first()
+    n = stats["__n"]
+
+    bucket_exprs = {}
+    for vc, _ in specs:
+        lo, hi = stats[f"__lo_{vc}"], stats[f"__hi_{vc}"]
+        if n == 0 or lo is None:
+            lo, hi = 0.0, 0.0
+        width = (hi - lo) / buckets if hi > lo else 1.0
+        vb = F.least(
+            F.lit(buckets - 1), F.floor((F.col(vc) - lo) / width)
+        ).cast("int")
+        if dtypes[vc] in ("float", "double"):
+            vb = F.when(F.isnan(F.col(vc)), F.lit(buckets)).otherwise(vb)
+        bucket_exprs[vc] = (
+            F.when(F.col(vc).isNull(), F.lit(-1)).otherwise(vb)
+        )
+
+    hist = (
+        df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("ci"),
+                            bucket_exprs[vc].alias("b"),
+                        )
+                        for i, (vc, _) in enumerate(specs)
+                    ]
+                )
+            ).alias("s")
+        )
+        .groupBy(F.col("s.ci").alias("ci"), F.col("s.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+
+    out = df
+    for i, (vc, oc) in enumerate(specs):
+        if n == 0:
+            out = out.withColumn(oc, F.lit(None).cast("long"))
+            continue
+        counts = {r["b"]: r["cnt"] for r in hist if r["ci"] == i}
+        offsets, acc = {}, 0
+        for b in range(-1, buckets + 1):
+            offsets[b] = acc
+            acc += counts.get(b, 0)
+        offset_map = F.create_map(
+            *[F.lit(x) for b in sorted(counts) for x in (b, offsets[b])]
+        )
+        w = Window.partitionBy("__bucket").orderBy(
+            F.col(vc).asc(), *[F.col(c).asc() for c in tiebreak_cols]
+        )
+        rn = offset_map[F.col("__bucket")] + F.row_number().over(w)
+        out = (
+            out.withColumn("__bucket", bucket_exprs[vc])
+            .withColumn(oc, _tile_expr(rn, n, n_tiles).cast("long"))
+            .drop("__bucket")
+        )
+    return out

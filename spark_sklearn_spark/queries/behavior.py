@@ -441,7 +441,7 @@ def q_behavior_rfm(spark, d):
     integer CENTS (decimal sum -> identical double -> floor(x*100))
     BEFORE ranking and every ordering carries the user_id tiebreak,
     so both engines assign identical tiles."""
-    from ..operators.ranking import distributed_ntile
+    from ..operators.ranking import multi_distributed_ntile
 
     ev = load(spark, d, "events")
     now_ref = ev.agg(
@@ -467,15 +467,20 @@ def q_behavior_rfm(spark, d):
             "monetary_cents",
         )
     )
-    # Each distributed_ntile runs two EAGER driver jobs (min/max/count
-    # + histogram); three tile columns means six jobs over this
-    # relation — staging the 1-row-per-user agg once keeps those jobs
+    # The eager tile prologue (min/max/count + histogram) runs ONCE
+    # for all three measures via multi_distributed_ntile (two jobs,
+    # was six — r17); staging the 1-row-per-user agg keeps those jobs
     # from re-scanning the event table (measured 5.8 s → ~1.5 s).
     per = per.persist()
-    out = distributed_ntile(per, "recency", ["user_id"], RFM_TILES, out_col="r_tile")
-    out = distributed_ntile(out, "freq", ["user_id"], RFM_TILES, out_col="f_tile")
-    out = distributed_ntile(
-        out, "monetary_cents", ["user_id"], RFM_TILES, out_col="m_tile"
+    out = multi_distributed_ntile(
+        per,
+        [
+            ("recency", "r_tile"),
+            ("freq", "f_tile"),
+            ("monetary_cents", "m_tile"),
+        ],
+        ["user_id"],
+        RFM_TILES,
     )
     return out.select(
         "user_id", "recency", "freq", "monetary_cents",

@@ -90,7 +90,8 @@ _GRID_SEARCH_ORACLE = f"""
 @query("q_ml_grid_search", oracle=_GRID_SEARCH_ORACLE)
 def q_ml_grid_search(spark, d):
     """A1 port, DECLARED (VERDICT r11 item 7): exhaustive grid search
-    (2×2 grid, 3-fold CV, parallelism=8) of MLlib LogisticRegression
+    (2×2 grid, 3-fold CV, parallelism=12 — all 12 candidate×fold
+    fits run in one wave, r17) of MLlib LogisticRegression
     on the embeddings table, THROUGH the public GridSearchCV class
     (ml_api.py) — the query exercises the exact surface a reference
     user migrates to (grid_search.py#GridSearchCV fan-out semantics).
@@ -117,7 +118,7 @@ def q_ml_grid_search(spark, d):
         LogisticRegression(maxIter=20),
         {"regParam": GRID_REG, "elasticNetParam": GRID_EN},
         cv=3,
-        parallelism=8,
+        parallelism=12,
         seed=42,
         fold_col="fold",
     ).fit(feat)
@@ -202,7 +203,7 @@ def q_ml_random_search(spark, d):
         },
         n_iter=3,
         cv=3,
-        parallelism=8,
+        parallelism=12,
         seed=42,
         fold_col="fold",
     ).fit(feat)

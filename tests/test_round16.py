@@ -1,5 +1,5 @@
-"""Round-16 gates: the r16 driver-window rotation pin (the r15 pin
-retired in test_round15.py), invariant + plan-shape checks for the
+"""Round-16 gates (the r16 rotation pin retired at the r17 rotation,
+the r15 precedent): invariant + plan-shape checks for the
 eight new r16 keys (q_ts_concurrency + q_graph_hits — the former
 phantom SURVEY rows, VERDICT r15 item 1 — q_stream_hopping_topk +
 q_dedup_containment_idf, the item-7 growth, q_ts_mann_kendall +
@@ -18,92 +18,6 @@ from collections import namedtuple
 import pytest
 
 import __spark_entry__ as entry
-
-
-# ---------------------------------------------------------------------------
-# Driver-window rotation (VERDICT r15 item 4: r7 band + r5 residual)
-# ---------------------------------------------------------------------------
-
-NEW_R16 = [
-    "q_ts_concurrency", "q_graph_hits",
-    "q_stream_hopping_topk", "q_dedup_containment_idf",
-    "q_ts_mann_kendall", "q_ts_sma_cross", "q_ml_hosmer_lemeshow",
-    "q_ts_dickey_fuller",
-]
-
-# the 3 keys the r15 50-cap displaced; judge-verified green r15 but
-# owed a driver sample — they lead this window
-R5_RESIDUAL = {"q_win_frame_range", "q_win_frame_rows", "q_win_rank"}
-
-# the whole 40-key r7 staleness band, recomputed from
-# CORRECTNESS_r1..r15 at the r16 rotation
-R7_BAND = {
-    "q_agg_bitmap", "q_agg_bitwise", "q_agg_listagg", "q_agg_weighted",
-    "q_basket_lift", "q_behavior_attribution", "q_behavior_sessionize",
-    "q_behavior_streaks", "q_cdc_scd2", "q_dedup_semantic_cluster",
-    "q_dq_orphans", "q_emb_prefix_eval", "q_feat_onehot",
-    "q_feat_quantile_bin", "q_feat_target_encode", "q_fn_surrogate_key",
-    "q_funnel_latency", "q_graph_degree_dist", "q_graph_pagerank",
-    "q_ml_keyed_scale", "q_ml_linear_ols", "q_profile_corr",
-    "q_sketch_countmin", "q_sketch_hll", "q_sketch_hll_merge",
-    "q_source_csv_roundtrip", "q_source_orc_roundtrip",
-    "q_source_partitioned_prune", "q_source_schema_evolution",
-    "q_stream_topk", "q_text_bpe_pairs", "q_text_containment",
-    "q_text_entropy", "q_text_keywords", "q_text_readability",
-    "q_text_zipf", "q_ts_calendar_dim", "q_ts_ewma", "q_ts_ohlc",
-    "q_win_pareto",
-}
-
-
-def test_window_head_is_canary_plus_new_and_changed_keys():
-    """Slot 0: the canary. Slots 1–8: the eight NEW r16 declared
-    keys (driver-sampled the round they land — the two former
-    phantoms, the two item-7 growth keys, the three ts-family growth
-    keys, the calibration-family test). Slot 9:
-    q_behavior_removal_effect, whose oracle changed this round (the
-    base CTE became a scalar-subquery COALESCE — ADVICE r15) and
-    must re-hash."""
-    from spark_sklearn_spark.registry import DRIVER_PRIORITY
-
-    assert DRIVER_PRIORITY[:10] == [
-        "q_dq_engine_canary",
-        *NEW_R16,
-        "q_behavior_removal_effect",
-    ]
-
-
-def test_window_covers_r5_residual_and_r7_band():
-    """The 50-key window = 10-slot head + the 3 displaced r5 keys +
-    37 of the 40-key r7 band; the three name-last r7 keys
-    (q_ts_ewma, q_ts_ohlc, q_win_pareto) are displaced to lead the
-    r17 window — after this round only THREE keys' latest driver
-    samples are older than r8 (VERDICT r15 item 4's criterion, minus
-    the 50-cap residual, the r15 precedent)."""
-    from spark_sklearn_spark.registry import DRIVER_PRIORITY
-
-    window = set(DRIVER_PRIORITY[:50])
-    assert R5_RESIDUAL <= window
-    assert len(R7_BAND & window) == 37
-    assert R7_BAND - window == {"q_ts_ewma", "q_ts_ohlc", "q_win_pareto"}
-    assert DRIVER_PRIORITY[50:53] == [
-        "q_ts_ewma", "q_ts_ohlc", "q_win_pareto",
-    ]
-
-
-def test_priority_tail_is_staleness_ordered():
-    """Behind the 10-key head the list is (latest-sample round, name)
-    sorted — the property that keeps every future rotation
-    mechanical. Spot-check: every r5 key precedes every r7 key, and
-    every r7 key precedes everything newer."""
-    from spark_sklearn_spark.registry import DRIVER_PRIORITY
-
-    tail = DRIVER_PRIORITY[10:]
-    pos = {k: i for i, k in enumerate(tail)}
-    assert max(pos[k] for k in R5_RESIDUAL) < min(pos[k] for k in R7_BAND)
-    first_other = min(
-        i for k, i in pos.items() if k not in R5_RESIDUAL | R7_BAND
-    )
-    assert max(pos[k] for k in R7_BAND) < first_other
 
 
 # ---------------------------------------------------------------------------

@@ -114,9 +114,10 @@ NOTES = {
         "are never opened."
     ),
     "q_sketch_countmin": (
-        "CMS build collapses to ≤4096 counter cells in a combinable "
-        "agg that becomes the BROADCAST side; the probe (truth agg + "
-        "generate) joins it without shuffling, then min-agg + "
+        "CMS build rides the per-key count agg shared with the truth "
+        "side (4 md5s per DISTINCT key, summed counts) into ≤4096 "
+        "counter cells that become the BROADCAST side; the probe "
+        "joins it without shuffling, then min-agg + "
         "TakeOrderedAndProject."
     ),
     "q_sketch_hll_merge": (
@@ -155,9 +156,11 @@ NOTES = {
         "(metadata-sized), never over data rows."
     ),
     "q_graph_copurchase": (
-        "Bipartite projection: popularity cap prunes head parts "
-        "BEFORE the postings self-equi-join on the part key, so pair "
-        "fan-out is cap-bounded; size lookups are key equi-joins."
+        "Bipartite projection: popularity cap prunes head parts, then "
+        "all C(nc, 2) customer pairs generate MAP-SIDE from one "
+        "sorted collect_set per part (cap-bounded fan-out, the "
+        "adamic-adar shape — no postings self-join); size lookups are "
+        "key equi-joins."
     ),
     "q_ml_kmeans": (
         "Unrolled Lloyd: the k-row centroid relation BROADCASTS into "
@@ -180,10 +183,12 @@ NOTES = {
         "no recursion."
     ),
     "q_dedup_recall_minhash": (
-        "One DF-capped gram stream feeds BOTH the portable-signature "
-        "build (explode x16 hashes -> per-(doc, i) min agg -> band "
-        "rows) and the exact postings self-join; candidates equi-join "
-        "on (band, h0, h1); the selectivity rollup is a 10-row agg."
+        "One DF-capped gram stream feeds BOTH the signature build "
+        "(16 md5-head hashes computed once per DISTINCT gram as an "
+        "array, joined back on g riding the DF-cap exchange, per-doc "
+        "minima in ONE 16-column agg -> band rows via stack) and the "
+        "exact postings self-join; candidates equi-join on "
+        "(band, h0, h1); the selectivity rollup is a 10-row agg."
     ),
     "q_sim_ann_ivf_kmeans": (
         "IVF on the declared Lloyd fit: centroids broadcast for probe "
@@ -272,9 +277,10 @@ NOTES = {
         "run on panel-sized relations."
     ),
     "q_text_bpe_merge": (
-        "Count scan -> 1-row argmax broadcast -> merge+recount scan: "
-        "the fuse is ONE string replace per word and both pair aggs "
-        "shuffle constant-size key spaces."
+        "Distinct-word collapse with multiplicity first; argmax pair "
+        "broadcasts; the fuse is ONE string replace per DISTINCT "
+        "word, counts are multiplicity-weighted sums, and both pair "
+        "aggs shuffle constant-size key spaces."
     ),
     "q_sketch_kmv": (
         "Distinct (set, hash) agg then per-set top-64 rank window "
@@ -369,9 +375,10 @@ NOTES = {
     ),
     "q_text_minhash_containment": (
         "Shared rare-gram postings feed the exact pair join and a "
-        "16-way perm-EXPLODED min agg (one shuffle on (doc, perm), "
-        "corpus-linear, no join nodes); estimates join on the "
-        "bounded candidate set."
+        "per-DISTINCT-gram 16-hash array joined back on g (one "
+        "exchange-reused shuffle) into a 16-column per-doc min agg; "
+        "eq_slots is a codegen 16-term comparison after two key "
+        "joins on the bounded candidate set."
     ),
     "q_agg_approx_percentile": (
         "One (flag, cents) combinable agg shrinks the stream "
