@@ -325,6 +325,73 @@ def _pca_proj_oracle() -> str:
     """
 
 
+# PC2 deflation fit snapshot, keyed like _PCA_FIT_CACHE (r17): the
+# deflated power rounds run on 64-row relations, but each round is a
+# localCheckpoint + several eager aggregates — ~14 scheduled jobs of
+# pure round-trip latency per execution. Same posture as the
+# lr_fit/li_ols_moments memos: snapshot the FIT (the final 64-row u
+# iterate), not any corpus-sized relation.
+_PC2_FIT_CACHE: dict[tuple[str, str], str] = {}
+
+
+def pc2_fit(spark, d):
+    """The fitted PC2 iterate (i, u): integer Gram-Schmidt deflation
+    against PC1 through PP_ROUNDS matvec rounds (block comment above
+    for the construction), memoized to a 64-row parquet snapshot per
+    (application, sf_dir)."""
+    from ..sources.io import warehouse_path
+
+    key = (spark.sparkContext.applicationId, d)
+    path = _PC2_FIT_CACHE.get(key)
+    if path is None:
+        _, cells, iterates = power_fit(spark, d)
+        vs = PP_VSCALE
+        v1 = iterates[-1]  # (i, v) — the fitted PC1 iterate
+        sc1 = v1.agg(
+            F.sum("v").alias("s1"),
+            F.sum(F.col("v") * F.col("v")).alias("n1"),
+        )
+        u0r = v1.crossJoin(F.broadcast(sc1)).select(
+            "i",
+            F.expr(f"{vs}L - (({vs} * s1) div n1) * v").alias("o"),
+        )
+        pm0 = u0r.agg(F.max(F.abs(F.col("o"))).alias("ma"))
+        u = u0r.crossJoin(F.broadcast(pm0)).select(
+            "i", _idiv(f"(o * {vs})", "ma").alias("u")
+        )
+        for _ in range(PP_ROUNDS):
+            w = (
+                cells.join(
+                    F.broadcast(u.select(F.col("i").alias("j"), "u")), "j"
+                )
+                .groupBy("i")
+                .agg(F.sum(F.col("m") * F.col("u")).alias("w"))
+            )
+            tnum = (
+                w.join(v1, "i")
+                .agg(F.sum(F.col("w") * F.col("v")).alias("wn"))
+                .crossJoin(F.broadcast(sc1))
+                .select(F.expr("wn div n1").alias("t"))
+            )
+            o = (
+                w.join(v1, "i")
+                .crossJoin(F.broadcast(tnum))
+                .select(
+                    "i", (F.col("w") - F.col("t") * F.col("v")).alias("o")
+                )
+            )
+            ma = o.agg(F.max(F.abs(F.col("o"))).alias("ma"))
+            u = (
+                o.crossJoin(F.broadcast(ma))
+                .select("i", _idiv(f"(o * {vs})", "ma").alias("u"))
+                .localCheckpoint()
+            )
+        path = warehouse_path(f"pca_u{PP_ROUNDS}", d)
+        u.write.mode("overwrite").parquet(path)
+        _PC2_FIT_CACHE[key] = path
+    return spark.read.parquet(path)
+
+
 @query("q_emb_pca", oracle=_pca_proj_oracle())
 def q_emb_pca(spark, d):
     """PCA projection of the embedding corpus onto its top-2 fitted
@@ -338,50 +405,16 @@ def q_emb_pca(spark, d):
     near-isotropic fixture the contract is the same as
     q_emb_pca_power's — the deterministic 3-round trajectory, pinned
     by tests/test_properties' full numpy integer replay. Plan: the
-    memoized Gram/iterate fit + three bounded matvec/orthogonalize
-    rounds (64-row relations, broadcast joins) + ONE corpus
-    projection agg (combinable, two sums in one pass) on the
-    %{mod} declared slice."""
-    cent, cells, iterates = power_fit(spark, d)
-    vs = PP_VSCALE
+    memoized Gram/iterate fit + the memoized PC2 deflation fit (r17:
+    the three bounded matvec/orthogonalize rounds are ~14 eager
+    driver-scheduled jobs on 64-row relations — snapshot the final
+    iterate like every other shared fit, so only the first execution
+    pays the round-trip latency) + ONE corpus projection agg
+    (combinable, two sums in one pass) on the %{mod} declared
+    slice."""
+    cent, _, iterates = power_fit(spark, d)
     v1 = iterates[-1]  # (i, v) — the fitted PC1 iterate
-    sc1 = v1.agg(
-        F.sum("v").alias("s1"),
-        F.sum(F.col("v") * F.col("v")).alias("n1"),
-    )
-    u0r = v1.crossJoin(F.broadcast(sc1)).select(
-        "i",
-        F.expr(f"{vs}L - (({vs} * s1) div n1) * v").alias("o"),
-    )
-    pm0 = u0r.agg(F.max(F.abs(F.col("o"))).alias("ma"))
-    u = u0r.crossJoin(F.broadcast(pm0)).select(
-        "i", _idiv(f"(o * {vs})", "ma").alias("u")
-    )
-    for _ in range(PP_ROUNDS):
-        w = (
-            cells.join(
-                F.broadcast(u.select(F.col("i").alias("j"), "u")), "j"
-            )
-            .groupBy("i")
-            .agg(F.sum(F.col("m") * F.col("u")).alias("w"))
-        )
-        tnum = (
-            w.join(v1, "i")
-            .agg(F.sum(F.col("w") * F.col("v")).alias("wn"))
-            .crossJoin(F.broadcast(sc1))
-            .select(F.expr("wn div n1").alias("t"))
-        )
-        o = (
-            w.join(v1, "i")
-            .crossJoin(F.broadcast(tnum))
-            .select("i", (F.col("w") - F.col("t") * F.col("v")).alias("o"))
-        )
-        ma = o.agg(F.max(F.abs(F.col("o"))).alias("ma"))
-        u = (
-            o.crossJoin(F.broadcast(ma))
-            .select("i", _idiv(f"(o * {vs})", "ma").alias("u"))
-            .localCheckpoint()
-        )
+    u = pc2_fit(spark, d)
     return (
         cent.filter(F.col("vec_id") % PCA_PROJ_MOD == 0)
         .join(F.broadcast(v1), "i")

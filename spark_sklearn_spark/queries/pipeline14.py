@@ -544,8 +544,11 @@ def q_ml_cv_stability(spark, d):
     """5-fold OLS coefficient stability in one scan (module comment
     for the CV-sharding argument). Fold = portable hash mod 5 as a
     GROUP KEY — all folds' decimal moments fill simultaneously; the
-    fits and the spread run on the 5-row relation."""
-    li = load(spark, d, "lineitem")
+    fits and the spread run on the 5-row relation. spread=True
+    parallelizes the per-row md5 fold hash + decimal partials across
+    cores (r17: single-row-group fixture ran them in one scan task —
+    2.5 s → 1.0 s at sf0.1; no-op on splittable inputs)."""
+    li = load(spark, d, "lineitem", spread=True)
     feats = li.selectExpr(
         "cast(conv(substr(md5(cast(l_orderkey as string) || '|'"
         " || cast(l_linenumber as string)), 1, 14), 16, 10) as bigint)"

@@ -380,8 +380,12 @@ def q_text_winnow(spark, d):
     interpreted-HOF overhead, while the zero-Python projection keeps
     the operator inside codegen'd plans (no Python workers to
     size/schedule at 100 TB) and keeps the plan property tests
-    meaningful."""
-    docs = load(spark, d, "documents").filter(F.length("text") >= _K + 3)
+    meaningful. spread=True parallelizes the per-doc interpreted hash
+    transforms across cores (r17: the 1-row-group fixture ran the
+    whole projection in one scan task — 2.2 s → 0.9 s at sf0.1)."""
+    docs = load(spark, d, "documents", spread=True).filter(
+        F.length("text") >= _K + 3
+    )
     hs = _rolling_hash_arrays(docs)
     wmins = hs.select(
         "doc_id",

@@ -964,6 +964,17 @@ def q_ml_hosmer_lemeshow(spark, d):
 # whole units, not cents, keep every moment ≤ ~4e17 with int64
 # headroom; bound documented), exact BIGINT moments (n, Sx, Sy, Sxx,
 # Sxy, Syy), then the closed-form OLS beta/t in ONE shared float
+# expression. NOTE on the bound (r17 advice): the beta/t cross
+# products (n·Sxx, Sx², n·Sxy − Sx·Sy) are formed in BIGINT before
+# the DOUBLE cast, so they grow quadratically in the moments (~1e13
+# at the 10× probe vs the 9.2e18 int64 ceiling) — and on eventual
+# overflow the engines DIVERGE asymmetrically: DuckDB raises an
+# out-of-range error while Spark silently wraps. The whole-unit
+# collapse keeps ~6 orders of headroom at any plausible fixture
+# scale; if a larger deployment ever nears the bound, cast the
+# moments to DOUBLE before the products ON BOTH ENGINES in the same
+# round (the result is float anyway, but the cast changes rounding,
+# so it must land as one paired change).
 # expression evaluated verbatim on both engines and floored to
 # micro. The moments ship as BIGINTs so the test is replayable
 # without float trust.

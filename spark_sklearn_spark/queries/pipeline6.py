@@ -839,37 +839,59 @@ BASKET_MIN_SUPPORT = 3
 def q_basket_lift(spark, d):
     """Market-basket pair mining: support, confidence, and lift for
     part pairs co-occurring in an order — the co-occurrence analytics
-    primitive (recommendation seeds, complement detection). The pair
-    join is on the BASKET key, so fan-out per order is C(items, 2)
-    with items bounded by order size (~7 lines) — a postings join on
-    the basket, never item×item; the min-support HAVING prunes before
-    the stats joins, and the per-item count and basket-total sides of
-    lift are small aggregates (item vocabulary, one scalar). Ratios
-    rounded to 6 on both engines; integer-ratio arithmetic only.
+    primitive (recommendation seeds, complement detection). Pairs
+    generate MAP-SIDE from one sorted per-basket item set (fan-out
+    C(items, 2) with items bounded by order size, ~7 lines) — never
+    item×item; the min-support filter prunes before the stats joins,
+    and the per-item count and basket-total sides of lift are small
+    aggregates (item vocabulary, one scalar). Ratios rounded to 6 on
+    both engines; integer-ratio arithmetic only.
 
     The basket total stays LAZY: a 1-row aggregate broadcast into the
     output projection (the q_win_pareto pattern) instead of an eager
     .count() folded back as a literal, so no job runs before the
-    returned DataFrame executes and Catalyst/AQE reuses the distinct
-    pre-agg's exchange across its consumers (an explicit persist here
-    BREAKS that reuse — the CLAUDE.md q_dedup_simhash trap)."""
-    items = (
+    returned DataFrame executes and Catalyst/AQE reuses the per-basket
+    collect_set agg's exchange across its three consumers (an explicit
+    persist here BREAKS that reuse — the CLAUDE.md q_dedup_simhash
+    trap)."""
+    # r17: per-basket fan-out is order-size-bounded (~7 lines), so all
+    # C(k, 2) item pairs generate MAP-SIDE from one sorted collect_set
+    # per basket (the q_graph_copurchase shape) instead of the postings
+    # self-join, which recomputed the distinct lineage on both branches
+    # and pushed the pair fan-out through join machinery. collect_set
+    # dedups (basket, item) itself, so the separate .distinct() pass is
+    # gone too; sort_array ⇒ item_a < item_b, identical pair set.
+    # item_n / n_baskets re-derive from the same grouped relation
+    # (explode / count), riding its one exchange.
+    grouped = (
         load(spark, d, "lineitem")
         .select(
             F.col("l_orderkey").alias("basket"),
             F.col("l_partkey").alias("item"),
         )
-        .distinct()
+        .groupBy("basket")
+        .agg(F.sort_array(F.collect_set("item")).alias("its"))
     )
-    totals = items.agg(
-        F.count_distinct("basket").cast("double").alias("n_baskets")
+    totals = grouped.agg(
+        F.count(F.lit(1)).cast("double").alias("n_baskets")
     )
-    item_n = items.groupBy("item").agg(F.count(F.lit(1)).alias("cnt"))
-    a = items.select("basket", F.col("item").alias("item_a"))
-    b = items.select("basket", F.col("item").alias("item_b"))
+    item_n = (
+        grouped.select(F.explode("its").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
     pair_n = (
-        a.join(b, "basket")
-        .filter(F.col("item_a") < F.col("item_b"))
+        grouped.filter(F.size("its") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(its, (x, i) ->"
+                    " transform(slice(its, i + 2, size(its) - i - 1),"
+                    " y -> struct(x AS item_a, y AS item_b))))"
+                )
+            ).alias("pr")
+        )
+        .select("pr.item_a", "pr.item_b")
         .groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).alias("both_n"))
         .filter(F.col("both_n") >= BASKET_MIN_SUPPORT)

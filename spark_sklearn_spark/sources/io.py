@@ -29,8 +29,49 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Primary keys per fixture table — the deterministic repartition keys
+# for ``spread=True`` (guide §2.5: derive synthetic partitioning from a
+# stable key, never rand(), so task retries reproduce the assignment).
+_SPREAD_KEYS: dict[str, tuple[str, ...]] = {
+    "region": ("r_regionkey",),
+    "nation": ("n_nationkey",),
+    "customer": ("c_custkey",),
+    "supplier": ("s_suppkey",),
+    "part": ("p_partkey",),
+    "orders": ("o_orderkey",),
+    "lineitem": ("l_orderkey", "l_linenumber"),
+    "events": ("event_id",),
+    "documents": ("doc_id",),
+    "embeddings": ("vec_id",),
+}
 
-def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+# Parquet footer metadata per (sf_dir, table): row-group count bounds
+# the scan's effective parallelism (Spark assigns a row group to the
+# byte-range split holding its midpoint — a 1-row-group file yields
+# ONE non-empty scan task no matter how many splits are cut). This is
+# file METADATA, cached like a catalog statistic; no query results are
+# memoized here.
+_ROW_GROUP_CACHE: dict[tuple[str, str], int] = {}
+
+
+def _scan_row_groups(sf_dir: str, name: str) -> int:
+    key = (sf_dir, name)
+    if key not in _ROW_GROUP_CACHE:
+        try:
+            import pyarrow.parquet as pq
+
+            _ROW_GROUP_CACHE[key] = pq.ParquetFile(
+                f"{sf_dir}/{name}.parquet"
+            ).metadata.num_row_groups
+        except Exception:
+            # unknown layout → assume splittable; spread becomes a no-op
+            _ROW_GROUP_CACHE[key] = 1 << 30
+    return _ROW_GROUP_CACHE[key]
+
+
+def load(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> DataFrame:
     """Load one fixture table as a DataFrame (lazy parquet scan).
 
     events.parquet has shipped ``ts`` as either parquet
@@ -45,14 +86,34 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     through. DuckDB reads either encoding natively; truncation to µs is
     lossless for these fixtures (values are generated at ≥µs
     granularity).
+
+    ``spread=True`` fixes the unsplittable-input serialization (guide
+    §2.5 "one huge unsplittable file"): the fixture files carry ONE
+    parquet row group, so everything before a query's first exchange —
+    gram explodes, md5 hashing, decimal quantization, partial
+    aggregation — runs in ONE scan task regardless of core count. A
+    deterministic hash repartition on the table's primary key spreads
+    that map work across defaultParallelism tasks for the cost of one
+    small early shuffle. Scale-adaptive by construction: when the file
+    has at least as many row groups as cores (any production-laid-out
+    table), the repartition is skipped entirely. Use it on queries
+    whose per-row/stage-1 work dominates; queries whose first
+    aggregation collapses map-side (pre-shuffle combine) are often
+    FASTER without it — measure per query (q_dq_reconcile and
+    q_basket_lift measured slower with spread).
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = rebuild_event_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+    else:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return rebuild_event_ts(df)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if spread:
+        n = spark.sparkContext.defaultParallelism
+        if _scan_row_groups(sf_dir, name) < n:
+            df = df.repartition(n, *[F.col(c) for c in _SPREAD_KEYS[name]])
+    return df
 
 
 def rebuild_event_ts(df: DataFrame) -> DataFrame:
