@@ -301,7 +301,14 @@ class KeyedEstimator:
             row["__model"] = [pickle.dumps(model)]
             return pd.DataFrame(row)
 
-        models = df.groupBy(*key_cols).applyInPandas(fit_one, schema)
+        # Project BEFORE the grouping shuffle: applyInPandas is opaque
+        # to Catalyst, so without this every column of df is scanned,
+        # shuffled and Arrow-serialized even though fit_one reads only
+        # the key/x/y columns.
+        need = list(
+            dict.fromkeys(key_cols + x_cols + ([y_col] if y_col else []))
+        )
+        models = df.select(*need).groupBy(*key_cols).applyInPandas(fit_one, schema)
         return KeyedModel(models, key_cols, x_cols, self.output_col)
 
 

@@ -500,8 +500,11 @@ def q_agg_moments(spark, d):
     the same double expression tree on both engines (pow is the one
     libm-dependent call); outputs leave as floor(x*1e6) integer
     micro — the post-r8 rule for raw-double results. l_quantity⁴ ≤ 50⁴ keeps Σx⁴ far
-    inside DECIMAL(30,10) range at any fixture scale."""
-    li = load(spark, d, "lineitem")
+    inside DECIMAL(30,10) range at any fixture scale. spread=True
+    parallelizes the four per-row decimal power partials across cores
+    (r17: 1-row-group fixture ran them in one scan task — 1.43 s →
+    0.92 s at sf0.1; no-op on splittable production inputs)."""
+    li = load(spark, d, "lineitem", spread=True)
     q = F.col("l_quantity")
     s = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),

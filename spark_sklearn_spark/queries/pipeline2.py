@@ -235,8 +235,11 @@ def q_text_fingerprint_rolling(spark, d):
     then array_min / array_distinct / size — zero shuffles, zero
     explode, no Python. 4.7x faster than the exploded-positions +
     per-position substr form it replaces (8.5 s -> 1.8 s at sf0.1;
-    substr seeks are O(i), see the helper)."""
-    docs = load(spark, d, "documents")
+    substr seeks are O(i), see the helper). spread=True parallelizes
+    the per-doc interpreted hash-array build across cores (r17: the
+    1-row-group fixture ran it in one scan task — 1.92 s → 0.71 s at
+    sf0.1; no-op on splittable production inputs)."""
+    docs = load(spark, d, "documents", spread=True)
     hs = _rolling_hash_arrays(docs)
     return hs.select(
         "doc_id",

@@ -948,8 +948,11 @@ def q_agg_weighted(spark, d):
     decimal path (per-row products are IEEE-deterministic; the sums
     are order-independent), so the ratio is identical on both engines
     before the round-6. One combinable hash agg, one shuffle carrying
-    three decimals per group."""
-    li = load(spark, d, "lineitem")
+    three decimals per group. spread=True parallelizes the per-row
+    decimal product partials across cores (r17: 1-row-group fixture
+    ran them in one scan task — 1.20 s → 0.94 s at sf0.1; no-op on
+    splittable production inputs)."""
+    li = load(spark, d, "lineitem", spread=True)
     return (
         li.groupBy("l_returnflag")
         .agg(

@@ -1971,20 +1971,23 @@ def q_ml_tree_depth2(spark, d):
     )
 
     def hist(df, part_cols):
-        out = None
-        for feat, col in (("value_floor", "b_value"), ("hour", "b_hour")):
-            h = df.groupBy(*part_cols, col).agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum("y").cast("long").alias("np"),
-            ).select(
-                *part_cols,
-                F.lit(feat).alias("feature"),
-                F.col(col).alias("bucket"),
-                "n",
-                "np",
-            )
-            out = h if out is None else out.unionByName(h)
-        return out
+        # ONE scan + ONE shuffle for both feature histograms (r17,
+        # §2.4): stack expands each row to (feature, bucket) map-side
+        # and partial aggregation collapses to bucket-bounded rows
+        # before the single exchange — replacing the two-scan
+        # unionByName form (2 scans + 2 exchanges per pass). Same
+        # (part_cols, feature, bucket, n, np) rows.
+        ex = df.select(
+            *part_cols,
+            "y",
+            F.expr(
+                "stack(2, 'value_floor', b_value, 'hour', b_hour)"
+            ).alias("feature", "bucket"),
+        )
+        return ex.groupBy(*part_cols, "feature", "bucket").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").cast("long").alias("np"),
+        )
 
     scored = _tree2_scored(hist(ev, []), [])
     # Global argmin over the bucket-bounded scored relation via
@@ -2167,9 +2170,16 @@ def q_dedup_editdist(spark, d):
     )
     na = norm.select(F.col("doc_id").alias("doc_a"), F.col("h").alias("ha"))
     nb = norm.select(F.col("doc_id").alias("doc_b"), F.col("h").alias("hb"))
+    # r17 (§3.1): candidates are star-paired and tiny (746 rows at
+    # sf0.1 — bounded linear in band rows by construction), but the
+    # initial plan ran BOTH verify joins as SortMergeJoin, shuffling
+    # and sorting the norm heads twice. Broadcast the candidate side
+    # through both joins instead: norm streams map-side, zero
+    # exchanges/sorts in the verify, and the (cand ⋈ ha) intermediate
+    # is the same ≤cand rows so the second broadcast is equally
+    # bounded. Same inner equi-joins, same rows.
     scored = (
-        cand.join(na, "doc_a")
-        .join(nb, "doc_b")
+        nb.join(F.broadcast(na.join(F.broadcast(cand), "doc_a")), "doc_b")
         .select(
             "doc_a",
             "doc_b",

@@ -178,8 +178,11 @@ def q_text_novelty(spark, d):
     over the gram relation (the r8 rewrite: the join-back formulation
     cost a third data-sized shuffle, 3.1 s -> this one), leaving two
     combinable aggs and a 20-row broadcast join; novelty share is
-    exact integer ppm (long div long)."""
-    docs = load(spark, d, "documents")
+    exact integer ppm (long div long). spread=True parallelizes the
+    per-doc tokenize + gram-hash transform across cores (r17: the
+    1-row-group fixture ran it in one scan task — 2.21 s → 1.11 s at
+    sf0.1; no-op on splittable production inputs)."""
+    docs = load(spark, d, "documents", spread=True)
     # Tokenize ONCE (r17, same fix as q_dedup_segments above): the old
     # form re-split the document inside the per-gram lambda — O(len²)
     # per doc in interpreted HOF evaluation. Same md5-head values.

@@ -205,7 +205,16 @@ def click_purchase_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("lag_us"),
     )
-    return _run_to_memory(out, "append")
+    # state_partitions=2 (r17, guide §2): a stream-stream join keeps
+    # FOUR state stores per partition (keyToNumValues +
+    # keyWithIndexToValue on each side), so per-partition commit
+    # overhead is 4x the single-store jobs' — measured 3.8 s at 8
+    # partitions vs 2.0 s at 2 for identical output. At production
+    # stream volume, size partitions to join-state per executor like
+    # every other state_partitions call here; the default stays 8 for
+    # the single-store jobs, which measured FASTER at 8 (parallel
+    # Python workers outweigh store commits there).
+    return _run_to_memory(out, "append", state_partitions=2)
 
 
 def running_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
