@@ -1166,12 +1166,17 @@ def q_emb_pq_adc(spark, d):
         "aggregate(zip_with(sq, cw, (a, b) -> (a - b) * (a - b)),"
         " 0L, (acc, x) -> acc + x)"
     )
-    w_enc = Window.partitionBy("vec_id", "s").orderBy("d2", "code")
+    # Encoding argmin as min_by over a (d2, code) struct (r17, §2.4):
+    # lexicographic struct comparison == the old orderBy(d2, code)
+    # row_number()=1 window, but as a combinable HASH agg — partial
+    # aggregation collapses the 16× codebook fanout map-side and the
+    # sort disappears. d2 is an exact integer fold, so ties break on
+    # code identically on both engines.
     enc = (
         subs.join(F.broadcast(cb), "s")
         .select("vec_id", "s", "code", d2.alias("d2"))
-        .withColumn("rk", F.row_number().over(w_enc))
-        .filter(F.col("rk") == 1)
+        .groupBy("vec_id", "s")
+        .agg(F.min_by("code", F.struct("d2", "code")).alias("code"))
         .select("vec_id", "s", "code")
     )
     probes = subs.filter(_ivf_probe_predicate()).select(

@@ -223,7 +223,16 @@ def running_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     object per user key, partitioned by the streaming shuffle."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    ev = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    # Project to the columns update() reads BEFORE the stateful
+    # shuffle: applyInPandasWithState is opaque to column pruning, so
+    # without this every event column (incl. the string payloads)
+    # crosses the streaming exchange and the Arrow boundary (guide
+    # §4.1). ts survives for the watermark.
+    ev = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .select("user_id", "ts", "value")
+    )
 
     def update(key, pdf_iter, state: GroupState):
         cnt, vmax = state.get if state.exists else (0, float("-inf"))
