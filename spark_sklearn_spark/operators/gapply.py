@@ -62,6 +62,9 @@ def gapply(
     # explicit keyed repartition to defaultParallelism is exempt from
     # coalescing, satisfies the groupBy's distribution (no second
     # exchange), and scales with the cluster, not a constant.
-    base = df.select(*keys, *use_cols)
+    # dict.fromkeys dedups when a caller passes a key column in cols
+    # (duplicate names would make the groupBy ambiguous), matching
+    # ml_api.KeyedEstimator.fit's projection.
+    base = df.select(*dict.fromkeys([*keys, *use_cols]))
     n = df.sparkSession.sparkContext.defaultParallelism
     return base.repartition(n, *keys).groupBy(*keys).applyInPandas(_wrapped, schema)

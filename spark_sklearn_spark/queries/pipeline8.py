@@ -1301,12 +1301,27 @@ def _mh_sql() -> str:
     """
 
 
-def _mh_capped_and_bands(spark, d, docs=None):
+def _mh_capped_and_bands(spark, d, docs=None, form="explode"):
     """(capped, bands): DF-capped distinct word-3-gram postings and
     the 8-band x r=2 portable md5-head MinHash band signatures
     (doc_id, band, h0, h1) — the Spark mirror of _mh_bands_sql().
     Shared by q_dedup_recall_minhash (full corpus) and
-    q_dedup_editdist (exact-dedup representatives via `docs`)."""
+    q_dedup_editdist (exact-dedup representatives via `docs`).
+
+    ``form`` picks the signature build, adjudicated PER CONSUMER in a
+    quiet interleaved A/B (r18, VERDICT r17 item 1; 5 reps each,
+    canaries 0.17-0.33): "explode" (16x posting explode -> (doc_id,i)
+    min agg -> band re-agg) wins for the consumers that evaluate
+    bands once or twice over the full corpus (recall_minhash 4.27 vs
+    4.78, incremental 3.47 vs 3.75); "array" (hash once per DISTINCT
+    gram into a 16-slot array, join back on g riding the DF-cap
+    window's partitioning, one 16-column agg + stack) wins for
+    editdist (4.18 vs 5.41), whose exact-dedup representative input
+    makes the distinct-gram relation proportionally smaller. A
+    "fused" variant (16 md5s per posting, one agg, no join) lost
+    everywhere (5.9/5.1/7.4) and was dropped. Values are
+    bit-identical across forms: same hash expression, same minima,
+    same (i -> band, slot) layout."""
     from ._helpers import h56
     from .pipeline4 import _word_ngrams
 
@@ -1333,33 +1348,56 @@ def _mh_capped_and_bands(spark, d, docs=None):
         .filter(F.col("df") <= MH_DF_CAP)
         .drop("df")
     )
-    # h56(i:g) depends only on (i, g), never on doc_id — so the 16
-    # md5-head hashes are computed ONCE per DISTINCT gram (postings /
-    # distinct-gram ratio ≈ 9.6x at sf0.1: 260k postings vs 27k grams)
-    # as a 16-element array, joined back onto the postings on g (both
-    # sides descend from the DF-cap window's hashpartition(g) exchange,
-    # so the join adds no new shuffle of the postings), and the per-doc
-    # signature is 16 array-element minima in ONE hash agg on doc_id.
-    # Replaces the 16x posting explode (4.2M md5s + a (doc_id, i)
-    # shuffle of the exploded rows + a second band re-agg) — values
-    # are bit-identical: same hash expression, same minima, bands
-    # assembled from the same (i -> band, slot) layout.
-    gh = capped.select("g").distinct().select(
-        "g",
-        F.array(
-            *[h56(f"concat('{i}:', g)") for i in range(MH_K)]
-        ).alias("hs"),
-    )
-    sig = (
-        capped.join(gh, "g")
-        .groupBy("doc_id")
-        .agg(
-            *[
-                F.min(F.col("hs")[i]).alias(f"mh{i}")
-                for i in range(MH_K)
-            ]
+    if form == "explode":
+        # pre-r17 shape: 16x posting explode -> (doc_id, i) min agg ->
+        # band re-agg. 16 md5s per POSTING and two extra exchanges.
+        hashes = capped.select(
+            "doc_id",
+            F.explode(F.array(*[F.lit(i) for i in range(MH_K)])).alias("i"),
+            "g",
+        ).select(
+            "doc_id",
+            "i",
+            h56("concat(cast(i as string), ':', g)").alias("h"),
         )
-    )
+        sig_l = hashes.groupBy("doc_id", "i").agg(F.min("h").alias("mh"))
+        bands = sig_l.groupBy(
+            "doc_id",
+            F.floor(F.col("i") / MH_R).cast("long").alias("band"),
+        ).agg(
+            F.min(F.when(F.col("i") % MH_R == 0, F.col("mh"))).alias("h0"),
+            F.min(F.when(F.col("i") % MH_R == 1, F.col("mh"))).alias("h1"),
+        )
+        return capped, bands
+    else:
+        # form == "array":
+        # h56(i:g) depends only on (i, g), never on doc_id — so the 16
+        # md5-head hashes are computed ONCE per DISTINCT gram (postings /
+        # distinct-gram ratio ≈ 9.6x at sf0.1: 260k postings vs 27k grams)
+        # as a 16-element array, joined back onto the postings on g (both
+        # sides descend from the DF-cap window's hashpartition(g) exchange,
+        # so the join adds no new shuffle of the postings), and the per-doc
+        # signature is 16 array-element minima in ONE hash agg on doc_id.
+        # Replaces the 16x posting explode (4.2M md5s + a (doc_id, i)
+        # shuffle of the exploded rows + a second band re-agg) — values
+        # are bit-identical: same hash expression, same minima, bands
+        # assembled from the same (i -> band, slot) layout.
+        gh = capped.select("g").distinct().select(
+            "g",
+            F.array(
+                *[h56(f"concat('{i}:', g)") for i in range(MH_K)]
+            ).alias("hs"),
+        )
+        sig = (
+            capped.join(gh, "g")
+            .groupBy("doc_id")
+            .agg(
+                *[
+                    F.min(F.col("hs")[i]).alias(f"mh{i}")
+                    for i in range(MH_K)
+                ]
+            )
+        )
     stack_args = ", ".join(
         f"{b}L, mh{MH_R * b}, mh{MH_R * b + 1}"
         for b in range(MH_K // MH_R)
@@ -2150,7 +2188,7 @@ def q_dedup_editdist(spark, d):
     repdocs = docs.join(reps.select("doc_id"), "doc_id").select(
         "doc_id", "text"
     )
-    bands = _mh_capped_and_bands(spark, d, docs=repdocs)[1]
+    bands = _mh_capped_and_bands(spark, d, docs=repdocs, form="array")[1]
     cand = (
         bands.select(
             "doc_id",

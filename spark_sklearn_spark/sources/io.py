@@ -60,12 +60,27 @@ def _scan_row_groups(sf_dir: str, name: str) -> int:
         try:
             import pyarrow.parquet as pq
 
-            _ROW_GROUP_CACHE[key] = pq.ParquetFile(
-                f"{sf_dir}/{name}.parquet"
-            ).metadata.num_row_groups
+            path = f"{sf_dir}/{name}.parquet"
+            if os.path.isdir(path):
+                # directory-laid-out table: total row groups across
+                # files is the scan's split-parallelism bound (each
+                # file contributes its own groups) — many 1-row-group
+                # files can still under-parallelize when file count <
+                # cores, so sum rather than assume splittable
+                _ROW_GROUP_CACHE[key] = sum(
+                    pq.ParquetFile(os.path.join(path, f)).metadata.num_row_groups
+                    for f in os.listdir(path)
+                    if f.endswith(".parquet")
+                ) or (1 << 30)
+            else:
+                _ROW_GROUP_CACHE[key] = pq.ParquetFile(
+                    path
+                ).metadata.num_row_groups
         except Exception:
             # unknown layout → assume splittable; spread becomes a no-op
             _ROW_GROUP_CACHE[key] = 1 << 30
+    # NOTE: cached per process — regenerating a fixture file mid-process
+    # will not be observed (acceptable: fixtures are immutable per run).
     return _ROW_GROUP_CACHE[key]
 
 

@@ -48,7 +48,10 @@ def main() -> None:
 
     orig_load = src_io.load
 
-    def spread_load(spark, d, name):
+    def spread_load(spark, d, name, spread=False):
+        # `spread` swallowed deliberately: call sites that already pass
+        # load(..., spread=True) must not double-repartition here, and
+        # the baseline branch below uses orig_load spread-off anyway.
         df = orig_load(spark, d, name)
         return df.repartition(n_par, *[F.col(c) for c in PK[name]])
 
