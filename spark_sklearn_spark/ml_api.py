@@ -87,11 +87,37 @@ class GridSearchCV:
         """Run the cross-validated search on a (features, label)
         DataFrame; populates best_params_/best_score_/best_model_/
         cv_results_ and returns self (sklearn-style)."""
+        grid = self._grid()
+        evaluator = self._evaluator()  # one instance: CV + direction check
+        if self.fold_col:
+            avg_metrics = self._fit_foldcol(df, grid, evaluator)
+        else:
+            avg_metrics = self._fit_cv(df, grid, evaluator)
+        self.cv_results_ = [
+            {
+                "params": {p.name: v for p, v in pm.items()},
+                "mean_test_score": float(m),
+            }
+            for pm, m in zip(grid, avg_metrics)
+        ]
+        # Respect the metric direction: argmax only for larger-is-better
+        # evaluators (an rmse evaluator must pick argmin or best_params_
+        # would disagree with CrossValidator's own bestModel).
+        if evaluator.isLargerBetter():
+            best = int(np.argmax(avg_metrics))
+        else:
+            best = int(np.argmin(avg_metrics))
+        self.best_index_ = best
+        self.best_params_ = self.cv_results_[best]["params"]
+        self.best_score_ = self.cv_results_[best]["mean_test_score"]
+        return self
+
+    def _fit_cv(self, df: DataFrame, grid, evaluator) -> list[float]:
+        """Default-split path: delegate to CrossValidator (its rand(seed)
+        kFold split is engine-internal and must stay MLlib's own)."""
         from pyspark.ml.tuning import CrossValidator
         from pyspark.storagelevel import StorageLevel
 
-        grid = self._grid()
-        evaluator = self._evaluator()  # one instance: CV + direction check
         cv = CrossValidator(
             estimator=self.estimator,
             estimatorParamMaps=grid,
@@ -99,7 +125,6 @@ class GridSearchCV:
             numFolds=self.cv,
             parallelism=self.parallelism,
             seed=self.seed,
-            **({"foldCol": self.fold_col} if self.fold_col else {}),
         )
         # CrossValidator recomputes its input for every candidate×fold
         # fit; caching it is the distributed analogue of the
@@ -114,25 +139,65 @@ class GridSearchCV:
         finally:
             if cached_here:
                 df.unpersist()
-        self.cv_results_ = [
-            {
-                "params": {p.name: v for p, v in pm.items()},
-                "mean_test_score": float(m),
-            }
-            for pm, m in zip(grid, model.avgMetrics)
-        ]
-        # Respect the metric direction: argmax only for larger-is-better
-        # evaluators (an rmse evaluator must pick argmin or best_params_
-        # would disagree with CrossValidator's own bestModel).
-        if evaluator.isLargerBetter():
-            best = int(np.argmax(model.avgMetrics))
-        else:
-            best = int(np.argmin(model.avgMetrics))
-        self.best_index_ = best
-        self.best_params_ = self.cv_results_[best]["params"]
-        self.best_score_ = self.cv_results_[best]["mean_test_score"]
-        self.best_model_ = model.bestModel
-        return self
+        self._best_model = model.bestModel
+        return list(model.avgMetrics)
+
+    def _fit_foldcol(self, df: DataFrame, grid, evaluator) -> list[float]:
+        """Explicit-fold path: fan ALL candidate×fold fits out in ONE
+        thread-pool wave (the reference's base_search.py#_fit posture —
+        one task per (candidate, fold) tuple) instead of
+        CrossValidator's sequential per-fold waves, and skip its final
+        best-model refit on the full data (best_model_ refits lazily on
+        first access). Semantics match CrossValidator with foldCol
+        exactly: validation = rows where fold == i, training = the
+        rest, avgMetric = mean over folds of
+        evaluator.evaluate(model.transform(validation)). r18 measured
+        the grid query 5.0 -> ~2.9 s quiet (3 fit waves + 0.9 s refit
+        -> 1 wave, no refit)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        from pyspark.storagelevel import StorageLevel
+
+        cached_here = df.storageLevel == StorageLevel.NONE
+        if cached_here:
+            df = df.persist()
+        fold_datasets = []
+        for f in range(self.cv):
+            train = df.filter(F.col(self.fold_col) != f).drop(self.fold_col)
+            test = df.filter(F.col(self.fold_col) == f).drop(self.fold_col)
+            fold_datasets.append((train, test))
+
+        def one(task):
+            i, f = task
+            train, test = fold_datasets[f]
+            model = self.estimator.fit(train, grid[i])
+            return i, evaluator.evaluate(model.transform(test))
+
+        tasks = [(i, f) for i in range(len(grid)) for f in range(self.cv)]
+        metrics = np.zeros(len(grid))
+        try:
+            with ThreadPoolExecutor(max_workers=self.parallelism) as pool:
+                for i, m in pool.map(one, tasks):
+                    metrics[i] += m / self.cv
+        finally:
+            if cached_here:
+                df.unpersist()
+        self._best_model = None
+        self._fit_df = df
+        self._grid_cache = grid
+        return metrics.tolist()
+
+    @property
+    def best_model_(self):
+        """The best candidate refit on the full data. Lazy on the
+        explicit-fold path: the refit is a full extra fit the search
+        itself never consumes, so it runs on first access only."""
+        if self._best_model is None:
+            self._best_model = self.estimator.fit(
+                self._fit_df.drop(self.fold_col),
+                self._grid_cache[self.best_index_],
+            )
+        return self._best_model
 
 
 class RandomizedSearchCV(GridSearchCV):

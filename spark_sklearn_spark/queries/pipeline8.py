@@ -132,7 +132,6 @@ def q_graph_copurchase(spark, d):
     At 100 TB this is the basket-affinity shape retail/feed systems
     actually run, cap included."""
     keep = tail_baskets(spark, d)
-    sizes = keep.groupBy("cust").agg(F.count(F.lit(1)).alias("n"))
     # r17: per-part fan-out is POP_CAP-bounded (≤ 25 buyers), so all
     # C(nc, 2) customer pairs generate MAP-SIDE from one sorted
     # collect_set per part — the q_graph_adamic_adar shape (CLAUDE.md:
@@ -140,13 +139,25 @@ def q_graph_copurchase(spark, d):
     # self-equi-join, which re-computed the whole keep lineage on both
     # branches and pushed the ×C(nc,2) fan-out through join machinery.
     # sort_array ⇒ x < y, so the pair set and counts are identical.
-    grouped = (
-        keep.groupBy("part")
-        .agg(F.sort_array(F.collect_set("cust")).alias("cs"))
-        .filter(F.size("cs") >= 2)
+    # r18 (VERDICT item 2 adjudication): the remaining fat was the
+    # SECOND evaluation of the keep lineage for the per-cust sizes —
+    # derive sizes from the SAME groupBy(part) relation (explode of
+    # the unfiltered collect_set is exactly the distinct (cust, part)
+    # incidences), so both consumers ride one exchange and the
+    # lineitem⋈orders+distinct+cap chain runs once (interleaved quiet
+    # A/B med 3.43 vs 3.79; the 4.0–5.3 s driver reads were band on
+    # top of this — all pair forms measured equal within noise).
+    grouped_all = keep.groupBy("part").agg(
+        F.sort_array(F.collect_set("cust")).alias("cs")
+    )
+    sizes = (
+        grouped_all.select(F.explode("cs").alias("cust"))
+        .groupBy("cust")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
     pairs = (
-        grouped.select(
+        grouped_all.filter(F.size("cs") >= 2)
+        .select(
             F.explode(
                 F.expr(
                     "flatten(transform(cs, (x, i) ->"
