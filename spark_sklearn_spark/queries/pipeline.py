@@ -90,7 +90,9 @@ def q_dedup_minhash(spark, d):
     Jaccard, and the LSH miss probability at J ≥ 0.8 with 32×4 banding
     is (1-0.8⁴)^32 ≈ 3e-9 — the fixture's planted dups sit at J ≥ 0.9
     with a clean gap to the ~0.2 noise floor."""
-    docs = load(spark, d, "documents")
+    # spread: shingle explode + band hashing ran in ONE scan task on
+    # the 1-row-group fixture (r18 spread batch 5: ~1.45 -> ~1.10 s)
+    docs = load(spark, d, "documents", spread=True)
     pairs = near_dup_pairs(docs, "doc_id", "text", jaccard_threshold=NEAR_DUP_J)
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 

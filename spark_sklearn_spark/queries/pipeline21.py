@@ -353,14 +353,24 @@ def q_ml_kcenter_init(spark, d):
     picks = [(0, ids[0], None)]  # d2 filled with the coverage radius
     for t in (1, 2, 3):
         mind = min_dist(ids)
-        mx = mind.agg(F.max("d2").alias("mx"))
+        # argmax with min-id tiebreak as ONE global agg: max of
+        # struct(d2, -vec_id) is lexicographic (max d2, then min
+        # vec_id) over exact integers — replaces the max-broadcast +
+        # filter-join idiom, which evaluated the distance relation
+        # TWICE per round (once for mx, once joined) and paid an extra
+        # broadcast exchange per round (r18: 3.78 -> 2.20 s median,
+        # picks identical).
         row = (
-            mind.join(F.broadcast(mx), F.col("d2") == F.col("mx"))
-            .agg(F.min("vec_id").alias("vec_id"), F.max("mx").alias("d2"))
+            mind.agg(
+                F.max(
+                    F.struct(F.col("d2"), (-F.col("vec_id")).alias("nv"))
+                ).alias("m")
+            )
             .collect()[0]
+            .m
         )
-        picks.append((t, int(row.vec_id), int(row.d2)))
-        ids.append(int(row.vec_id))
+        picks.append((t, int(-row.nv), int(row.d2)))
+        ids.append(int(-row.nv))
     radius2 = int(
         min_dist(ids).agg(F.max("d2").alias("r")).collect()[0].r
     )

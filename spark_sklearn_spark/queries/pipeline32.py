@@ -676,7 +676,10 @@ def q_dedup_cdc(spark, d):
     boundary set and range partition are the same by construction."""
     from .pipeline2 import _rolling_hash_arrays
 
-    docs = load(spark, d, "documents")
+    # spread: the per-row O(len) rolling-hash/boundary/fold work ran in
+    # ONE scan task on the 1-row-group fixture (r18 spread batch 5:
+    # 2.31 -> 0.64 s steady; no-op on production layouts)
+    docs = load(spark, d, "documents", spread=True)
     hs = _rolling_hash_arrays(docs)
     # hs is referenced 3x here (size + two element_at sites), so
     # CollapseProject keeps the O(len) transform materialized per row

@@ -3025,7 +3025,10 @@ def q_ml_label_noise_knn(spark, d):
     arguments."""
     from .pipeline7 import hamming_sig
 
-    emb = load(spark, d, "embeddings")
+    # spread: the fused signature fold + broadcast panel scoring ran in
+    # ONE scan task on the 1-row-group fixture (r18 spread batch 5:
+    # ~1.6 -> ~1.2 s steady; no-op on production layouts)
+    emb = load(spark, d, "embeddings", spread=True)
     sig = hamming_sig(emb)
     lab = sig.join(emb.select("vec_id", "label"), "vec_id")
     # Broadcast the FIXED-SIZE panel into the candidate scan (the
