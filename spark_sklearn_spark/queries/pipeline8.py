@@ -2224,16 +2224,18 @@ def q_dedup_editdist(spark, d):
     )
     na = norm.select(F.col("doc_id").alias("doc_a"), F.col("h").alias("ha"))
     nb = norm.select(F.col("doc_id").alias("doc_b"), F.col("h").alias("hb"))
-    # r17 (§3.1): candidates are star-paired and tiny (746 rows at
-    # sf0.1 — bounded linear in band rows by construction), but the
-    # initial plan ran BOTH verify joins as SortMergeJoin, shuffling
-    # and sorting the norm heads twice. Broadcast the candidate side
-    # through both joins instead: norm streams map-side, zero
-    # exchanges/sorts in the verify, and the (cand ⋈ ha) intermediate
-    # is the same ≤cand rows so the second broadcast is equally
-    # bounded. Same inner equi-joins, same rows.
+    # r18 (ADVICE r17): the r17 explicit F.broadcast of the candidate
+    # side is GONE — candidates are linear in band rows (they grow
+    # with the corpus), so a forced broadcast bypasses
+    # autoBroadcastJoinThreshold and hard-fails past Spark's 8 GB
+    # broadcast cap at scale. Unhinted, AQE picks the build side from
+    # runtime sizes (locally it still builds the tiny candidate side)
+    # and degrades to a shuffle join at scale. Interleaved quiet A/B:
+    # unhinted med 3.31 / min 2.73, shuffle_hash-hinted 3.13/3.00,
+    # forced broadcast 4.68/4.14 — the hint removal is also the
+    # fastest local form. Same inner equi-joins, same rows.
     scored = (
-        nb.join(F.broadcast(na.join(F.broadcast(cand), "doc_a")), "doc_b")
+        nb.join(na.join(cand, "doc_a"), "doc_b")
         .select(
             "doc_a",
             "doc_b",
