@@ -150,7 +150,11 @@ def q_dedup_recall_srp(spark, d):
     band-keyed equi-join with the probe side filtered; the truth
     panel is a bounded probe fan-out with a fused integer dot fold
     per pair. Output: <= 21 bucket rows, all BIGINT."""
-    emb = load(spark, d, "embeddings")
+    # spread: the 64x posexplode + interpreted dot/norm folds ran in
+    # ONE scan task on the 1-row-group fixture (r18 spread batch 5:
+    # ~4.0-4.2 -> ~2.6-3.3 s steady across two quiet probes; no-op on
+    # production layouts)
+    emb = load(spark, d, "embeddings", spread=True)
     base = emb.select(
         "vec_id",
         F.expr(
